@@ -1,0 +1,26 @@
+"""artis_tpu — TPU-native Monte Carlo radiative transfer framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the ARTIS
+supernova/kilonova MCRT code (reference: /root/reference, sn3d.cc:686).
+
+Design (see SURVEY.md §7): packet transport is a batched struct-of-arrays
+wavefront advanced by masked event steps under ``lax.while_loop``; per-cell
+plasma solves are ``vmap``-batched over all non-empty cells; estimators are
+segment-sums ``psum``-reduced over a device mesh; RNG is counter-based
+threefry (bitwise reproducible at any parallelism, improving on the
+reference's thread-nondeterminism).
+
+Float64 note: the reference uses double precision throughout its transport
+and solver paths, and its checkpoint format stores hex-floats because results
+are sensitive to rounding. We therefore enable JAX x64 at import. Hot kernels
+may locally downcast where validated.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from . import constants, options  # noqa: E402
+
+__version__ = "0.1.0"
+__all__ = ["constants", "options"]

@@ -1,0 +1,212 @@
+"""Run configuration: the TPU-native replacement for ``artisoptions.h``.
+
+The reference selects physics via ~70 ``constexpr`` flags compiled into the
+binary (reference: artisoptions_doc.md, artisoptions_classic.h:9-153). Here the
+same switches live in one frozen, hashable dataclass that is passed as a
+*static* argument to jitted functions, so XLA still specialises the program on
+every flag exactly like the C++ compiler did — without recompiling the package.
+
+Preset constructors mirror the five reference variants
+(artisoptions_{classic,kilonova_lte,nltenebular,nltewithoutnonthermal,
+christinenonthermal}.h).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+from .constants import CLIGHT
+
+
+class GridType(enum.Enum):
+    SPHERICAL1D = 1  # 1D radial shells (non-uniform dr)
+    CYLINDRICAL2D = 2  # 2D cylindrical, uniform dz, drcyl
+    CARTESIAN3D = 3  # 3D Cartesian cubic, uniform dx=dy=dz
+
+
+class TimeStepSizeMethod(enum.Enum):
+    LOGARITHMIC = 1
+    CONSTANT = 2
+    LOGARITHMIC_THEN_CONSTANT = 3
+    CONSTANT_THEN_LOGARITHMIC = 4
+
+
+class ThermalisationScheme(enum.Enum):
+    INSTANT = 1
+    DETAILED = 2
+    DETAILEDWITHGAMMAPRODUCTS = 3
+    BARNES = 4
+    WOLLAEGER = 5
+    GUTTMAN = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    """Physics/feature flags (reference: artisoptions_kilonova_lte.h:9-153)."""
+
+    # packet count per replica (reference MPKTS)
+    npkts: int = 15000
+
+    grid_type: GridType = GridType.CARTESIAN3D
+    ncoordgrid_x: int = 50
+    ncoordgrid_y: int = 50
+    ncoordgrid_z: int = 50
+    force_spherical_escape_surface: bool = False
+
+    nlteiter: int = 30
+    # NLTE level selection: (Z, ionstage) -> max level treated in NLTE
+    # (None = pure LTE like LEVEL_IS_NLTE returning false everywhere)
+    nlte_enabled: bool = False
+    nlte_all_levels: bool = False
+    nlte_maxlevel_fe: int = 80  # levels treated NLTE for Z>=26 group if enabled
+
+    ltepop_excitation_use_tj: bool = True
+    force_saha_ion_balance: bool = True
+    single_level_top_ion: bool = False
+    single_ground_level: bool = False
+
+    uniform_pellet_energies: bool = True
+    direct_col_heat: bool = True
+    initial_packets_on: bool = True
+    record_linestat: bool = False
+    use_model_initial_energy: bool = True
+
+    # rate-coefficient LUT temperature grid
+    tablesize: int = 200
+    mintemp: float = 500.0
+    maxtemp: float = 150000.0
+    recombcalibration_t_elec: float = 6000.0
+
+    dipole: bool = False
+    pol_on: bool = False
+    vpkt_on: bool = False
+
+    track_ion_stats: bool = False
+    minpop: float = 1e-40
+
+    nu_min_r: float = 1e13  # rpkt frequency window
+    nu_max_r: float = 5e16
+
+    multibin_radfield: bool = False
+    radfieldbincount: int = 256
+    first_nlte_radfield_timestep: int = 12
+    nu_lower_first_initial: float = CLIGHT / 40000e-8
+    nu_upper_last_initial: float = CLIGHT / 1085e-8
+    nu_upper_superbin: float = CLIGHT / 10e-8
+    t_r_min: float = 500.0
+    t_r_max: float = 250000.0
+
+    detailed_line_estimators: bool = False
+    detailed_bf_estimators: bool = False
+    use_lut_photoion: bool = True
+    use_lut_bfheating: bool = True
+
+    # non-thermal solver
+    nt_on: bool = False
+    nt_solve_spencerfano: bool = False
+    sfpts: int = 4096
+    sf_emax: float = 16000.0
+    sf_emin: float = 0.1
+    sf_max_ts_between_solutions: int = 0
+    nt_max_fracdiff_nneperion: float = 0.05
+    ntexcitation_maxnlevels_lower: int = 5
+    ntexcitation_maxnlevels_upper: int = 250
+    max_nt_excitations_stored: int = 25000
+    nt_excitation_on: bool = False
+    nt_use_valence_ionpotential: bool = False
+    nt_max_auger_electrons: int = 2
+    sf_auger_contribution_on: bool = True
+    sf_auger_contribution_distribute_en: bool = False
+
+    temperature_solver_accuracy: float = 1e-3
+    continuum_nu_integral_accuracy: float = 1e-3
+    ratecoeff_integral_accuracy: float = 1e-3
+    iongamma_popfrac_levels_included: float = 0.999
+
+    use_relativistic_doppler_shift: bool = True
+    use_calculated_meanatomicweight: bool = True
+
+    timestep_size_method: TimeStepSizeMethod = TimeStepSizeMethod.LOGARITHMIC
+    fixed_timestep_width: float = -1.0
+    timestep_transition_time: float = -1.0
+
+    bfcooling_uselevelpop: bool = False
+    expansionopacities_on: bool = False
+    rpkt_boundbound_thermalisation_probability: float = -1.0
+    use_xcom_gammaphotoion: bool = False
+
+    particle_thermalisation_scheme: ThermalisationScheme = ThermalisationScheme.DETAILED
+    gamma_thermalisation_scheme: ThermalisationScheme = ThermalisationScheme.DETAILED
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    # main floating dtype for transport state ("float64" or "float32")
+    transport_dtype: str = "float64"
+    # number of packet "advance one event" micro-steps fused per device launch
+    transport_chunk_steps: int = 64
+    # line-walk chunk width (lines scanned per vector step in get_event)
+    linewalk_chunk: int = 256
+    # escape-direction binning (reference exspec.h: MABINS=100)
+    ncosthetabins: int = 10
+    nphibins: int = 10
+
+    def replace(self, **kw) -> "Options":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def mabins(self) -> int:
+        return self.ncosthetabins * self.nphibins
+
+
+def kilonova_lte(**overrides) -> Options:
+    """Preset mirroring artisoptions_kilonova_lte.h (reference lines 9-153)."""
+    return Options(
+        npkts=15000,
+        grid_type=GridType.CARTESIAN3D,
+        nlte_enabled=False,
+        ltepop_excitation_use_tj=True,
+        force_saha_ion_balance=True,
+        nt_on=False,
+        nt_solve_spencerfano=False,
+        use_relativistic_doppler_shift=True,
+        particle_thermalisation_scheme=ThermalisationScheme.DETAILED,
+        gamma_thermalisation_scheme=ThermalisationScheme.DETAILED,
+    ).replace(**overrides)
+
+
+def classic(**overrides) -> Options:
+    """Preset mirroring artisoptions_classic.h (LTE Type Ia mode)."""
+    return Options(
+        npkts=1000000,
+        grid_type=GridType.CARTESIAN3D,
+        nlte_enabled=False,
+        ltepop_excitation_use_tj=True,
+        force_saha_ion_balance=False,
+        initial_packets_on=False,
+        use_model_initial_energy=False,
+        uniform_pellet_energies=True,
+        nt_on=True,  # classic: NT_ON with work-function approx, no SF solve
+        nt_solve_spencerfano=False,
+        use_relativistic_doppler_shift=False,
+        particle_thermalisation_scheme=ThermalisationScheme.INSTANT,
+        gamma_thermalisation_scheme=ThermalisationScheme.DETAILED,
+    ).replace(**overrides)
+
+
+def nltenebular(**overrides) -> Options:
+    """Preset mirroring artisoptions_nltenebular.h (NLTE + Spencer-Fano)."""
+    return Options(
+        npkts=1000000,
+        grid_type=GridType.CARTESIAN3D,
+        nlte_enabled=True,
+        nlte_all_levels=True,
+        ltepop_excitation_use_tj=False,
+        force_saha_ion_balance=False,
+        nt_on=True,
+        nt_solve_spencerfano=True,
+        nt_excitation_on=False,
+        multibin_radfield=True,
+        use_lut_photoion=False,
+        use_lut_bfheating=False,
+        use_relativistic_doppler_shift=False,
+    ).replace(**overrides)

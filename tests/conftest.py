@@ -1,0 +1,20 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Multi-chip TPU hardware is unavailable in CI; sharding correctness is
+validated on a host-platform mesh exactly as the reference CI fakes multi-node
+MPI with oversubscribed ranks + MAX_NODE_SIZE (reference: ci.yml:104).
+
+Note: the environment's sitecustomize registers a remote 'axon' TPU backend at
+interpreter start, so JAX_PLATFORMS env alone is not enough — we must override
+the platform through jax.config after import.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
