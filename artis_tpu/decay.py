@@ -172,6 +172,19 @@ class DecayData:
         """(reference: decay.cc:804) — used by gamma-line data loading."""
         self.nuclides[nucindex].endecay_gamma = value
         self.nuc_endecay_gamma[nucindex] = value
+        self.refresh_path_energies()
+
+    def refresh_path_energies(self) -> None:
+        """Recompute per-path end-decay energies after endecay_gamma changes.
+
+        The reference looks this up dynamically (decay.cc:258-262); our padded
+        table must be refreshed whenever gamma energies are loaded."""
+        end = self.path_end_nucindex
+        if len(end):
+            self.path_endecay_last[:] = (
+                self.nuc_endecay_gamma[end]
+                + self.nuc_endecay_particle[end, self.path_end_decaytype]
+            )
 
 
 def _read_betaminus(path: str) -> list[Nuclide]:
