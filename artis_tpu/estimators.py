@@ -1,0 +1,103 @@
+"""Monte Carlo estimator accumulators.
+
+TPU-native rebuild of the reference estimator arrays (reference:
+globals.h:206-232 J/nuJ/ffheating/deposition arrays, sn3d.cc:263-348
+mpi_reduce_estimators, stats.h:47-82 event counters).
+
+The reference accumulates with atomicadd during transport and MPI_Allreduces
+afterwards; here each transport step produces per-packet contributions that
+are segment-summed into (ncells,) arrays inside the jitted step, and a single
+``psum`` over the device mesh replaces the Allreduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "j", "nuj", "ffheating", "dep_gamma", "dep_electron", "dep_positron",
+        "dep_alpha", "gammaestimator", "bfheatingestimator",
+        "cmf_lum", "pellet_decays", "nesc",
+        "gamma_emission", "positron_emission", "electron_emission", "alpha_emission",
+        "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
+        "alpha_dep_discrete",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class Estimators:
+    # per-cell path-based estimators (reference: globals.h:206-232)
+    j: jax.Array  # (ncells,)
+    nuj: jax.Array
+    ffheating: jax.Array
+    dep_gamma: jax.Array
+    dep_electron: jax.Array
+    dep_positron: jax.Array
+    dep_alpha: jax.Array
+    # LUT estimators per ground continuum (reference: globals.h:214-215)
+    gammaestimator: jax.Array  # (ncells, nbfcontinua_ground)
+    bfheatingestimator: jax.Array  # (ncells, nbfcontinua_ground)
+    # per-timestep scalars (reference: globals.h TimeStep fields)
+    cmf_lum: jax.Array
+    pellet_decays: jax.Array
+    nesc: jax.Array
+    gamma_emission: jax.Array
+    positron_emission: jax.Array
+    electron_emission: jax.Array
+    alpha_emission: jax.Array
+    gamma_dep_discrete: jax.Array
+    positron_dep_discrete: jax.Array
+    electron_dep_discrete: jax.Array
+    alpha_dep_discrete: jax.Array
+
+    def replace(self, **kw) -> "Estimators":
+        return dataclasses.replace(self, **kw)
+
+
+def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64) -> Estimators:
+    z = jnp.zeros((), dtype)
+    return Estimators(
+        j=jnp.zeros(ncells, dtype),
+        nuj=jnp.zeros(ncells, dtype),
+        ffheating=jnp.zeros(ncells, dtype),
+        dep_gamma=jnp.zeros(ncells, dtype),
+        dep_electron=jnp.zeros(ncells, dtype),
+        dep_positron=jnp.zeros(ncells, dtype),
+        dep_alpha=jnp.zeros(ncells, dtype),
+        gammaestimator=jnp.zeros((ncells, nbfcontinua_ground), dtype),
+        bfheatingestimator=jnp.zeros((ncells, nbfcontinua_ground), dtype),
+        cmf_lum=z,
+        pellet_decays=jnp.zeros((), jnp.int64),
+        nesc=jnp.zeros((), jnp.int64),
+        gamma_emission=z,
+        positron_emission=z,
+        electron_emission=z,
+        alpha_emission=z,
+        gamma_dep_discrete=z,
+        positron_dep_discrete=z,
+        electron_dep_discrete=z,
+        alpha_dep_discrete=z,
+    )
+
+
+def cell_add(array: jax.Array, nonemptymgi: jax.Array, contrib: jax.Array, active) -> jax.Array:
+    """Segment-sum per-packet contributions into a per-cell array.
+
+    Replaces the reference's atomicadd on shared estimators (sn3d.h:164-184).
+    """
+    safe_idx = jnp.where(active & (nonemptymgi >= 0), nonemptymgi, 0)
+    vals = jnp.where(active & (nonemptymgi >= 0), contrib, 0.0)
+    return array.at[safe_idx].add(vals)
+
+
+def psum_estimators(est: Estimators, axis_name: str) -> Estimators:
+    """All-reduce over the packet-sharded mesh axis (replaces
+    MPI_Allreduce(SUM), reference: sn3d.cc:263-348)."""
+    return jax.tree_util.tree_map(lambda x: jax.lax.psum(x, axis_name), est)

@@ -1,0 +1,743 @@
+"""The batched packet-transport engine: one timestep = a while_loop of masked
+"advance one action" micro-steps over the whole packet batch.
+
+TPU-native rebuild of the reference per-packet drivers (reference:
+update_packets.cc:361-437 update_packets / 213-279 do_packet,
+rpkt.cc:604-737 do_rpkt_step, gammapkt.cc:719-817 transport_gamma,
+gammapkt.cc:380-458 compton_scatter, gammapkt.cc:983-1024
+pellet_gamma_decay, kpkt.cc:377-402 do_kpkt_blackbody,
+update_packets.cc:30-211 pellet/nonthermal handling).
+
+Instead of recursing per packet until t2, every iteration advances EVERY
+active packet by one action (pellet decay / gamma flight step / r-packet
+event step / type conversion), with lax masking. The reference's
+sort-by-cell cellcache is replaced by dense per-timestep (ncells, nlevels)
+population tables that turn all plasma lookups into gathers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry
+from ..atomic import DeviceAtomicData
+from ..constants import CLIGHT_PROP, H, ME_C2, MEV, PI, SIGMA_T, THOMSON_LIMIT
+from ..estimators import Estimators, cell_add
+from ..grid import BOUNDARY_ESCAPE, GridData, boundary_distance
+from ..options import Options, ThermalisationScheme
+from ..packets import (
+    EMTYPE_FREEFREE, EMTYPE_NOTSET, PacketState, TYPE_ESCAPE, TYPE_GAMMA,
+    TYPE_KPKT, TYPE_MA, TYPE_NONTHERMAL_PREDEPOSIT_ALPHA,
+    TYPE_NONTHERMAL_PREDEPOSIT_BETAMINUS, TYPE_NONTHERMAL_PREDEPOSIT_BETAPLUS,
+    TYPE_NTALPHA_DEPOSITED, TYPE_NTLEPTON_DEPOSITED, TYPE_PRE_KPKT,
+    TYPE_RADIOACTIVE_PELLET, TYPE_RPKT,
+)
+from ..plasma.radfield import sample_planck_montecarlo
+from . import opacity
+from .linewalk import get_event_batch
+from ..decay import (
+    DECAYTYPE_ALPHA, DECAYTYPE_BETAMINUS, DECAYTYPE_BETAPLUS,
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "levelpops", "nnion", "chi_ff_nnionpart", "gammaline_energy",
+        "gammaline_cumfrac", "gammaline_nlines", "nuc_engamma",
+    ],
+    meta_fields=["ts", "t2", "t_mid", "nts", "is_first_timestep", "lte_mode"],
+)
+@dataclasses.dataclass(frozen=True)
+class StepContext:
+    """Per-timestep data prepared by the driver before transport."""
+
+    levelpops: jax.Array  # (ncells, nlevels_total)
+    nnion: jax.Array  # (ncells, nions_total)
+    chi_ff_nnionpart: jax.Array  # (ncells,)
+    gammaline_energy: jax.Array  # (nnuc, maxlines) [erg]
+    gammaline_cumfrac: jax.Array  # (nnuc, maxlines)
+    gammaline_nlines: jax.Array  # (nnuc,)
+    nuc_engamma: jax.Array  # (nnuc,)
+    ts: float
+    t2: float
+    t_mid: float
+    nts: int
+    is_first_timestep: bool
+    lte_mode: bool
+
+
+def _uniform(key, tag: int, n: int, dtype):
+    return jax.random.uniform(jax.random.fold_in(key, tag), (n,), dtype)
+
+
+def _isotropic(key, tag: int, n: int, dtype):
+    return geometry.rand_isotropic_unitvec(jax.random.fold_in(key, tag), (n,), dtype)
+
+
+def emit_rpkt_batch(key, tag, st: PacketState, mask, opts: Options) -> PacketState:
+    """Isotropic cmf re-emission (reference: rpkt.cc:945-970)."""
+    n = st.npkts
+    dir_cmf = _isotropic(key, tag, n, st.pos.dtype)
+    vel_rev = st.pos / (-st.prop_time)[:, None]
+    new_dir = geometry.angle_ab(dir_cmf, vel_rev)
+    doppler = geometry.doppler_nucmf_on_nurf(
+        st.pos, new_dir, st.prop_time, opts.use_relativistic_doppler_shift
+    )
+    m = mask
+    return st.replace(
+        ptype=jnp.where(m, TYPE_RPKT, st.ptype),
+        dir=jnp.where(m[:, None], new_dir, st.dir),
+        nu_rf=jnp.where(m, st.nu_cmf / doppler, st.nu_rf),
+        e_rf=jnp.where(m, st.e_cmf / doppler, st.e_rf),
+        stokes=jnp.where(
+            m[:, None],
+            jnp.concatenate(
+                [jnp.ones((n, 1), st.stokes.dtype), jnp.zeros((n, 2), st.stokes.dtype)], axis=1
+            ),
+            st.stokes,
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pellets (reference: update_packets.cc:149-211 update_pellet)
+# ---------------------------------------------------------------------------
+
+
+def pellet_step(key, st: PacketState, est: Estimators, ctx: StepContext, opts: Options):
+    n = st.npkts
+    is_pellet = (st.ptype == TYPE_RADIOACTIVE_PELLET) & (st.prop_time < ctx.t2)
+    ts = st.prop_time
+    tdecay = st.tdecay
+
+    no_decay = is_pellet & (tdecay > ctx.t2)
+    decays_now = is_pellet & (tdecay <= ctx.t2) & (tdecay > ts)
+    early_decay = is_pellet & (tdecay <= ts) & (tdecay > 0) & ctx.is_first_timestep
+
+    # move with the flow
+    scale_nodecay = jnp.where(no_decay, ctx.t2 / ts, 1.0)
+    scale_decay = jnp.where(decays_now, tdecay / ts, 1.0)
+    pos = st.pos * (scale_nodecay * scale_decay)[:, None]
+    prop_time = jnp.where(no_decay, ctx.t2, jnp.where(decays_now, tdecay, st.prop_time))
+
+    est = est.replace(pellet_decays=est.pellet_decays + jnp.sum(decays_now))
+
+    # particle-origin pellets become predeposit particles
+    to_particle = decays_now & st.originated_from_particlenotgamma
+    dt = st.pellet_decaytype
+    newtype = st.ptype
+    newtype = jnp.where(
+        to_particle & (dt == DECAYTYPE_BETAPLUS), TYPE_NONTHERMAL_PREDEPOSIT_BETAPLUS, newtype
+    )
+    newtype = jnp.where(
+        to_particle & (dt == DECAYTYPE_BETAMINUS), TYPE_NONTHERMAL_PREDEPOSIT_BETAMINUS, newtype
+    )
+    newtype = jnp.where(
+        to_particle & (dt == DECAYTYPE_ALPHA), TYPE_NONTHERMAL_PREDEPOSIT_ALPHA, newtype
+    )
+    est = est.replace(
+        positron_emission=est.positron_emission
+        + jnp.sum(jnp.where(to_particle & (dt == DECAYTYPE_BETAPLUS), st.e_cmf, 0.0)),
+        electron_emission=est.electron_emission
+        + jnp.sum(jnp.where(to_particle & (dt == DECAYTYPE_BETAMINUS), st.e_cmf, 0.0)),
+        alpha_emission=est.alpha_emission
+        + jnp.sum(jnp.where(to_particle & (dt == DECAYTYPE_ALPHA), st.e_cmf, 0.0)),
+    )
+    em_time = jnp.where(to_particle, prop_time, st.em_time)
+    absorptiontype = jnp.where(to_particle, -10, st.absorptiontype)
+
+    # gamma-origin pellets decay to gamma rays (gammapkt.cc:983-1024)
+    to_gamma = decays_now & ~st.originated_from_particlenotgamma
+    nuc = jnp.clip(st.pellet_nucindex, 0, ctx.gammaline_nlines.shape[0] - 1)
+    has_spec = ctx.gammaline_nlines[nuc] > 0
+    # no known gamma spectrum: straight to k-packets (gammapkt.cc:987-992)
+    to_kpkt_nospec = to_gamma & ~has_spec
+    newtype = jnp.where(to_kpkt_nospec, TYPE_KPKT, newtype)
+    absorptiontype = jnp.where(to_kpkt_nospec, -6, absorptiontype)
+
+    to_gamma = to_gamma & has_spec
+    dir_cmf = _isotropic(key, 11, n, st.pos.dtype)
+    vel_rev = pos / (-jnp.where(tdecay > 0, tdecay, 1.0))[:, None]
+    gdir = geometry.angle_ab(dir_cmf, vel_rev)
+    # sample the gamma line (gammapkt.cc:239-256 choose_gamma_ray)
+    zrand = _uniform(key, 12, n, st.pos.dtype)
+    cumrows = ctx.gammaline_cumfrac[nuc]  # (n, maxlines)
+    lineidx = jnp.sum((zrand[:, None] > cumrows).astype(jnp.int32), axis=1)
+    lineidx = jnp.clip(lineidx, 0, ctx.gammaline_energy.shape[1] - 1)
+    nu_gamma = ctx.gammaline_energy[nuc, lineidx] / H
+    doppler = geometry.doppler_nucmf_on_nurf(
+        pos, gdir, jnp.maximum(prop_time, 1e-30), opts.use_relativistic_doppler_shift
+    )
+    est = est.replace(
+        gamma_emission=est.gamma_emission + jnp.sum(jnp.where(decays_now & ~st.originated_from_particlenotgamma, st.e_cmf, 0.0))
+    )
+    newtype = jnp.where(to_gamma, TYPE_GAMMA, newtype)
+
+    # pellets that decayed before tmin: Lucy 2004 pre-kpkts
+    # (update_packets.cc:192-204)
+    e_cmf = jnp.where(early_decay, st.e_cmf * tdecay / prop_time, st.e_cmf)
+    newtype = jnp.where(early_decay, TYPE_PRE_KPKT, newtype)
+    absorptiontype = jnp.where(early_decay, -7, absorptiontype)
+
+    return st.replace(
+        ptype=newtype,
+        pos=pos,
+        prop_time=prop_time,
+        e_cmf=e_cmf,
+        em_time=em_time,
+        absorptiontype=absorptiontype,
+        dir=jnp.where(to_gamma[:, None], gdir, st.dir),
+        nu_cmf=jnp.where(to_gamma, nu_gamma, st.nu_cmf),
+        nu_rf=jnp.where(to_gamma, nu_gamma / doppler, st.nu_rf),
+        e_rf=jnp.where(to_gamma, e_cmf / doppler, st.e_rf),
+        stokes=jnp.where(
+            to_gamma[:, None],
+            jnp.concatenate([jnp.ones((n, 1), st.stokes.dtype), jnp.zeros((n, 2), st.stokes.dtype)], axis=1),
+            st.stokes,
+        ),
+    ), est
+
+
+# ---------------------------------------------------------------------------
+# non-thermal particle predeposit (reference: update_packets.cc:30-143)
+# ---------------------------------------------------------------------------
+
+
+def nonthermal_predeposit_step(
+    key, st: PacketState, est: Estimators, ctx: StepContext, grid: GridData,
+    cells_rho, opts: Options,
+):
+    n = st.npkts
+    is_beta_minus = st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_BETAMINUS
+    is_beta_plus = st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_BETAPLUS
+    is_alpha = st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_ALPHA
+    mask = (is_beta_minus | is_beta_plus | is_alpha) & (st.prop_time < ctx.t2)
+
+    deposit_type = jnp.where(is_alpha, TYPE_NTALPHA_DEPOSITED, TYPE_NTLEPTON_DEPOSITED)
+    nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
+    ts = st.prop_time
+
+    scheme = opts.particle_thermalisation_scheme
+    if scheme == ThermalisationScheme.INSTANT:
+        en_deposited = jnp.where(mask, st.e_cmf, 0.0)
+        newtype = jnp.where(mask, deposit_type, st.ptype)
+        newpos, newtime, new_nucmf = st.pos, st.prop_time, st.nu_cmf
+        deposited_now = mask
+    elif scheme in (ThermalisationScheme.DETAILED, ThermalisationScheme.DETAILEDWITHGAMMAPRODUCTS):
+        # Shingles+2023 local deposition (update_packets.cc:75-113)
+        rho = jnp.where(nonemptymgi >= 0, cells_rho[jnp.maximum(nonemptymgi, 0)], 0.0)
+        endot = jnp.where(is_alpha, 5.0e11 * MEV * rho, 4.0e10 * MEV * rho)
+        endot = jnp.maximum(endot, 1e-300)
+        particle_en = H * st.nu_cmf
+        t_enzero = ts + particle_en / endot
+        en_deposited = jnp.where(
+            mask,
+            st.e_cmf * (jnp.minimum(ctx.t2, t_enzero) - ts) / (particle_en / endot),
+            0.0,
+        )
+        rnd_en_absorb = _uniform(key, 21, n, st.pos.dtype) * particle_en
+        t_absorb = ts + rnd_en_absorb / endot
+        t_new = jnp.minimum(t_absorb, ctx.t2)
+        absorbed = mask & (t_absorb <= ctx.t2)
+        newtype = jnp.where(absorbed, deposit_type, st.ptype)
+        new_nucmf = jnp.where(
+            mask & ~absorbed, (particle_en - endot * (t_new - ts)) / H, st.nu_cmf
+        )
+        newpos = jnp.where(mask[:, None], st.pos * (t_new / ts)[:, None], st.pos)
+        newtime = jnp.where(mask, t_new, st.prop_time)
+        deposited_now = absorbed
+    else:
+        raise NotImplementedError(f"thermalisation scheme {scheme}")
+
+    # deposition estimators (update_packets.cc:115-142)
+    frompart = st.originated_from_particlenotgamma
+    est = est.replace(
+        dep_electron=cell_add(est.dep_electron, nonemptymgi, en_deposited, mask & is_beta_minus & frompart),
+        dep_positron=cell_add(est.dep_positron, nonemptymgi, en_deposited, mask & is_beta_plus & frompart),
+        dep_alpha=cell_add(est.dep_alpha, nonemptymgi, en_deposited, mask & is_alpha & frompart),
+        electron_dep_discrete=est.electron_dep_discrete
+        + jnp.sum(jnp.where(deposited_now & is_beta_minus & frompart, st.e_cmf, 0.0)),
+        positron_dep_discrete=est.positron_dep_discrete
+        + jnp.sum(jnp.where(deposited_now & is_beta_plus & frompart, st.e_cmf, 0.0)),
+        alpha_dep_discrete=est.alpha_dep_discrete
+        + jnp.sum(jnp.where(deposited_now & is_alpha & frompart, st.e_cmf, 0.0)),
+    )
+    return st.replace(ptype=newtype, pos=newpos, prop_time=newtime, nu_cmf=new_nucmf), est
+
+
+# ---------------------------------------------------------------------------
+# k-packets (grey / blackbody path) (reference: kpkt.cc:377-402)
+# ---------------------------------------------------------------------------
+
+
+def kpkt_blackbody_step(key, st: PacketState, ctx: StepContext, grid: GridData,
+                        cells_te, opts: Options):
+    """Emit k-packets as blackbody r-packets (thick cells and pre-kpkts)."""
+    nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
+    te = cells_te[jnp.maximum(nonemptymgi, 0)]
+    mask = (st.ptype == TYPE_PRE_KPKT) | (st.ptype == TYPE_KPKT)
+    mask = mask & (st.prop_time < ctx.t2) & (nonemptymgi >= 0)
+    nu_planck = sample_planck_montecarlo(
+        jax.random.fold_in(key, 31), jnp.maximum(te, 1.0), opts.nu_min_r, opts.nu_max_r
+    )
+    st = st.replace(nu_cmf=jnp.where(mask, nu_planck, st.nu_cmf))
+    st = emit_rpkt_batch(key, 32, st, mask, opts)
+    return st.replace(
+        next_trans=jnp.where(mask, -1, st.next_trans),
+        emissiontype=jnp.where(mask, EMTYPE_FREEFREE, st.emissiontype),
+        em_pos=jnp.where(mask[:, None], st.pos, st.em_pos),
+        em_time=jnp.where(mask, st.prop_time, st.em_time),
+        nscatterings=jnp.where(mask, 0, st.nscatterings),
+        trueemissiontype=jnp.where(mask, EMTYPE_FREEFREE, st.trueemissiontype),
+        trueem_time=jnp.where(mask, st.prop_time, st.trueem_time),
+        trueemissionvelocity=jnp.where(
+            mask, geometry.vec_len(st.pos) / st.prop_time, st.trueemissionvelocity
+        ),
+    ), mask
+
+
+# ---------------------------------------------------------------------------
+# gamma transport (reference: gammapkt.cc:719-817)
+# ---------------------------------------------------------------------------
+
+
+def _sigma_compton_partial(x, f):
+    """(reference: gammapkt.cc:258-268)"""
+    term1 = (x * x - 2 * x - 2) * jnp.log(f) / x / x
+    term2 = ((f * f - 1) / (f * f)) / 2
+    term3 = ((f - 1) / x) * ((1 / x) + (2 / f) + (1 / (x * f)))
+    return 3 * SIGMA_T * (term1 + term2 + term3) / (8 * x)
+
+
+def _choose_f(xx, zrand):
+    """Bisect sigma_compton_partial(x, f) = zrand*sigma(x, fmax)
+    (reference: gammapkt.cc:296-327)."""
+    f_max = 1.0 + 2.0 * xx
+    f_min = jnp.ones_like(xx)
+    norm = zrand * _sigma_compton_partial(xx, f_max)
+
+    def body(_, carry):
+        fmin, fmax = carry
+        ftry = 0.5 * (fmin + fmax)
+        stry = _sigma_compton_partial(xx, ftry)
+        high = stry > norm
+        return jnp.where(high, fmin, ftry), jnp.where(high, ftry, fmax)
+
+    f_min, f_max = jax.lax.fori_loop(0, 60, body, (f_min, f_max))
+    return 0.5 * (f_min + f_max)
+
+
+def _thomson_angle(u):
+    """(reference: gammapkt.cc:330-340)"""
+    b = 8.0 * u - 4.0
+    t = jnp.cbrt((jnp.sqrt(b * b + 4.0) - b) / 2.0)
+    return 1.0 / t - t
+
+
+def _scatter_dir(key, tag, dir_in, cos_theta):
+    """Rotate dir_in by scattering angle (reference: gammapkt.cc:343-378)."""
+    n = dir_in.shape[0]
+    phi = _uniform(key, tag, n, dir_in.dtype) * 2.0 * PI
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta**2, 0.0))
+    xprime = sin_theta * jnp.cos(phi)
+    yprime = sin_theta * jnp.sin(phi)
+    zprime = cos_theta
+
+    xylen = jnp.sqrt(dir_in[:, 0] ** 2 + dir_in[:, 1] ** 2)
+    safe = jnp.maximum(xylen, 1e-300)
+    norm1 = 1.0 / safe
+    norm2 = 1.0 / geometry.vec_len(dir_in)
+    r11 = dir_in[:, 1] * norm1
+    r12 = -dir_in[:, 0] * norm1
+    r21 = dir_in[:, 0] * dir_in[:, 2] * norm1 * norm2
+    r22 = dir_in[:, 1] * dir_in[:, 2] * norm1 * norm2
+    r23 = -norm2 / norm1
+    r31 = dir_in[:, 0] * norm2
+    r32 = dir_in[:, 1] * norm2
+    r33 = dir_in[:, 2] * norm2
+    out = jnp.stack(
+        [
+            r11 * xprime + r21 * yprime + r31 * zprime,
+            r12 * xprime + r22 * yprime + r32 * zprime,
+            r23 * yprime + r33 * zprime,
+        ],
+        axis=-1,
+    )
+    # polar-axis fallback (dir along z): scattering frame is degenerate
+    polar = xylen < 1e-12
+    sgn = jnp.where(dir_in[:, 2] >= 0, 1.0, -1.0)
+    fallback = jnp.stack([xprime, yprime, sgn * zprime], axis=-1)
+    return jnp.where(polar[:, None], fallback, out)
+
+
+def _meanf_sigma(x):
+    """(reference: gammapkt.cc:625-637)"""
+    f = 1 + 2 * x
+    term0 = 2 / x
+    term1 = (1 - 2 / x - 3 / (x * x)) * jnp.log(f)
+    term2 = (4 / x + 3 / (x * x) - 1) * 2 * x / f
+    term3 = (1 - 2 / x - 1 / (x * x)) * 2 * x * (1 + x) / f / f
+    term4 = -2.0 * x * (4 * x * x + 6 * x + 3) / 3 / f / f / f
+    return 3 * SIGMA_T * (term0 + term1 + term2 + term3 + term4) / (8 * x)
+
+
+def gamma_step(
+    key, st: PacketState, est: Estimators, ctx: StepContext, grid: GridData,
+    cells_rho, cells_nnetot, cells_ffegrp, gamma_kappagrey: float, opts: Options,
+):
+    """One flight step of all gamma packets (reference: gammapkt.cc:719-817)."""
+    n = st.npkts
+    mask = (st.ptype == TYPE_GAMMA) & (st.prop_time < ctx.t2)
+    nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
+    nonempty = nonemptymgi >= 0
+    safe_mgi = jnp.maximum(nonemptymgi, 0)
+    rho = jnp.where(nonempty, cells_rho[safe_mgi], 0.0)
+    nnetot = jnp.where(nonempty, cells_nnetot[safe_mgi], 0.0)
+    ffegrp = jnp.where(nonempty, cells_ffegrp[safe_mgi], 0.0)
+
+    doppler = geometry.doppler_nucmf_on_nurf(
+        st.pos, st.dir, st.prop_time, opts.use_relativistic_doppler_shift
+    )
+    xx = H * st.nu_cmf / ME_C2
+    detailed = gamma_kappagrey < 0
+
+    if detailed:
+        sigma_c = jnp.where(
+            xx < THOMSON_LIMIT, SIGMA_T, _sigma_compton_partial(jnp.maximum(xx, 1e-10), 1 + 2 * xx)
+        )
+        chi_compton = sigma_c * nnetot * doppler
+        # photoelectric: Si/Fe fits (gammapkt.cc:474-498)
+        hnu_over_100kev = st.nu_cmf / 2.41326e19
+        sigma_si = 1.16e-24 * hnu_over_100kev**-3.13
+        sigma_fe = 25.7e-24 * hnu_over_100kev**-3.0
+        chi_pe_cmf = sigma_fe * (rho / (56 * 1.67352e-24)) * ffegrp + sigma_si * (
+            rho / (28 * 1.67352e-24)
+        ) * (1.0 - ffegrp)
+        chi_pe = chi_pe_cmf * doppler
+        # pair production (gammapkt.cc:557-622)
+        hnu_over_mev = st.nu_cmf / 2.41326e20
+        above_thresh = st.nu_cmf > 2.46636e20
+        high = st.nu_cmf > 3.6199e20
+        sigma_pair_si = jnp.where(
+            high, (0.0481 + 0.301 * (hnu_over_mev - 1.5)) * 196e-27,
+            1.0063 * (hnu_over_mev - 1.022) * 196e-27,
+        )
+        sigma_pair_fe = jnp.where(
+            high, (0.0481 + 0.301 * (hnu_over_mev - 1.5)) * 784e-27,
+            1.0063 * (hnu_over_mev - 1.022) * 784e-27,
+        )
+        chi_pp_cmf = sigma_pair_fe * (rho / (56 * 1.67352e-24)) * ffegrp + sigma_pair_si * (
+            rho / (28 * 1.67352e-24)
+        ) * (1.0 - ffegrp)
+        chi_pp = jnp.where(above_thresh, jnp.maximum(chi_pp_cmf * doppler, 0.0), 0.0)
+    else:
+        chi_compton = jnp.zeros_like(rho)
+        chi_pe = gamma_kappagrey * rho * doppler
+        chi_pp = jnp.zeros_like(rho)
+
+    chi_tot = chi_compton + chi_pe + chi_pp
+
+    tau_next = -jnp.log(jnp.maximum(_uniform(key, 41, n, st.pos.dtype), 1e-300))
+    sdist, snext = boundary_distance(grid, st.dir, st.pos, st.prop_time, st.where)
+    tdist = jnp.maximum((ctx.t2 - st.prop_time) * CLIGHT_PROP, 0.0)
+    edist = jnp.where(chi_tot > 0, tau_next / jnp.maximum(chi_tot, 1e-300), jnp.inf)
+
+    dist = jnp.minimum(jnp.minimum(sdist, tdist), edist)
+    take_boundary = mask & (sdist <= tdist) & (sdist <= edist)
+    take_tlimit = mask & (tdist < sdist) & (tdist < edist)
+    take_event = mask & (edist < sdist) & (edist < tdist)
+
+    # move in two halves; path-based gamma deposition at midpoint
+    # (gammapkt.cc:640-667, 761-791)
+    pos1, t1, nucmf1, ecmf1, _ = geometry.move_pkt(
+        st.pos, st.dir, st.prop_time, st.nu_rf, st.nu_cmf, st.e_rf, dist / 2.0,
+        opts.use_relativistic_doppler_shift,
+    )
+    dop_sq = geometry.doppler_squared_nucmf_on_nurf(
+        pos1, st.dir, t1, opts.use_relativistic_doppler_shift
+    )
+    xx_mid = jnp.maximum(H * nucmf1 / ME_C2, 1e-10)
+    if detailed:
+        heating = (
+            _meanf_sigma(xx_mid) * nnetot
+            + chi_pe / doppler
+            + (chi_pp / doppler) * jnp.maximum(1.0 - 2.46636e20 / nucmf1, 0.0)
+        )
+    else:
+        heating = chi_pe / doppler
+    heating_cont = heating * st.e_rf * dist * dop_sq
+    est = est.replace(
+        dep_gamma=cell_add(est.dep_gamma, nonemptymgi, heating_cont, mask & nonempty & (chi_tot > 0))
+    )
+    pos2, t2_, nucmf2, ecmf2, _ = geometry.move_pkt(
+        pos1, st.dir, t1, st.nu_rf, nucmf1, st.e_rf, dist / 2.0,
+        opts.use_relativistic_doppler_shift,
+    )
+    newpos = jnp.where(mask[:, None], pos2, st.pos)
+    newtime = jnp.where(take_tlimit, ctx.t2, jnp.where(mask, t2_, st.prop_time))
+    new_nucmf = jnp.where(mask, nucmf2, st.nu_cmf)
+    new_ecmf = jnp.where(mask, ecmf2, st.e_cmf)
+
+    st = st.replace(pos=newpos, prop_time=newtime, nu_cmf=new_nucmf, e_cmf=new_ecmf)
+
+    # boundary crossing / escape (grid.h:113-129)
+    escaping = take_boundary & (snext == BOUNDARY_ESCAPE)
+    crossing = take_boundary & (snext >= 0)
+    st = st.replace(
+        where=jnp.where(crossing, snext, st.where),
+        escape_type=jnp.where(escaping, st.ptype, st.escape_type),
+        escape_time=jnp.where(escaping, st.prop_time, st.escape_time),
+        ptype=jnp.where(escaping, TYPE_ESCAPE, st.ptype),
+    )
+    est = est.replace(nesc=est.nesc + jnp.sum(escaping))
+
+    # physical event (gammapkt.cc:793-813)
+    chi_rnd = _uniform(key, 42, n, st.pos.dtype) * chi_tot
+    ev_compton = take_event & (chi_compton > chi_rnd)
+    ev_pe = take_event & ~ev_compton & ((chi_compton + chi_pe) > chi_rnd)
+    ev_pp = take_event & ~ev_compton & ~ev_pe
+
+    # --- Compton scattering (gammapkt.cc:380-458) ---
+    xx_e = jnp.maximum(H * st.nu_cmf / ME_C2, 1e-10)
+    f = jnp.where(
+        xx_e < THOMSON_LIMIT, 1.0, _choose_f(xx_e, _uniform(key, 43, n, st.pos.dtype))
+    )
+    prob_gamma = 1.0 / f
+    stay_gamma = (xx_e < THOMSON_LIMIT) | (_uniform(key, 44, n, st.pos.dtype) < prob_gamma)
+    scatters = ev_compton & stay_gamma
+    absorbs_compton = ev_compton & ~stay_gamma
+
+    vel = geometry.get_velocity(st.pos, st.prop_time)
+    cmf_dir = geometry.angle_ab(st.dir, vel)
+    cos_theta = jnp.where(
+        xx_e < THOMSON_LIMIT, _thomson_angle(_uniform(key, 45, n, st.pos.dtype)), 1.0 - (f - 1.0) / xx_e
+    )
+    new_cmf_dir = _scatter_dir(key, 46, cmf_dir, cos_theta)
+    new_rf_dir = geometry.angle_ab(new_cmf_dir, -vel)
+    nu_cmf_scat = st.nu_cmf / f
+    dop_new = geometry.doppler_nucmf_on_nurf(
+        st.pos, new_rf_dir, st.prop_time, opts.use_relativistic_doppler_shift
+    )
+    st = st.replace(
+        nu_cmf=jnp.where(scatters, nu_cmf_scat, st.nu_cmf),
+        dir=jnp.where(scatters[:, None], new_rf_dir, st.dir),
+        nu_rf=jnp.where(scatters, nu_cmf_scat / dop_new, st.nu_rf),
+        e_rf=jnp.where(scatters, st.e_cmf / dop_new, st.e_rf),
+        ptype=jnp.where(absorbs_compton, TYPE_NTLEPTON_DEPOSITED, st.ptype),
+        absorptiontype=jnp.where(absorbs_compton, -3, st.absorptiontype),
+    )
+
+    # --- photoelectric (gammapkt.cc:798-809) ---
+    st = st.replace(
+        ptype=jnp.where(ev_pe, TYPE_NTLEPTON_DEPOSITED, st.ptype),
+        absorptiontype=jnp.where(ev_pe, -4, st.absorptiontype),
+    )
+
+    # --- pair production (gammapkt.cc:676-716) ---
+    prob_g = jnp.clip(1.022 * MEV / (H * jnp.maximum(st.nu_cmf, 1e-30)), 0.0, 1.0)
+    to_lepton = ev_pp & (_uniform(key, 47, n, st.pos.dtype) > prob_g)
+    to_511 = ev_pp & ~to_lepton
+    dir_cmf_pp = _isotropic(key, 48, n, st.pos.dtype)
+    vel_rev = st.pos / (-st.prop_time)[:, None]
+    dir_rf_pp = geometry.angle_ab(dir_cmf_pp, vel_rev)
+    nu_511 = 0.511 * MEV / H
+    dop_pp = geometry.doppler_nucmf_on_nurf(
+        st.pos, dir_rf_pp, st.prop_time, opts.use_relativistic_doppler_shift
+    )
+    st = st.replace(
+        ptype=jnp.where(to_lepton, TYPE_NTLEPTON_DEPOSITED, st.ptype),
+        absorptiontype=jnp.where(to_lepton, -5, st.absorptiontype),
+        nu_cmf=jnp.where(to_511, nu_511, st.nu_cmf),
+        dir=jnp.where(to_511[:, None], dir_rf_pp, st.dir),
+        nu_rf=jnp.where(to_511, nu_511 / dop_pp, st.nu_rf),
+        e_rf=jnp.where(to_511, st.e_cmf / dop_pp, st.e_rf),
+    )
+
+    # discrete gamma deposition counter for converted packets
+    # (gammapkt.cc:1039-1051)
+    converted = mask & (st.ptype != TYPE_GAMMA) & (st.ptype != TYPE_ESCAPE)
+    est = est.replace(
+        gamma_dep_discrete=est.gamma_dep_discrete + jnp.sum(jnp.where(converted, st.e_cmf, 0.0))
+    )
+    return st, est
+
+
+# ---------------------------------------------------------------------------
+# r-packet transport (reference: rpkt.cc:604-737 do_rpkt_step)
+# ---------------------------------------------------------------------------
+
+
+def rpkt_step(
+    key, st: PacketState, est: Estimators, ctx: StepContext, grid: GridData,
+    dad: DeviceAtomicData, cells, opts: Options, opacity_case: int,
+):
+    n = st.npkts
+    dtype = st.pos.dtype
+    mask = (st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2)
+    nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
+    nonempty = nonemptymgi >= 0
+    safe_mgi = jnp.maximum(nonemptymgi, 0)
+    thick = nonempty & (cells.thick[safe_mgi] == 1)
+
+    tau_next = -jnp.log(jnp.maximum(_uniform(key, 51, n, dtype), 1e-300))
+    sdist, snext = boundary_distance(grid, st.dir, st.pos, st.prop_time, st.where)
+    tdist = jnp.maximum((ctx.t2 - st.prop_time) * CLIGHT_PROP, 0.0)
+    abort_dist = jnp.minimum(sdist, tdist)
+
+    doppler = geometry.doppler_nucmf_on_nurf(
+        st.pos, st.dir, st.prop_time, opts.use_relativistic_doppler_shift
+    )
+
+    # frequency at the abort point, linearised (rpkt.cc:49-61)
+    abort_pos = st.pos + st.dir * abort_dist[:, None]
+    abort_time = st.prop_time + abort_dist / CLIGHT_PROP
+    nu_cmf_abort = st.nu_rf * geometry.doppler_nucmf_on_nurf(
+        abort_pos, st.dir, abort_time, opts.use_relativistic_doppler_shift
+    )
+    d_nu_on_d_l = (nu_cmf_abort - st.nu_cmf) / jnp.maximum(abort_dist, 1e-300)
+    d_nu_on_d_l = jnp.where(d_nu_on_d_l < 0, d_nu_on_d_l, -1e-300)
+
+    # continuum opacities in the cmf at the current frequency
+    need_chi = mask & nonempty & ~thick
+    chi_escat, chi_ff, chi_bf, select_continuum = opacity.calculate_chi_rpkt_cont(
+        dad, jnp.where(need_chi, st.nu_cmf, 1e15), safe_mgi, need_chi,
+        ctx.levelpops, ctx.nnion, ctx.chi_ff_nnionpart, cells.nne, cells.nnetot,
+        cells.Te, opacity_case,
+    )
+    chi_cont_cmf = chi_escat + chi_ff + chi_bf
+    chi_cont = chi_cont_cmf * doppler
+
+    # thick cells: grey opacity (rpkt.cc:647-654)
+    chi_grey = cells.kappagrey[safe_mgi] * cells.rho[safe_mgi] * doppler
+    edist_thick = tau_next / jnp.maximum(chi_grey, 1e-300)
+
+    ev = get_event_batch(
+        dad, ctx.levelpops, safe_mgi, st.nu_cmf, st.prop_time, st.next_trans,
+        chi_cont, tau_next, abort_dist, nu_cmf_abort, d_nu_on_d_l,
+        need_chi, opts.use_relativistic_doppler_shift, chunk=opts.linewalk_chunk,
+    )
+    edist = jnp.where(thick, edist_thick, jnp.where(nonempty, ev.edist, jnp.inf))
+    next_trans = jnp.where(
+        thick, -1, jnp.where(nonempty, ev.next_trans, -1)
+    )
+    is_bb = ~thick & nonempty & ev.is_boundbound
+
+    take_boundary = mask & (sdist <= tdist) & (sdist <= edist)
+    take_event = mask & ~take_boundary & (edist <= tdist)
+    take_tlimit = mask & ~take_boundary & ~take_event
+
+    dist = jnp.where(
+        take_boundary, sdist, jnp.where(take_event, edist, tdist)
+    )
+
+    # two half-moves with estimator update at the midpoint (rpkt.cc:676-727)
+    pos1, t1, nucmf1, ecmf1, dop_mid = geometry.move_pkt(
+        st.pos, st.dir, st.prop_time, st.nu_rf, st.nu_cmf, st.e_rf, dist / 2.0,
+        opts.use_relativistic_doppler_shift,
+    )
+    contrib = jnp.where(mask & nonempty, dist * ecmf1, 0.0)
+    est = est.replace(
+        j=cell_add(est.j, nonemptymgi, contrib, mask & nonempty),
+        nuj=cell_add(est.nuj, nonemptymgi, contrib * nucmf1, mask & nonempty),
+        ffheating=cell_add(
+            est.ffheating, nonemptymgi, contrib * chi_ff, mask & nonempty & ~thick
+        ),
+    )
+    pos2, t2_, nucmf2, ecmf2, _ = geometry.move_pkt(
+        pos1, st.dir, t1, st.nu_rf, nucmf1, st.e_rf, dist / 2.0,
+        opts.use_relativistic_doppler_shift,
+    )
+    st = st.replace(
+        pos=jnp.where(mask[:, None], pos2, st.pos),
+        prop_time=jnp.where(take_tlimit, ctx.t2, jnp.where(mask, t2_, st.prop_time)),
+        nu_cmf=jnp.where(mask, nucmf2, st.nu_cmf),
+        e_cmf=jnp.where(mask, ecmf2, st.e_cmf),
+        next_trans=jnp.where(mask & ~thick & nonempty, next_trans, st.next_trans),
+    )
+    # empty cells: skip line search on re-entry (rpkt.cc:643-646)
+    st = st.replace(next_trans=jnp.where(mask & ~nonempty, -1, st.next_trans))
+
+    # boundary crossing / escape
+    escaping = take_boundary & (snext == BOUNDARY_ESCAPE)
+    crossing = take_boundary & (snext >= 0)
+    st = st.replace(
+        where=jnp.where(crossing, snext, st.where),
+        escape_type=jnp.where(escaping, st.ptype, st.escape_type),
+        escape_time=jnp.where(escaping, st.prop_time, st.escape_time),
+        ptype=jnp.where(escaping, TYPE_ESCAPE, st.ptype),
+    )
+    est = est.replace(
+        nesc=est.nesc + jnp.sum(escaping),
+        cmf_lum=est.cmf_lum + jnp.sum(jnp.where(escaping, st.e_cmf, 0.0)),
+    )
+
+    # --- events ---
+    ev_thick = take_event & thick
+    ev_bb = take_event & ~thick & is_bb
+    ev_cont = take_event & ~thick & ~is_bb
+
+    # continuum event split (rpkt.cc:411-513)
+    chi_rnd = _uniform(key, 52, n, dtype) * chi_cont_cmf
+    ev_escat = ev_cont & (chi_rnd < chi_escat)
+    ev_ff = ev_cont & ~ev_escat & (chi_rnd < chi_escat + chi_ff)
+    ev_bf = ev_cont & ~ev_escat & ~ev_ff
+
+    # thick-cell grey scatter + electron scatter: coherent isotropic re-emission
+    scatter_mask = ev_thick | ev_escat
+    st_scattered = emit_rpkt_batch(key, 53, st, scatter_mask, opts)
+    st = st_scattered.replace(
+        nscatterings=jnp.where(scatter_mask, st.nscatterings + 1, st.nscatterings),
+        em_pos=jnp.where(scatter_mask[:, None], st.pos, st.em_pos),
+        em_time=jnp.where(scatter_mask, st.prop_time, st.em_time),
+        # thick-cell scatter resets emission type via emit; es keeps it:
+        emissiontype=jnp.where(scatter_mask, st.emissiontype, st_scattered.emissiontype),
+    )
+
+    # ff absorption -> kpkt (rpkt.cc:450-456)
+    st = st.replace(
+        ptype=jnp.where(ev_ff, TYPE_KPKT, st.ptype),
+        absorptiontype=jnp.where(ev_ff, -1, st.absorptiontype),
+    )
+
+    # bf absorption (rpkt.cc:457-510)
+    if select_continuum is not None:
+        contindex = select_continuum(jax.random.fold_in(key, 54))
+        nu_edge_sel = dad.cont_nu_edge[contindex]
+        goes_macroatom = ev_bf & (
+            _uniform(key, 55, n, dtype) < nu_edge_sel / jnp.maximum(st.nu_cmf, 1e-30)
+        )
+        st = st.replace(
+            absorptiontype=jnp.where(ev_bf, -2, st.absorptiontype),
+            ptype=jnp.where(ev_bf & ~goes_macroatom, TYPE_KPKT, st.ptype),
+        )
+        # macro-atom activation at the photoionisation target level
+        ma_level = dad.cont_uniqueupper[contindex]
+        st = st.replace(ptype=jnp.where(goes_macroatom, TYPE_MA, st.ptype))
+        ma_from_bf = goes_macroatom
+        ma_level_bf = ma_level
+    else:
+        st = st.replace(
+            absorptiontype=jnp.where(ev_bf, -2, st.absorptiontype),
+            ptype=jnp.where(ev_bf, TYPE_KPKT, st.ptype),
+        )
+        ma_from_bf = jnp.zeros(n, bool)
+        ma_level_bf = jnp.zeros(n, jnp.int64)
+
+    # bound-bound absorption -> macro-atom (rpkt.cc:517-543)
+    act_line = ev.activating_line
+    st = st.replace(
+        ptype=jnp.where(ev_bb, TYPE_MA, st.ptype),
+        absorptiontype=jnp.where(ev_bb, act_line, st.absorptiontype),
+        absorptionfreq=jnp.where(ev_bb, st.nu_rf, st.absorptionfreq),
+    )
+    ma_level_bb = dad.line_upperunique[jnp.clip(act_line, 0, dad.nlines - 1)]
+    ma_level = jnp.where(ev_bb, ma_level_bb, ma_level_bf)
+    ma_mask = ev_bb | ma_from_bf
+    ma_activating_line = jnp.where(ev_bb, act_line, -99)
+
+    return st, est, ma_mask, ma_level, ma_activating_line

@@ -1,0 +1,209 @@
+"""The Sobolev line walk (`get_event`), batched and chunk-vectorised.
+
+TPU-native rebuild of the reference event search (reference: rpkt.cc:77-197
+get_event, rpkt.h:55-117 get_linedistance/closest_transition). The reference
+walks the nu-descending linelist one line at a time per packet; here each
+iteration processes a CHUNK of consecutive lines for the whole packet batch:
+distances and Sobolev depths for all chunk lines are computed as one fused
+vector op, the first terminal condition is located with a masked argmax, and
+only packets with no terminal in their chunk iterate again. This converts the
+reference's scalar early-exit loop into bounded-depth vector work — the TPU
+answer to its cache-friendly linelist scan.
+
+Closed forms used for in-chunk cumulative distances (both exactly match the
+reference's per-line stepping):
+- relativistic mode: nu is linear in distance (rpkt.cc:141-149), so
+  D_k = (nu_k - nu_cur) / d_nu_on_d_l;
+- first-order mode: t nu_cmf is conserved along the ray (rpkt.h:72), so
+  t_k = t_cur nu_cur / nu_k and D_k = c t_cur (nu_cur/nu_k - 1).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..atomic import DeviceAtomicData
+from ..constants import CLIGHT_PROP, HCLIGHTOVERFOURPI
+
+
+class EventResult(NamedTuple):
+    edist: jax.Array  # distance to event; +inf if none before abort
+    next_trans: jax.Array  # updated linelist cursor
+    is_boundbound: jax.Array  # bool
+    activating_line: jax.Array  # lineindex for bb events, -99 otherwise
+
+
+def closest_transition_initial(dad: DeviceAtomicData, nu_cmf, next_trans):
+    """Resolve a fresh cursor (next_trans <= 0) by binary search
+    (reference: rpkt.h:75-117). Returns cursor >= 0, or nlines (no lines)."""
+    nlines = dad.nlines
+    # first index with line_nu[idx] <= nu_cmf (descending list)
+    searched = jnp.searchsorted(-dad.line_nu, -nu_cmf, side="left").astype(jnp.int32)
+    cursor = jnp.where(next_trans > 0, next_trans, searched)
+    # tagged past the end, or redder than the reddest line: no interactions
+    no_lines = (next_trans > nlines - 1) | (nu_cmf < dad.line_nu[nlines - 1])
+    return jnp.where(no_lines, nlines, jnp.minimum(cursor, nlines)).astype(jnp.int32)
+
+
+def get_event_batch(
+    dad: DeviceAtomicData,
+    levelpops: jax.Array,  # (ncells, nlevels)
+    cellidx: jax.Array,  # (npkts,) nonemptymgi
+    nu_cmf0: jax.Array,  # (npkts,) at step start
+    prop_time0: jax.Array,
+    next_trans_in: jax.Array,
+    chi_cont: jax.Array,  # (npkts,) continuum opacity in the cmf * doppler
+    tau_rnd: jax.Array,
+    abort_dist: jax.Array,
+    nu_cmf_abort: jax.Array,
+    d_nu_on_d_l: jax.Array,
+    active: jax.Array,  # (npkts,) participate in the walk
+    relativistic: bool,
+    chunk: int = 256,
+    max_iters: int = 1 << 24,
+) -> EventResult:
+    nlines = dad.nlines
+    npkts = nu_cmf0.shape[0]
+    dtype = nu_cmf0.dtype
+    big = jnp.inf
+
+    cursor0 = closest_transition_initial(dad, nu_cmf0, next_trans_in)
+    # packets with no reachable line at entry keep their original cursor on a
+    # no-event outcome (reference: rpkt.cc:180-192 leaves next_trans untouched)
+    fresh_nolines = cursor0 >= nlines
+
+    # walk state
+    state = dict(
+        cursor=jnp.where(active, cursor0, jnp.int32(nlines)),
+        dist=jnp.zeros(npkts, dtype),
+        tau=jnp.zeros(npkts, dtype),
+        nu=nu_cmf0,
+        t=prop_time0,
+        done=~active,
+        edist=jnp.full(npkts, big, dtype),
+        next_trans=next_trans_in.astype(jnp.int32),
+        is_bb=jnp.zeros(npkts, bool),
+        act_line=jnp.full(npkts, -99, jnp.int32),
+        it=jnp.int32(0),
+    )
+
+    karange = jnp.arange(chunk, dtype=jnp.int32)
+
+    def cond(s):
+        return jnp.logical_and(~jnp.all(s["done"]), s["it"] < max_iters)
+
+    def body(s):
+        cursor = s["cursor"]
+        idx = cursor[:, None] + karange[None, :]  # (npkts, K)
+        validk = (idx <= nlines - 1) & ~s["done"][:, None]
+        idx_safe = jnp.clip(idx, 0, nlines - 1)
+
+        nu_k = jnp.where(validk, dad.line_nu[idx_safe], 1.0)
+        nu_cur = s["nu"]
+
+        if relativistic:
+            relD = (nu_k - nu_cur[:, None]) / d_nu_on_d_l[:, None]
+        else:
+            relD = CLIGHT_PROP * s["t"][:, None] * (nu_cur[:, None] / nu_k - 1.0)
+        relD = jnp.maximum(relD, 0.0)  # photon already past the line -> dist 0
+        relD = jnp.where(validk, relD, 0.0)
+
+        # time at the previous line (the reference evaluates tau_sobolev
+        # before moving to the line, rpkt.cc:123)
+        relD_prev = jnp.concatenate([jnp.zeros((npkts, 1), dtype), relD[:, :-1]], axis=1)
+        t_prev = s["t"][:, None] + relD_prev / CLIGHT_PROP
+
+        n_l = levelpops[cellidx[:, None], dad.line_lowerunique[idx_safe]]
+        n_u = levelpops[cellidx[:, None], dad.line_upperunique[idx_safe]]
+        blu = dad.line_blu[idx_safe]
+        bul = dad.line_bul[idx_safe]
+        tau_line = jnp.maximum((blu * n_l - bul * n_u) * HCLIGHTOVERFOURPI * t_prev, 0.0)
+        tau_line = jnp.where(validk, tau_line, 0.0)
+
+        s_cum = jnp.cumsum(tau_line, axis=1) - tau_line  # exclusive prefix
+        bigt = tau_rnd - s["tau"]
+        safe_chi = jnp.maximum(chi_cont, 1e-300)
+        contdist = (bigt[:, None] - s_cum) / safe_chi[:, None]
+
+        abort_rel = abort_dist - s["dist"]
+
+        ev_cont = jnp.where(
+            validk, contdist <= relD, contdist <= abort_rel[:, None]
+        )
+        ev_abort = validk & (nu_k < nu_cmf_abort[:, None])
+        ev_bb = validk & (
+            bigt[:, None] - s_cum <= safe_chi[:, None] * relD + tau_line
+        )
+        terminal = ev_cont | ev_abort | ev_bb | ~validk
+        terminal = terminal & ~s["done"][:, None]
+
+        any_term = jnp.any(terminal, axis=1)
+        j = jnp.argmax(terminal, axis=1)  # first terminal element
+        jj = jnp.clip(j, 0, chunk - 1)
+        row = jnp.arange(npkts)
+
+        j_valid = validk[row, jj]
+        j_cont = ev_cont[row, jj]
+        j_abort = ev_abort[row, jj] & ~j_cont
+        j_bb = ev_bb[row, jj] & ~j_cont & ~j_abort & j_valid
+        j_cont_invalid = ~j_valid & j_cont  # continuum event past all lines
+        j_noevent = ~j_valid & ~j_cont
+
+        lineindex_j = idx_safe[row, jj]
+        contdist_j = contdist[row, jj]
+        relD_j = relD[row, jj]
+
+        newly = any_term & ~s["done"]
+        edist = jnp.where(
+            newly & (j_cont | j_cont_invalid), s["dist"] + contdist_j, s["edist"]
+        )
+        edist = jnp.where(newly & j_bb, s["dist"] + relD_j, edist)
+        # abort and no-event leave edist at +inf
+
+        next_trans = s["next_trans"]
+        next_trans = jnp.where(newly & j_valid & (j_cont | j_abort), lineindex_j, next_trans)
+        next_trans = jnp.where(newly & j_bb, lineindex_j + 1, next_trans)
+        next_trans = jnp.where(newly & j_cont_invalid, jnp.int32(nlines + 1), next_trans)
+        # no-event past the end of the linelist: cursor at iteration entry,
+        # except when there was never a reachable line (keep caller's cursor)
+        next_trans = jnp.where(
+            newly & j_noevent, jnp.where(fresh_nolines, s["next_trans"], idx[row, jj]), next_trans
+        )
+
+        is_bb = jnp.where(newly, j_bb, s["is_bb"])
+        act_line = jnp.where(newly & j_bb, lineindex_j, s["act_line"])
+
+        # packets with no terminal element advance past the whole chunk
+        not_term = ~any_term & ~s["done"]
+        lastD = relD[:, -1]
+        total_tau_chunk = safe_chi * lastD + jnp.sum(tau_line, axis=1)
+        dist = jnp.where(not_term, s["dist"] + lastD, s["dist"])
+        tau = jnp.where(not_term, s["tau"] + total_tau_chunk, s["tau"])
+        # nu follows the frequency model along the path; a stale cursor
+        # (bluer lines with relD = 0) must leave nu unchanged, matching the
+        # reference's nu_cmf = pkt.nu_cmf + d_nu_on_d_l * dist anchoring
+        # (rpkt.cc:147) and the exact t*nu_cmf invariant of first-order mode
+        if relativistic:
+            nu_advanced = nu_cur + d_nu_on_d_l * lastD
+        else:
+            nu_advanced = nu_cur * s["t"] / (s["t"] + lastD / CLIGHT_PROP)
+        nu = jnp.where(not_term, nu_advanced, s["nu"])
+        t = jnp.where(not_term, s["t"] + lastD / CLIGHT_PROP, s["t"])
+        cursor = jnp.where(not_term, cursor + chunk, cursor)
+
+        return dict(
+            cursor=cursor, dist=dist, tau=tau, nu=nu, t=t,
+            done=s["done"] | any_term, edist=edist, next_trans=next_trans,
+            is_bb=is_bb, act_line=act_line, it=s["it"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+    return EventResult(
+        edist=out["edist"],
+        next_trans=out["next_trans"],
+        is_boundbound=out["is_bb"],
+        activating_line=out["act_line"],
+    )
