@@ -29,7 +29,7 @@ from .io.atomicdata import AtomicData
         "level_energy", "level_g", "level_ion", "level_e_aboveground",
         "level_ndowntrans", "level_nuptrans", "level_alltrans_start",
         "trans_lineindex", "trans_target", "trans_A", "trans_coll_str",
-        "trans_osc_strength", "trans_forbidden",
+        "trans_osc_strength", "trans_forbidden", "trans_owner", "trans_is_down",
         "line_nu", "line_element", "line_ion", "line_lowerunique",
         "line_upperunique", "line_blu", "line_bul",
         "cont_nu_edge", "cont_element", "cont_ion", "cont_uniquelower",
@@ -39,7 +39,7 @@ from .io.atomicdata import AtomicData
         "allphixs",
     ],
     meta_fields=[
-        "nelements", "nions_total", "nlevels_total", "nlines", "nbfcontinua",
+        "nelements", "nions_total", "nlevels_total", "ntrans_total", "nlines", "nbfcontinua",
         "nbfcontinua_ground", "nphixspoints", "nphixsnuincrement",
         "last_phixs_nuovernuedge", "max_nions",
     ],
@@ -78,6 +78,8 @@ class DeviceAtomicData:
     trans_coll_str: jax.Array
     trans_osc_strength: jax.Array
     trans_forbidden: jax.Array
+    trans_owner: jax.Array  # global level index owning the [down|up] block
+    trans_is_down: jax.Array  # True for down-block entries
     # linelist (nu descending)
     line_nu: jax.Array
     line_element: jax.Array
@@ -108,6 +110,7 @@ class DeviceAtomicData:
     nelements: int
     nions_total: int
     nlevels_total: int
+    ntrans_total: int
     nlines: int
     nbfcontinua: int
     nbfcontinua_ground: int
@@ -148,6 +151,16 @@ def to_device(ad: AtomicData) -> DeviceAtomicData:
         ad.elem_ion_start[ad.groundcont_element] + ad.groundcont_ion
     ).astype(np.int32)
 
+    # owner level and down/up flag for each alltrans entry
+    trans_owner = np.zeros(ad.ntrans_total, dtype=np.int64)
+    trans_is_down = np.zeros(ad.ntrans_total, dtype=bool)
+    for gl in range(ad.nlevels_total):
+        s0 = int(ad.level_alltrans_start[gl])
+        nd = int(ad.level_ndowntrans[gl])
+        nu_ = int(ad.level_nuptrans[gl])
+        trans_owner[s0 : s0 + nd + nu_] = gl
+        trans_is_down[s0 : s0 + nd] = True
+
     return DeviceAtomicData(
         elem_z=jnp.asarray(ad.elem_z),
         elem_nions=jnp.asarray(ad.elem_nions),
@@ -177,6 +190,8 @@ def to_device(ad: AtomicData) -> DeviceAtomicData:
         trans_coll_str=jnp.asarray(ad.trans_coll_str),
         trans_osc_strength=jnp.asarray(ad.trans_osc_strength),
         trans_forbidden=jnp.asarray(ad.trans_forbidden),
+        trans_owner=jnp.asarray(trans_owner),
+        trans_is_down=jnp.asarray(trans_is_down),
         line_nu=jnp.asarray(ad.line_nu),
         line_element=jnp.asarray(ad.line_element),
         line_ion=jnp.asarray(line_uii.astype(np.int32)),
@@ -201,6 +216,7 @@ def to_device(ad: AtomicData) -> DeviceAtomicData:
         nelements=ad.nelements,
         nions_total=ad.nions_total,
         nlevels_total=ad.nlevels_total,
+        ntrans_total=ad.ntrans_total,
         nlines=ad.nlines,
         nbfcontinua=ad.nbfcontinua,
         nbfcontinua_ground=ad.nbfcontinua_ground,

@@ -1,0 +1,504 @@
+"""The simulation driver: setup + per-timestep grid update and transport.
+
+TPU-native rebuild of the reference main program (reference: sn3d.cc:686-946
+main, sn3d.cc:554-682 do_timestep, update_grid.cc:869-1072 update_grid_cell,
+update_grid.cc:1076-1158 update_grid, grid.cc:2206-2325 grid_init ordering).
+
+Per timestep: the plasma state of ALL non-empty cells is solved as batched
+device ops (replacing the reference's rank-partitioned cell loop + MPI
+broadcast), then one jitted transport call advances every packet to the end of
+the timestep, then estimators come back for the next grid update.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import decay as decay_mod
+from . import grid as grid_mod
+from . import packets as packets_mod
+from . import spectrum as spectrum_mod
+from .atomic import to_device
+from .constants import CLIGHT, DAY, FOURPI, LSUN, MH, ONEOVER4PI, PI, SIGMA_T
+from .estimators import Estimators, zero_estimators
+from .io import atomicdata as atomicdata_io
+from .io import gammadata as gammadata_io
+from .io import inputparams as inputparams_io
+from .io import model as model_io
+from .options import GridType, Options, kilonova_lte
+from .packets import TYPE_ESCAPE, TYPE_RPKT, PacketState
+from .plasma import cellstate as cellstate_mod
+from .plasma import ltepop as ltepop_mod
+from .plasma import radfield as radfield_mod
+from .plasma import ratecoeff as ratecoeff_mod
+from .plasma import transitionrates as transitionrates_mod
+from .transport import engine as engine_mod
+from .transport import macroatom as macroatom_mod
+from .transport import opacity as opacity_mod
+
+GREY_OP = 0.1  # reference: globals.h:240
+
+
+def printout(logfile, msg):
+    line = f"{_time.strftime('%H:%M:%S')} {msg}"
+    print(line, flush=True)
+    if logfile is not None:
+        logfile.write(line + "\n")
+        logfile.flush()
+
+
+class Simulation:
+    """Owns all static data and the evolving state of one run."""
+
+    def __init__(self, rundir: str, opts: Options | None = None, datadir: str | None = None):
+        self.rundir = rundir
+        self.datadir = datadir or os.path.join(rundir, "data")
+        if not os.path.isdir(self.datadir):
+            self.datadir = rundir
+        self.logfile = open(os.path.join(rundir, "output_0-0.txt"), "w")
+        self.log = lambda msg: printout(self.logfile, msg)
+
+        p = inputparams_io.read_parameterfile(os.path.join(rundir, "input.txt"))
+        self.params = p
+        self.opts = opts if opts is not None else kilonova_lte()
+
+        self.ts = inputparams_io.time_init(
+            p.tmin, p.tmax, p.ntimesteps, self.opts.timestep_size_method,
+            self.opts.fixed_timestep_width, self.opts.timestep_transition_time,
+        )
+
+        # --- atomic data ---
+        self.log("reading atomic data...")
+        self.ad = atomicdata_io.read_atomicdata(
+            rundir,
+            single_level_top_ion=self.opts.single_level_top_ion,
+            single_ground_level=self.opts.single_ground_level,
+        )
+        self.dad = to_device(self.ad)
+        self.log(
+            f"nelements {self.ad.nelements} ions {self.ad.nions_total} "
+            f"levels {self.ad.nlevels_total} nlines {self.ad.nlines} "
+            f"nbfcontinua {self.ad.nbfcontinua}"
+        )
+
+        # --- ejecta model + grid ---
+        self.model = model_io.read_model(os.path.join(rundir, "model.txt"), p.tmin)
+        self.grid = grid_mod.grid_init(
+            self.model, p.tmin, self.opts.grid_type,
+            (self.opts.ncoordgrid_x, self.opts.ncoordgrid_y, self.opts.ncoordgrid_z),
+        )
+        self.log(
+            f"model dim {self.model.dim} npts {self.model.npts_model} "
+            f"grid {self.grid.ncoordgrid} nonempty {self.grid.nonempty_npts}"
+        )
+
+        # --- decay network + gamma lines ---
+        self.dec = decay_mod.init_nuclides(
+            list(self.model.nuc_z), list(self.model.nuc_a), self.datadir
+        )
+        self.dec.t_model = self.model.t_model
+        self.gamma = gammadata_io.init_gamma_data(self.dec, folder=rundir, datadir=self.datadir)
+        self.log(f"nuclides {self.dec.num_nuclides} decaypaths {self.dec.npaths}")
+
+        # initial nuclide mass fractions aligned to the network's indices
+        colmap = np.array(
+            [self.dec.get_nucindex(z, a) for z, a in zip(self.model.nuc_z, self.model.nuc_a)]
+        )
+        self.initnucmassfrac = np.zeros((self.model.npts_model, self.dec.num_nuclides))
+        ok = colmap >= 0
+        self.initnucmassfrac[:, colmap[ok]] = self.model.initnucmassfrac[:, ok]
+
+        # --- per-cell initial composition ---
+        mgi_of_nonempty = np.asarray(self.grid.mgi_of_cell)[
+            np.asarray(self.grid.cell_of_nonemptymgi)
+        ]
+        self.mgi_of_nonempty = mgi_of_nonempty
+        ncells = self.grid.nonempty_npts
+        abund = model_io.read_abundances(
+            os.path.join(rundir, "abundances.txt"), self.model.npts_model,
+            self.model.first_cellindex,
+        )
+        # normalisation rule (reference: grid.cc:575-590)
+        threed = self.model.dim == 3
+        norm = abund.sum(axis=1)
+        norm = np.where(threed | (norm <= 0), 1.0, norm)
+        elem_total = abund[:, self.ad.elem_z - 1] / norm[:, None]  # (npts, nelements)
+
+        # untracked-stable = total - radioactive isotopes (grid.cc:228-266)
+        iso_by_elem = np.zeros((self.model.npts_model, self.ad.nelements))
+        for el, z in enumerate(self.ad.elem_z):
+            sel = self.dec.nuc_z == z
+            if sel.any():
+                iso_by_elem[:, el] = self.initnucmassfrac[:, sel].sum(axis=1)
+        self.stable_initabund_mgi = np.maximum(elem_total - iso_by_elem, 0.0)
+        self.elem_total_init_mgi = self.stable_initabund_mgi + iso_by_elem
+
+        self.stable_initabund = self.stable_initabund_mgi[mgi_of_nonempty]
+
+        # --- rate coefficient tables ---
+        self.log("building rate coefficient tables...")
+        self.rc = ratecoeff_mod.build_tables(
+            self.dad, self.opts.tablesize, self.opts.mintemp, self.opts.maxtemp,
+            self.opts.use_lut_photoion, self.opts.use_lut_bfheating,
+        )
+        self.aux = macroatom_mod.build_aux(self.dad)
+
+        # --- cell state ---
+        rho_tmin = self.model.rho_tmin[mgi_of_nonempty]
+        self.rho_tmin_nonempty = rho_tmin
+        self.cells = cellstate_mod.init_cellstate(
+            self.dad, ncells, rho_tmin, self.model.ffegrp[mgi_of_nonempty],
+            self.opts.mintemp, self.opts.maxtemp,
+        )
+        self._calculate_kappagrey_initial()
+
+        # --- initial temperatures from trapped decay energy (grid.cc:918-965) ---
+        endecay = decay_mod.endecay_t0_to_time_withexpansion(
+            self.dec, self.initnucmassfrac[mgi_of_nonempty], self.ts.mid[0]
+        )
+        if self.opts.initial_packets_on and self.opts.use_model_initial_energy and self.model.initenergyq is not None:
+            endecay = endecay + self.model.initenergyq[mgi_of_nonempty]
+        self.cells = cellstate_mod.assign_initial_temperatures(
+            self.cells, jnp.asarray(rho_tmin), jnp.asarray(endecay), p.tmin,
+            float(self.ts.mid[0]), self.opts.mintemp, self.opts.maxtemp,
+        )
+
+        # --- packets ---
+        self.log("placing pellets...")
+        self.pellet_tables = packets_mod.make_pellet_tables(
+            self.grid, self.dec, self.initnucmassfrac,
+            self.model.initenergyq, self.opts, p.tmin, p.tmax,
+        )
+        seed = p.pre_zseed if p.pre_zseed > 0 else 42
+        self.base_key = jax.random.PRNGKey(seed)
+        self.state = packets_mod.packet_init(
+            jax.random.fold_in(self.base_key, 0), self.grid, self.pellet_tables, self.opts
+        )
+        self.log(f"packets {self.opts.npkts} etot {self.pellet_tables.norm:g} erg")
+
+        # estimators & spectra
+        self.est = zero_estimators(ncells, max(self.ad.nbfcontinua_ground, 1))
+        self.prev_est: Estimators | None = None
+        self.lc_lum = np.zeros(p.ntimesteps)
+        self.lc_lumcmf = np.zeros(p.ntimesteps)
+        self.gamma_dep_ts = np.zeros(p.ntimesteps)
+        self.cmf_lum_ts = np.zeros(p.ntimesteps)
+        self.spec = spectrum_mod.init_spectra(self.opts.nu_min_r, self.opts.nu_max_r, p.ntimesteps)
+        self._escaped_counted = np.zeros(self.opts.npkts, dtype=bool)
+
+        # gamma tables on device
+        self.gammaline_energy = jnp.asarray(self.gamma.line_energy)
+        self.gammaline_cumfrac = jnp.asarray(self.gamma.line_cumfrac)
+        self.gammaline_nlines = jnp.asarray(self.gamma.nuc_nlines)
+
+        if p.simulation_continued_from_saved:
+            self.log(f"resuming from checkpoint at timestep {p.timestep_start}")
+            self.load_checkpoint(p.timestep_start)
+
+        self._transport_jit = jax.jit(
+            engine_mod.transport_timestep,
+            static_argnames=(
+                "opts", "gamma_kappagrey", "opacity_case",
+                "kpktdiffusion_timescale", "apply_kpkt_diffusion", "max_iters",
+            ),
+        )
+
+    # ------------------------------------------------------------------
+    def _calculate_kappagrey_initial(self):
+        """Grey opacities at t=tmin (reference: grid.cc:1722-1834)."""
+        p = self.params
+        mgi = self.mgi_of_nonempty
+        rho_tmin = self.model.rho_tmin[mgi]
+        ffegrp = self.model.ffegrp[mgi]
+        case = p.opacity_case
+        rho_sum = rho_tmin.sum()
+        fe_sum = ffegrp.sum()
+
+        if case == 0:
+            kappa = np.full_like(rho_tmin, GREY_OP)
+        elif case in (1, 4):
+            mtot, mfegroup = self._total_masses()
+            kappa = (0.9 * ffegrp + 0.1) * GREY_OP / (0.9 * mfegroup / mtot + 0.1)
+        elif case == 2:
+            opcase2_normal = GREY_OP * rho_sum / (0.9 * fe_sum + 0.1 * self.grid.ngrid)
+            kappa = opcase2_normal / rho_tmin * (0.9 * ffegrp + 0.1)
+        elif case == 3:
+            self.rho_crit = (
+                9.1093897e-28 * CLIGHT * 56 * MH / (PI * 1e-10)
+            )  # placeholder; full rho_crit set per timestep
+            kappagrey = 0.9 * ffegrp + 0.1
+            opcase3_sum = (kappagrey * rho_tmin).sum()
+            self.opcase3_normal = GREY_OP * rho_sum / opcase3_sum
+            kappa = kappagrey * self.opcase3_normal
+        elif case == 5:
+            ye = self.model.init_ye[mgi] if self.model.init_ye is not None else np.full(len(mgi), 0.3)
+            kappa = np.select(
+                [ye <= 0.1, ye <= 0.15, ye <= 0.2, ye <= 0.25, ye <= 0.3, ye <= 0.35],
+                [19.5, 32.2, 22.3, 5.6, 5.36, 3.3], default=0.96,
+            )
+        else:
+            kappa = np.full_like(rho_tmin, GREY_OP)
+        self.cells = self.cells.replace(kappagrey=jnp.asarray(kappa))
+
+    def _total_masses(self):
+        vol = model_io.model_cell_volume_at_tmin(self.model, self.params.tmin)
+        mtot = (self.model.rho_tmin * vol).sum()
+        mfegroup = (self.model.rho_tmin * vol * self.model.ffegrp).sum()
+        return mtot, mfegroup
+
+    # ------------------------------------------------------------------
+    def update_grid(self, nts: int):
+        """Per-timestep plasma update (reference: update_grid.cc:869-1072)."""
+        p = self.params
+        opts = self.opts
+        tmid = float(self.ts.mid[nts])
+        tratmid = tmid / p.tmin
+        ncells = self.grid.nonempty_npts
+        mgi = self.mgi_of_nonempty
+        lte_mode = nts < p.num_lte_timesteps
+
+        # density update
+        rho = self.rho_tmin_nonempty / tratmid**3
+        self.cells = self.cells.replace(rho=jnp.asarray(rho))
+
+        # radioactive abundances (host, vectorised over cells)
+        elem_massfrac, elem_meanweight = decay_mod.update_abundances(
+            self.dec, self.initnucmassfrac[mgi], self.stable_initabund,
+            np.asarray(self.dad.elem_meanweight_init), np.asarray(self.ad.elem_z), tmid,
+        )
+        self.cells = self.cells.replace(
+            elem_massfrac=jnp.asarray(elem_massfrac),
+            elem_meanweight=jnp.asarray(elem_meanweight),
+        )
+        nnetot = cellstate_mod.calculate_nnetot(self.cells, self.dad)
+        self.cells = self.cells.replace(nnetot=nnetot)
+
+        if nts == self.params.timestep_start:
+            # temperatures were assigned at init (or read from restart)
+            self.cells = ltepop_mod.calculate_ion_balance_nne(self.dad, self.cells, opts)
+        else:
+            # normalise estimators from the previous timestep's transport
+            nts_prev = nts - 1
+            deltat = float(self.ts.width[nts_prev])
+            vol_tmin = np.asarray(grid_mod.get_cell_volume_tmin(self.grid))
+            assoc_vol = np.zeros(self.grid.npts_model + 1)
+            np.add.at(assoc_vol, np.asarray(self.grid.mgi_of_cell), vol_tmin)
+            deltav = assoc_vol[mgi] * (float(self.ts.mid[nts_prev]) / p.tmin) ** 3
+            norm = 1.0 / (deltav * deltat)  # nprocs folded into psum
+            norm4pi = ONEOVER4PI * norm
+
+            j = np.asarray(self.prev_est.j) * norm4pi
+            nuj = np.asarray(self.prev_est.nuj) * norm4pi
+
+            if lte_mode or True:  # LTE path (NLTE stack lands next)
+                t_j = np.asarray(
+                    radfield_mod.get_t_j_from_j(jnp.asarray(j), opts.mintemp, opts.maxtemp)
+                )
+                valid = np.isfinite(t_j) & (j > 0)
+                t_j = np.where(valid, t_j, np.asarray(self.cells.TJ))
+                self.cells = self.cells.replace(
+                    TJ=jnp.asarray(t_j), TR=jnp.asarray(t_j), Te=jnp.asarray(t_j),
+                    W=jnp.ones(ncells),
+                )
+            self.cells = ltepop_mod.calculate_ion_balance_nne(self.dad, self.cells, opts)
+
+        # grey optical depth and thick flags (update_grid.cc:1007-1035)
+        kappagrey = np.asarray(self.cells.kappagrey)
+        assoc_cells = np.asarray(self.grid.numpropcells_mgi)[mgi]
+        radial_pos = (
+            np.asarray(self.grid.initial_radial_pos_sum_mgi)[mgi] * tratmid / assoc_cells
+        )
+        dist_to_obs = np.maximum(0.0, self.grid.rmax * tratmid - radial_pos)
+        grey_depth = kappagrey * rho * dist_to_obs
+        thick = (
+            (grey_depth >= p.cell_is_optically_thick) & (nts < p.num_grey_timesteps)
+        ).astype(np.int32)
+        if p.opacity_case < 4:
+            thick[:] = 1
+        self.cells = self.cells.replace(
+            thick=jnp.asarray(thick), grey_depth=jnp.asarray(grey_depth)
+        )
+
+        # level populations + per-cell transport tables
+        levelpops = ltepop_mod.calculate_levelpops(self.dad, self.cells, opts)
+        nnion = ltepop_mod.get_nnion(self.dad, self.cells)
+        chi_ff_part = opacity_mod.chi_ff_nnionpart_cells(self.dad, nnion, self.cells.Te)
+
+        # cooling + macro-atom rate tables (only needed when any cell is thin)
+        self.rates = transitionrates_mod.compute_process_rates(
+            self.dad, self.rc, levelpops, nnion, self.cells.Te, self.cells.TR,
+            self.cells.W, self.cells.nne, tmid,
+        )
+        self.cells = self.cells.replace(
+            totalcooling=self.rates.totalcooling,
+            ion_cooling_contribs=self.rates.ion_cooling,
+        )
+
+        ctx = engine_mod.StepContext(
+            levelpops=levelpops,
+            nnion=nnion,
+            chi_ff_nnionpart=chi_ff_part,
+            gammaline_energy=self.gammaline_energy,
+            gammaline_cumfrac=self.gammaline_cumfrac,
+            gammaline_nlines=self.gammaline_nlines,
+            nuc_engamma=jnp.asarray(self.dec.nuc_endecay_gamma),
+            ts=jnp.asarray(float(self.ts.start[nts])),
+            t2=jnp.asarray(float(self.ts.start[nts] + self.ts.width[nts])),
+            t_mid=jnp.asarray(tmid),
+            is_first_timestep=jnp.asarray(nts == 0),
+            nts=nts,
+            lte_mode=lte_mode,
+        )
+        return ctx
+
+    # ------------------------------------------------------------------
+    def do_timestep(self, nts: int):
+        p = self.params
+        t0 = _time.time()
+        ctx = self.update_grid(nts)
+        self.log(f"timestep {nts}: grid update took {_time.time() - t0:.1f}s")
+
+        self.est = zero_estimators(self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1))
+
+        t0 = _time.time()
+        key = jax.random.fold_in(self.base_key, 1000 + nts)
+        self.state, self.est, iters, nsteps = self._transport_jit(
+            key, self.state, self.est, self.grid, self.dad, self.aux, self.rc,
+            self.rates, self.cells, ctx, self.opts,
+            gamma_kappagrey=float(p.gamma_kappagrey),
+            opacity_case=int(p.opacity_case),
+            kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
+            apply_kpkt_diffusion=bool(nts < p.n_kpktdiffusion_timesteps),
+        )
+        jax.block_until_ready(self.state.ptype)
+        dt_transport = _time.time() - t0
+        self.log(
+            f"timestep {nts}: transport took {dt_transport:.1f}s "
+            f"({int(iters)} wavefront iterations, {int(nsteps)} rpkt steps, "
+            f"{int(nsteps) / max(dt_transport, 1e-9):.3g} rpkt steps/s)"
+        )
+        self.total_rpkt_steps = getattr(self, "total_rpkt_steps", 0) + int(nsteps)
+        self.total_transport_seconds = getattr(self, "total_transport_seconds", 0.0) + dt_transport
+
+        self.prev_est = self.est
+        self.gamma_dep_ts[nts] = float(jnp.sum(self.est.dep_gamma))
+        self.cmf_lum_ts[nts] = float(self.est.cmf_lum)
+
+        # accumulate newly escaped rpackets into light curve + spectrum
+        esc = (
+            (np.asarray(self.state.ptype) == TYPE_ESCAPE)
+            & (np.asarray(self.state.escape_type) == TYPE_RPKT)
+            & ~self._escaped_counted
+        )
+        if esc.any():
+            pos = np.asarray(self.state.pos)[esc]
+            dirv = np.asarray(self.state.dir)[esc]
+            esct = np.asarray(self.state.escape_time)[esc]
+            nurf = np.asarray(self.state.nu_rf)[esc]
+            erf = np.asarray(self.state.e_rf)[esc]
+            ecmf = np.asarray(self.state.e_cmf)[esc]
+            spectrum_mod.add_packets_to_lightcurve(
+                self.lc_lum, self.lc_lumcmf, pos, dirv, esct, erf, ecmf,
+                self.ts.start[:-1], p.tmin, p.tmax, self.grid.vmax,
+            )
+            spectrum_mod.add_packets_to_spectra(
+                self.spec, pos, dirv, esct, nurf, erf, self.ts.start[:-1], p.tmin, p.tmax
+            )
+            self._escaped_counted |= esc
+        self.log(
+            f"timestep {nts}: escaped rpkts so far {int(self._escaped_counted.sum())} "
+            f"(cmf_lum {self.cmf_lum_ts[nts] / LSUN / max(float(self.ts.width[nts]), 1e-30):.3e} Lsun)"
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, walltime_hours: float = -1.0):
+        """Main timestep loop with walltime-aware soft exit
+        (reference: sn3d.cc:879-922, 398-425)."""
+        p = self.params
+        start_wall = _time.time()
+        ts_durations = []
+        for nts in range(p.timestep_start, p.timestep_finish):
+            ts_t0 = _time.time()
+            self.do_timestep(nts)
+            ts_durations.append(_time.time() - ts_t0)
+            self.write_outputs(partial=True)
+            if nts < p.timestep_finish - 1:
+                self.save_checkpoint(nts + 1)
+            if walltime_hours > 0:
+                remaining = walltime_hours * 3600 - (_time.time() - start_wall)
+                if remaining < 1.5 * max(ts_durations):
+                    self.log(f"RESTART_NEEDED: walltime insufficient for timestep {nts + 1}")
+                    return
+        self.finish()
+
+    def save_checkpoint(self, next_nts: int):
+        """Checkpoint packets + grid state and rewrite input.txt so the run
+        resumes at next_nts (reference: sn3d.cc:427-487, grid.cc:2121-2175)."""
+        packets_mod.save_packets_npz(
+            os.path.join(self.rundir, f"packets_0000_ts{next_nts}.npz"), self.state
+        )
+        np.savez_compressed(
+            os.path.join(self.rundir, f"gridsave_ts{next_nts}.npz"),
+            TR=np.asarray(self.cells.TR), Te=np.asarray(self.cells.Te),
+            TJ=np.asarray(self.cells.TJ), W=np.asarray(self.cells.W),
+            nne=np.asarray(self.cells.nne), thick=np.asarray(self.cells.thick),
+            kappagrey=np.asarray(self.cells.kappagrey),
+            j=np.asarray(self.prev_est.j) if self.prev_est is not None else np.zeros(1),
+            nuj=np.asarray(self.prev_est.nuj) if self.prev_est is not None else np.zeros(1),
+            lc_lum=self.lc_lum, lc_lumcmf=self.lc_lumcmf,
+            gamma_dep_ts=self.gamma_dep_ts, cmf_lum_ts=self.cmf_lum_ts,
+            escaped_counted=self._escaped_counted, spec_flux=self.spec.flux,
+        )
+        inputparams_io.update_parameterfile(
+            os.path.join(self.rundir, "input.txt"), next_nts, self.params.timestep_finish, 1
+        )
+        # delete the previous checkpoint once the new one is complete
+        # (reference: sn3d.cc:475-486, KEEP_ALL_RESTART_FILES=false)
+        for old in (next_nts - 1,):
+            for prefix in ("packets_0000_ts", "gridsave_ts"):
+                path = os.path.join(self.rundir, f"{prefix}{old}.npz")
+                if os.path.exists(path):
+                    os.remove(path)
+
+    def load_checkpoint(self, nts: int):
+        """Resume state from a checkpoint (reference: grid.cc:825-916)."""
+        self.state = packets_mod.load_packets_npz(
+            os.path.join(self.rundir, f"packets_0000_ts{nts}.npz")
+        )
+        g = np.load(os.path.join(self.rundir, f"gridsave_ts{nts}.npz"))
+        self.cells = self.cells.replace(
+            TR=jnp.asarray(g["TR"]), Te=jnp.asarray(g["Te"]), TJ=jnp.asarray(g["TJ"]),
+            W=jnp.asarray(g["W"]), nne=jnp.asarray(g["nne"]),
+            thick=jnp.asarray(g["thick"]), kappagrey=jnp.asarray(g["kappagrey"]),
+        )
+        est = zero_estimators(self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1))
+        self.prev_est = est.replace(j=jnp.asarray(g["j"]), nuj=jnp.asarray(g["nuj"]))
+        self.lc_lum = g["lc_lum"]
+        self.lc_lumcmf = g["lc_lumcmf"]
+        self.gamma_dep_ts = g["gamma_dep_ts"]
+        self.cmf_lum_ts = g["cmf_lum_ts"]
+        self._escaped_counted = g["escaped_counted"]
+        self.spec.flux[:] = g["spec_flux"]
+
+    def finish(self):
+        """Final outputs: packets file for exspec (reference: sn3d.cc:860-877)."""
+        packets_mod.write_packets_text(
+            os.path.join(self.rundir, "packets00_0000.out"), self.state
+        )
+        self.write_outputs(partial=False)
+
+    def write_outputs(self, partial: bool):
+        width = np.asarray(self.ts.width[:-1])
+        spectrum_mod.write_light_curve(
+            os.path.join(self.rundir, "light_curve.out"), self.ts.mid[:-1],
+            self.lc_lum, self.lc_lumcmf, self.gamma_dep_ts, self.cmf_lum_ts, width,
+        )
+        spectrum_mod.write_spectrum(
+            os.path.join(self.rundir, "spec.out"), self.spec, self.ts.mid[:-1]
+        )

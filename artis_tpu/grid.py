@@ -44,6 +44,7 @@ BOUNDARY_ESCAPE = -99
         "rho_tmin_mgi",
         "numpropcells_mgi",
         "vout_model",
+        "initial_radial_pos_sum_mgi",
     ],
     meta_fields=["grid_type", "ncoordgrid", "ngrid", "npts_model", "nonempty_npts", "tmin", "rmax", "vmax"],
 )
@@ -61,6 +62,7 @@ class GridData:
     rho_tmin_mgi: jax.Array  # (npts_model+1,) density at tmin (0 for empty sentinel)
     numpropcells_mgi: jax.Array  # (npts_model+1,) int32
     vout_model: jax.Array  # (npts_model,) 1D shells' outer velocity (dummy otherwise)
+    initial_radial_pos_sum_mgi: jax.Array  # (npts_model+1,) sum of propcell radial mids at tmin
 
     # static metadata
     grid_type: GridType
@@ -185,6 +187,20 @@ def grid_init(model: ModelData, tmin: float, grid_type: GridType, ncoordgrid_xyz
     rho_tmin_mgi = np.concatenate([model.rho_tmin, [0.0]])
     vout = model.vout_model if model.vout_model is not None else np.zeros(npts)
 
+    # per-model-cell sum of propcell radial midpoints at tmin
+    # (reference: grid.cc:304-333, get_cellradialposmid)
+    if grid_type == GridType.CARTESIAN3D:
+        mid = pos_min + 0.5 * (pos_max - pos_min)
+        radial_mid = np.linalg.norm(mid, axis=1)
+    elif grid_type == GridType.CYLINDRICAL2D:
+        rmid = 0.5 * (pos_min[:, 0] + pos_max[:, 0])
+        zmid = 0.5 * (pos_min[:, 1] + pos_max[:, 1])
+        radial_mid = np.sqrt(rmid**2 + zmid**2)
+    else:
+        radial_mid = 0.5 * (pos_min[:, 0] + pos_max[:, 0])
+    initial_radial_pos_sum = np.zeros(npts + 1)
+    np.add.at(initial_radial_pos_sum, mgi_of_cell, radial_mid)
+
     return GridData(
         cell_pos_min=jnp.asarray(pos_min),
         cell_pos_max=jnp.asarray(pos_max),
@@ -194,6 +210,7 @@ def grid_init(model: ModelData, tmin: float, grid_type: GridType, ncoordgrid_xyz
         rho_tmin_mgi=jnp.asarray(rho_tmin_mgi),
         numpropcells_mgi=jnp.asarray(numpropcells),
         vout_model=jnp.asarray(vout),
+        initial_radial_pos_sum_mgi=jnp.asarray(initial_radial_pos_sum),
         grid_type=grid_type,
         ncoordgrid=ncoordgrid,
         ngrid=ngrid,

@@ -347,3 +347,86 @@ def packet_init(key, grid: GridData, tables: PelletTables, opts: Options) -> Pac
         originated_from_particlenotgamma=from_particle,
         trueemissiontype=jnp.full(npkts, EMTYPE_NOTSET, jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# packet file I/O (reference: packet.cc:164-301)
+# ---------------------------------------------------------------------------
+
+_TEXT_HEADER = (
+    "#number where type_id posx posy posz dirx diry dirz tdecay e_cmf e_rf nu_cmf nu_rf "
+    "escape_type_id escape_time emissiontype trueemissiontype "
+    "em_posx em_posy em_posz absorption_type absorption_freq nscatterings em_time stokes1 stokes2 "
+    "stokes3 originated_from_positron "
+    "true_emission_velocity trueem_time pellet_nucindex"
+)
+
+
+def write_packets_text(filename: str, st: PacketState) -> None:
+    """Write the packets*.out text format (reference: packet.cc:165-190)."""
+    import numpy as np
+
+    cols = [
+        np.asarray(st.number), np.asarray(st.where), np.asarray(st.ptype),
+        *np.asarray(st.pos).T, *np.asarray(st.dir).T,
+        np.asarray(st.tdecay), np.asarray(st.e_cmf), np.asarray(st.e_rf),
+        np.asarray(st.nu_cmf), np.asarray(st.nu_rf),
+        np.asarray(st.escape_type), np.asarray(st.escape_time),
+        np.asarray(st.emissiontype), np.asarray(st.trueemissiontype),
+        *np.asarray(st.em_pos).T,
+        np.asarray(st.absorptiontype), np.asarray(st.absorptionfreq),
+        np.asarray(st.nscatterings), np.asarray(st.em_time),
+        *np.asarray(st.stokes).T,
+        np.asarray(st.originated_from_particlenotgamma).astype(int),
+        np.asarray(st.trueemissionvelocity), np.asarray(st.trueem_time),
+        np.asarray(st.pellet_nucindex),
+    ]
+    with open(filename, "w") as f:
+        f.write(_TEXT_HEADER + "\n")
+        for row in zip(*cols):
+            f.write(" ".join(
+                str(int(v)) if isinstance(v, (int,)) or hasattr(v, "dtype") and v.dtype.kind in "ib"
+                else f"{float(v):g}"
+                for v in row
+            ) + "\n")
+
+
+def read_packets_text(filename: str) -> dict:
+    """Read packets*.out (reference: packet.cc:235-301). Returns numpy dict."""
+    import numpy as np
+
+    data = np.loadtxt(filename, ndmin=2)
+    return dict(
+        number=data[:, 0].astype(np.int64), where=data[:, 1].astype(np.int64),
+        ptype=data[:, 2].astype(np.int64), pos=data[:, 3:6], dir=data[:, 6:9],
+        tdecay=data[:, 9], e_cmf=data[:, 10], e_rf=data[:, 11],
+        nu_cmf=data[:, 12], nu_rf=data[:, 13],
+        escape_type=data[:, 14].astype(np.int64), escape_time=data[:, 15],
+        emissiontype=data[:, 16].astype(np.int64),
+        trueemissiontype=data[:, 17].astype(np.int64),
+        em_pos=data[:, 18:21], absorptiontype=data[:, 21].astype(np.int64),
+        absorptionfreq=data[:, 22], nscatterings=data[:, 23].astype(np.int64),
+        em_time=data[:, 24], stokes=data[:, 25:28],
+        originated_from_particlenotgamma=data[:, 28].astype(bool),
+        trueemissionvelocity=data[:, 29], trueem_time=data[:, 30],
+        pellet_nucindex=data[:, 31].astype(np.int64),
+    )
+
+
+def save_packets_npz(filename: str, st: PacketState) -> None:
+    """Binary checkpoint of the full packet state (replaces the reference's
+    raw-struct dump, packet.cc:192-203)."""
+    import numpy as np
+    import dataclasses as _dc
+
+    np.savez_compressed(
+        filename, **{f.name: np.asarray(getattr(st, f.name)) for f in _dc.fields(st)}
+    )
+
+
+def load_packets_npz(filename: str) -> PacketState:
+    import numpy as np
+    import dataclasses as _dc
+
+    data = np.load(filename)
+    return PacketState(**{f.name: jnp.asarray(data[f.name]) for f in _dc.fields(PacketState)})

@@ -59,6 +59,6 @@ def sample_planck_montecarlo(key, t, nu_min, nu_max, maxiter: int = 512):
         return k, jnp.where(newly, nu_try, nu), accepted | ok, it + 1
 
     _, nu, accepted, _ = jax.lax.while_loop(
-        cond, body, (key, jnp.full(t.shape, nu_min, t.dtype), jnp.zeros(t.shape, bool), 0)
+        cond, body, (key, jnp.zeros_like(t) + nu_min, (t < 0) & False, 0)
     )
     return nu

@@ -1,0 +1,208 @@
+"""Photoionisation/recombination rate-coefficient lookup tables.
+
+TPU-native rebuild of the reference LUT machinery (reference:
+ratecoeff.cc:343-476 precalculate_rate_coefficient_integrals,
+ratecoeff.cc:951-972 get_spontrecombcoeff, ratecoeff.cc:896-950
+select_continuum_nu). The reference integrates each (level, target, T) with
+GSL qag; its own GPU build substitutes a Simpson rule on the phixs grid
+(sn3d.h:77-85), which validates the fixed-grid approach used here: one fused
+(ncont, TABLESIZE, NPHIXSPOINTS) Simpson evaluation replaces hours of serial
+quadrature.
+
+Numerical note: the reference multiplies a possibly-overflowing Saha factor
+exp(E/kT) into a possibly-underflowing integral; here the exponents are
+combined analytically (exp((E - h nu)/kT) with h nu >= E), which is exact and
+never overflows.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..atomic import DeviceAtomicData
+from ..constants import (
+    FOURPI, H, HOVERKB, KB, ONEOVERH, SAHACONST, TWOHOVERCLIGHTSQUARED,
+    TWOOVERCLIGHTSQUARED,
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["t_grid", "spontrecomb", "corrphotoion", "bfheating", "bfcooling", "ion_alpha_sp"],
+    meta_fields=["tablesize", "mintemp", "maxtemp", "t_step_log"],
+)
+@dataclasses.dataclass(frozen=True)
+class RateCoeffTables:
+    t_grid: jax.Array  # (TABLESIZE,)
+    spontrecomb: jax.Array  # (ncont, TABLESIZE) alpha_sp per target
+    corrphotoion: jax.Array  # (ncont, TABLESIZE)
+    bfheating: jax.Array  # (ncont, TABLESIZE)
+    bfcooling: jax.Array  # (ncont, TABLESIZE)
+    ion_alpha_sp: jax.Array  # (nions, TABLESIZE) recomb summed over gnd-term conts
+    tablesize: int
+    mintemp: float
+    maxtemp: float
+    t_step_log: float
+
+
+def _simpson_weights(n: int) -> np.ndarray:
+    """Composite Simpson weights on n uniform points (n odd preferred)."""
+    w = np.zeros(n)
+    if n < 3:
+        return np.ones(n) / max(n - 1, 1)
+    m = n if n % 2 == 1 else n - 1
+    w[0:m:2] += 1.0 / 3.0
+    w[1:m:2] += 4.0 / 3.0
+    w[2:m:2] += 1.0 / 3.0
+    w[0] = 1.0 / 3.0
+    w[m - 1] = 1.0 / 3.0
+    if n % 2 == 0:  # trapezoid for the last interval
+        w[n - 2] += 0.5
+        w[n - 1] += 0.5
+    return w
+
+
+def build_tables(dad: DeviceAtomicData, tablesize: int, mintemp: float, maxtemp: float,
+                 use_lut_photoion: bool = True, use_lut_bfheating: bool = True) -> RateCoeffTables:
+    """Precompute all four LUTs for every bf continuum."""
+    t_step_log = float(np.log(maxtemp / mintemp) / (tablesize - 1))
+    t_grid = mintemp * np.exp(np.arange(tablesize) * t_step_log)
+
+    ncont = dad.nbfcontinua
+    npts = dad.nphixspoints
+    inc = dad.nphixsnuincrement
+
+    if ncont == 0:
+        z = jnp.zeros((0, tablesize))
+        return RateCoeffTables(
+            t_grid=jnp.asarray(t_grid), spontrecomb=z, corrphotoion=z,
+            bfheating=z, bfcooling=z,
+            ion_alpha_sp=jnp.zeros((dad.nions_total, tablesize)),
+            tablesize=tablesize, mintemp=mintemp, maxtemp=maxtemp,
+            t_step_log=t_step_log,
+        )
+
+    nu_edge = np.asarray(dad.cont_nu_edge)  # (ncont,)
+    g_l = np.asarray(dad.level_g)[np.asarray(dad.cont_uniquelower)]
+    g_u = np.asarray(dad.level_g)[np.asarray(dad.cont_uniqueupper)]
+    prob = np.asarray(dad.cont_probability)
+    sigma = np.asarray(dad.allphixs)[np.asarray(dad.cont_phixsrow)]  # (ncont, npts)
+
+    kgrid = 1.0 + inc * np.arange(npts)  # nu/nu_edge grid
+    nu = nu_edge[:, None] * kgrid[None, :]  # (ncont, npts)
+    dnu = nu_edge * inc  # uniform spacing per continuum
+    w = _simpson_weights(npts)
+
+    spont = np.zeros((ncont, tablesize))
+    corr = np.zeros((ncont, tablesize))
+    bfheat = np.zeros((ncont, tablesize))
+    bfcool = np.zeros((ncont, tablesize))
+
+    for it, T in enumerate(t_grid):
+        expfac = np.exp(-HOVERKB * (nu - nu_edge[:, None]) / T)  # exp((E-hnu)/kT), stable
+        exp_nu = np.exp(-HOVERKB * nu / T)
+        sahaconst_part = SAHACONST * (g_l / g_u) * T**-1.5 * prob
+
+        # alpha_sp: 4pi sfac prob * int sigma * 2/c^2 nu^2 exp(-hnu/kT)
+        # with sfac exp(+E/kT) folded into the integrand (exact, stable)
+        integ = np.sum(w[None, :] * sigma * TWOOVERCLIGHTSQUARED * nu**2 * expfac, axis=1) * dnu
+        spont[:, it] = FOURPI * sahaconst_part * integ
+
+        if use_lut_photoion:
+            # gammacorr: 4pi prob int sigma/(h nu) dbb(nu,T,1) (1-exp(-hnu/kT))
+            dbbval = TWOHOVERCLIGHTSQUARED * nu**3 / np.expm1(HOVERKB * nu / T)
+            integ = np.sum(w[None, :] * sigma * ONEOVERH / nu * dbbval * (1 - exp_nu), axis=1) * dnu
+            corr[:, it] = FOURPI * prob * integ
+
+        if use_lut_bfheating:
+            dbbval = TWOHOVERCLIGHTSQUARED * nu**3 / np.expm1(HOVERKB * nu / T)
+            integ = np.sum(
+                w[None, :] * sigma * (1 - nu_edge[:, None] / nu) * dbbval * (1 - exp_nu), axis=1
+            ) * dnu
+            bfheat[:, it] = FOURPI * prob * integ
+
+        # bfcooling: 4pi sfac prob int sigma (nu-nu_edge) 2h/c^2 nu^2 exp(-hnu/kT)
+        integ = np.sum(
+            w[None, :] * sigma * (nu - nu_edge[:, None]) * TWOHOVERCLIGHTSQUARED * nu**2 * expfac,
+            axis=1,
+        ) * dnu
+        bfcool[:, it] = FOURPI * sahaconst_part * integ
+
+    # per-ion alpha_sp: sum of ground-term target recombination used for the
+    # rate-balance phi (reference: ratecoeff.cc:629-682 ion_alpha_sp setup)
+    ion_alpha = np.zeros((dad.nions_total, tablesize))
+    cont_upperion = np.asarray(dad.cont_ion) + 1
+    cont_lower_in_ion = np.asarray(dad.cont_level)
+    upperlev = np.asarray(dad.cont_upperlevel)
+    nlevels_groundterm = np.asarray(dad.ion_nlevels_groundterm)
+    for i in range(ncont):
+        uii = int(cont_upperion[i])
+        # recombination into levels below the ground term cut of the LOWER ion
+        # approximated as all targets (full scientific treatment comes with the
+        # NLTE stack); weight by target probability is already in spontrecomb
+        ion_alpha[uii] += spont[i]
+
+    return RateCoeffTables(
+        t_grid=jnp.asarray(t_grid),
+        spontrecomb=jnp.asarray(spont),
+        corrphotoion=jnp.asarray(corr),
+        bfheating=jnp.asarray(bfheat),
+        bfcooling=jnp.asarray(bfcool),
+        ion_alpha_sp=jnp.asarray(ion_alpha),
+        tablesize=tablesize,
+        mintemp=mintemp,
+        maxtemp=maxtemp,
+        t_step_log=t_step_log,
+    )
+
+
+def interpolate_lut(table: jax.Array, rc: RateCoeffTables, contindex, t_e):
+    """Linear interpolation on the log-spaced T grid, batched
+    (reference: ratecoeff.cc:951-972)."""
+    lower = jnp.floor(jnp.log(t_e / rc.mintemp) / rc.t_step_log).astype(jnp.int32)
+    lower = jnp.clip(lower, 0, rc.tablesize - 1)
+    upper = jnp.minimum(lower + 1, rc.tablesize - 1)
+    t_lower = rc.mintemp * jnp.exp(lower * rc.t_step_log)
+    t_upper = rc.mintemp * jnp.exp(upper * rc.t_step_log)
+    f_lower = table[contindex, lower]
+    f_upper = table[contindex, upper]
+    frac = jnp.where(upper > lower, (t_e - t_lower) / jnp.maximum(t_upper - t_lower, 1e-30), 0.0)
+    return f_lower + (f_upper - f_lower) * jnp.clip(frac, 0.0, 1.0)
+
+
+def select_continuum_nu_batch(key, dad: DeviceAtomicData, contindex, t_e, mask):
+    """Sample the free-bound emission frequency for each packet from its
+    selected continuum (reference: ratecoeff.cc:896-950).
+
+    Uses the alpha_sp_E integrand sigma(nu) nu^3/nu_edge exp(-hnu/kT) on the
+    phixs grid with trapezoid cumulative inversion.
+    """
+    npts = dad.nphixspoints
+    inc = dad.nphixsnuincrement
+    ci = jnp.clip(contindex, 0, max(dad.nbfcontinua - 1, 0))
+    nu_edge = dad.cont_nu_edge[ci]  # (npkts,)
+    sigma = dad.allphixs[dad.cont_phixsrow[ci]].astype(t_e.dtype)  # (npkts, npts)
+    kgrid = 1.0 + inc * jnp.arange(npts, dtype=t_e.dtype)
+    nu = nu_edge[:, None] * kgrid[None, :]
+    # stable exponent anchored at the edge
+    f = sigma * nu**3 * jnp.exp(-HOVERKB * (nu - nu_edge[:, None]) / t_e[:, None])
+    # trapezoid cumulative
+    seg = 0.5 * (f[:, 1:] + f[:, :-1])
+    cum = jnp.concatenate([jnp.zeros_like(f[:, :1]), jnp.cumsum(seg, axis=1)], axis=1)
+    total = jnp.maximum(cum[:, -1], 1e-300)
+    zrand = jax.random.uniform(key, t_e.shape, t_e.dtype)
+    target = zrand * total
+    seg_idx = jnp.clip(
+        jnp.sum((cum <= target[:, None]).astype(jnp.int32), axis=1) - 1, 0, npts - 2
+    )
+    row = jnp.arange(t_e.shape[0])
+    c0 = cum[row, seg_idx]
+    c1 = cum[row, seg_idx + 1]
+    fracseg = jnp.where(c1 > c0, (target - c0) / jnp.maximum(c1 - c0, 1e-300), 0.0)
+    nu_lower = nu[row, seg_idx] + fracseg * (nu[row, seg_idx + 1] - nu[row, seg_idx])
+    return jnp.where(mask, nu_lower, 0.0)

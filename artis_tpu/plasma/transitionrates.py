@@ -1,0 +1,335 @@
+"""Macro-atom process-rate sums and k-packet cooling channel tables.
+
+TPU-native rebuild of the reference per-level rate machinery (reference:
+macroatom.cc:39-152 calculate_macroatom_transitionrates, macroatom.cc:649-947
+rate coefficient functions, kpkt.cc:49-211 calculate_cooling_rates_ion).
+
+The reference fills a lazy per-cell cache as packets visit levels, guarded by
+mutexes (globals.h:317). Here ALL (cell, level) sums are produced once per
+timestep by chunked scans over the flat transition/continuum axes — the rate
+formulas become fused vector ops and the per-packet macro-atom loop reduces to
+gathers on these tables plus cumulative-sum channel selection.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..atomic import DeviceAtomicData
+from ..constants import (
+    C_0, EULERGAMMA, H, HCLIGHTOVERFOURPI, HOVERKB, H_IONPOT, KB,
+    CLIGHTSQUAREDOVERTWOH,
+)
+from .ratecoeff import RateCoeffTables, interpolate_lut
+from .radfield import dbb
+
+# macro-atom actions (reference: globals.h MA_ACTION enum order,
+# partial_sum order matters for sampling, macroatom.cc:389-396)
+MA_ACTION_RADDEEXC = 0
+MA_ACTION_COLDEEXC = 1
+MA_ACTION_RADRECOMB = 2
+MA_ACTION_COLRECOMB = 3
+MA_ACTION_INTERNALDOWNSAME = 4
+MA_ACTION_INTERNALDOWNLOWER = 5
+MA_ACTION_INTERNALUPSAME = 6
+MA_ACTION_INTERNALUPHIGHER = 7
+MA_ACTION_INTERNALUPHIGHERNT = 8
+MA_ACTION_COUNT = 9
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "ma_rates", "cool_exc_level", "cool_ion_cont", "cool_fb_cont",
+        "cool_ff_ion", "ion_cooling", "totalcooling", "cool_exc_ion",
+        "cool_ion_ion", "cool_fb_ion",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class ProcessRates:
+    ma_rates: jax.Array  # (ncells, nlevels, MA_ACTION_COUNT)
+    cool_exc_level: jax.Array  # (ncells, nlevels) collisional-excitation cooling
+    cool_ion_cont: jax.Array  # (ncells, ncont) collisional-ionisation cooling
+    cool_fb_cont: jax.Array  # (ncells, ncont) free-bound cooling
+    cool_ff_ion: jax.Array  # (ncells, nions) free-free cooling
+    ion_cooling: jax.Array  # (ncells, nions) total per-ion cooling
+    totalcooling: jax.Array  # (ncells,)
+    cool_exc_ion: jax.Array  # (ncells, nions)
+    cool_ion_ion: jax.Array  # (ncells, nions)
+    cool_fb_ion: jax.Array  # (ncells, nions)
+
+
+def beta_sobolev(tau):
+    """Escape probability beta = (1 - exp(-tau))/tau (reference:
+    macroatom.cc:669-672)."""
+    return jnp.where(tau > 1e-100, -jnp.expm1(-tau) / jnp.maximum(tau, 1e-100), 0.0)
+
+
+def col_deexcitation_ratecoeff(t_e, nne, eps_trans, coll_str, forbidden, osc_strength, g_u, g_l):
+    """(reference: macroatom.cc:855-902) — multiply by n_upper for a rate."""
+    eoverkt = eps_trans / (KB * t_e)
+    # permitted van-Regemorter
+    g_bar = 0.2
+    gauntfac = jnp.where(
+        eoverkt > 0.33421,
+        g_bar,
+        0.276 * jnp.exp(eoverkt) * (-EULERGAMMA - jnp.log(jnp.maximum(eoverkt, 1e-100))),
+    )
+    permitted = (
+        C_0 * 14.51039491 * nne * jnp.sqrt(t_e) * osc_strength
+        * (H_IONPOT / eps_trans) ** 2 * eoverkt * (g_l / g_u) * gauntfac
+    )
+    forbidden_rate = nne * 8.629e-6 * 0.01 * g_l / jnp.sqrt(t_e)
+    negative = jnp.where(forbidden, forbidden_rate, permitted)
+    positive = nne * 8.629e-6 * coll_str / g_u / jnp.sqrt(t_e)
+    return jnp.where(coll_str < 0, negative, positive)
+
+
+def col_excitation_ratecoeff(t_e, nne, eps_trans, coll_str, forbidden, osc_strength, g_u, g_l):
+    """(reference: macroatom.cc:906-947) — multiply by n_lower for a rate."""
+    eoverkt = eps_trans / (KB * t_e)
+    exp_eoverkt = jnp.exp(jnp.minimum(eoverkt, 700.0))
+    g_bar = 0.2
+    test = 0.276 * exp_eoverkt * (-EULERGAMMA - jnp.log(jnp.maximum(eoverkt, 1e-100)))
+    gamma = jnp.maximum(g_bar, test)
+    permitted = (
+        C_0 * nne * jnp.sqrt(t_e) * 14.51039491 * osc_strength
+        * (H_IONPOT / eps_trans) ** 2 * eoverkt / exp_eoverkt * gamma
+    )
+    forbidden_rate = nne * 8.629e-6 * 0.01 * jnp.exp(-eoverkt) * g_u / jnp.sqrt(t_e)
+    negative = jnp.where(forbidden, forbidden_rate, permitted)
+    positive = nne * 8.629e-6 * coll_str * jnp.exp(-eoverkt) / g_l / jnp.sqrt(t_e)
+    return jnp.where(coll_str < 0, negative, positive)
+
+
+def col_ionization_ratecoeff(t_e, nne, sigma_bf_edge, eps_trans, ionstage):
+    """Seaton approximation (reference: macroatom.cc:823-851) — per n_lower."""
+    g = jnp.where(ionstage == 1, 0.1, jnp.where(ionstage == 2, 0.2, 0.3))
+    fac1 = eps_trans / (KB * t_e)
+    return nne * 1.55e13 * t_e**-0.5 * g * sigma_bf_edge * jnp.exp(-fac1) / jnp.maximum(fac1, 1e-100)
+
+
+def col_recombination_ratecoeff(t_e, nne, sigma_bf_edge, eps_trans, upper_ionstage, g_l, g_u):
+    """Seaton + Saha detailed balance (reference: macroatom.cc:782-818) — per
+    n_upper. The Saha exp(+E/kT) cancels the ionisation exp(-E/kT) exactly, so
+    evaluate combined for stability."""
+    charge = upper_ionstage - 1
+    g = jnp.where(charge == 1, 0.1, jnp.where(charge == 2, 0.2, 0.3))
+    fac1 = eps_trans / (KB * t_e)
+    sahaconst_no_exp = 2.0706659e-16 * (g_l / g_u) * t_e**-1.5
+    return nne * nne * sahaconst_no_exp * 1.55e13 * t_e**-0.5 * g * sigma_bf_edge / jnp.maximum(fac1, 1e-100)
+
+
+def compute_process_rates(
+    dad: DeviceAtomicData,
+    rc: RateCoeffTables,
+    levelpops: jax.Array,  # (ncells, nlevels)
+    nnion: jax.Array,  # (ncells, nions)
+    t_e: jax.Array,  # (ncells,)
+    t_r: jax.Array,
+    w: jax.Array,
+    nne: jax.Array,
+    t_mid: float,
+    corrphotoionrenorm: jax.Array | None = None,  # (ncells, nbfcontinua_ground)
+    trans_chunk: int = 4096,
+    cont_chunk: int = 1024,
+) -> ProcessRates:
+    ncells = t_e.shape[0]
+    nlevels = dad.nlevels_total
+    nions = dad.nions_total
+    dtype = t_e.dtype
+
+    ma = jnp.zeros((ncells, nlevels, MA_ACTION_COUNT), dtype)
+    cool_exc_level = jnp.zeros((ncells, nlevels), dtype)
+
+    # ---- scan over the flat transition axis (bb processes) ----
+    ntrans = dad.ntrans_total
+    if ntrans > 0:
+        nchunks = -(-ntrans // trans_chunk)
+
+        def trans_body(carry, c):
+            ma, cool_exc_level = carry
+            kidx = jnp.clip(c * trans_chunk + jnp.arange(trans_chunk), 0, ntrans - 1)
+            sl = lambda x: x[kidx]
+            owner = jnp.clip(sl(dad.trans_owner), 0, nlevels - 1)
+            # out-of-range entries are repeats of the last one; weight 0
+            valid = (c * trans_chunk + jnp.arange(trans_chunk)) < ntrans
+            is_down = sl(dad.trans_is_down)
+            target_inion = sl(dad.trans_target)
+            a_ul = sl(dad.trans_A)
+            coll_str = sl(dad.trans_coll_str)
+            forb = sl(dad.trans_forbidden)
+            osc = sl(dad.trans_osc_strength)
+
+            owner_ion = dad.level_ion[owner]
+            target = dad.ion_level_start[owner_ion] + target_inion
+            e_owner = dad.level_energy[owner]
+            e_target = dad.level_energy[target]
+            g_owner = dad.level_g[owner]
+            g_target = dad.level_g[target]
+
+            upper = jnp.where(is_down, owner, target)
+            lower = jnp.where(is_down, target, owner)
+            eps_trans = jnp.abs(e_owner - e_target)
+            nu_trans = jnp.maximum(eps_trans / H, 1e-30)
+            g_u = jnp.where(is_down, g_owner, g_target)
+            g_l = jnp.where(is_down, g_target, g_owner)
+
+            b_ul = CLIGHTSQUAREDOVERTWOH / nu_trans**3 * a_ul
+            b_lu = g_u / g_l * b_ul
+
+            n_u = levelpops[:, upper]  # (ncells, chunk)
+            n_l = levelpops[:, lower]
+            tau = jnp.maximum(
+                (b_lu[None, :] * n_l - b_ul[None, :] * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0
+            )
+            beta = beta_sobolev(tau)
+
+            te = t_e[:, None]
+            ne = nne[:, None]
+
+            # --- down entries ---
+            r_down = a_ul[None, :] * beta  # rad deexc per n_upper
+            c_down = col_deexcitation_ratecoeff(
+                te, ne, eps_trans[None, :], coll_str[None, :], forb[None, :],
+                osc[None, :], g_u[None, :], g_l[None, :],
+            )
+            wdown = jnp.where(valid & is_down, 1.0, 0.0)[None, :]
+            ma = ma.at[:, owner, MA_ACTION_RADDEEXC].add(wdown * r_down * eps_trans[None, :])
+            ma = ma.at[:, owner, MA_ACTION_COLDEEXC].add(wdown * c_down * eps_trans[None, :])
+            ma = ma.at[:, owner, MA_ACTION_INTERNALDOWNSAME].add(
+                wdown * (r_down + c_down) * e_target[None, :]
+            )
+
+            # --- up entries ---
+            r_over_j = jnp.where(
+                n_l > 0,
+                (b_lu[None, :] - b_ul[None, :] * n_u / jnp.maximum(n_l, 1e-300)) * beta,
+                b_lu[None, :] * beta,
+            )
+            j_nu = dbb(nu_trans[None, :], jnp.maximum(t_r, 1.0)[:, None], w[:, None])
+            r_up = jnp.maximum(r_over_j * j_nu, 0.0)
+            c_up = col_excitation_ratecoeff(
+                te, ne, eps_trans[None, :], coll_str[None, :], forb[None, :],
+                osc[None, :], g_u[None, :], g_l[None, :],
+            )
+            wup = jnp.where(valid & ~is_down, 1.0, 0.0)[None, :]
+            ma = ma.at[:, owner, MA_ACTION_INTERNALUPSAME].add(
+                wup * (r_up + c_up) * e_owner[None, :]
+            )
+            # collisional-excitation cooling: n_l * C * eps_trans (kpkt.cc:95-105)
+            cool_exc_level = cool_exc_level.at[:, owner].add(
+                wup * n_l * c_up * eps_trans[None, :]
+            )
+            return (ma, cool_exc_level), None
+
+        (ma, cool_exc_level), _ = jax.lax.scan(
+            trans_body, (ma, cool_exc_level), jnp.arange(nchunks)
+        )
+
+    # ---- scan over the continuum axis (bf processes) ----
+    ncont = dad.nbfcontinua
+    cool_ion_cont = jnp.zeros((ncells, max(ncont, 1)), dtype)
+    cool_fb_cont = jnp.zeros((ncells, max(ncont, 1)), dtype)
+    if ncont > 0:
+        nchunks = -(-ncont // cont_chunk)
+        if corrphotoionrenorm is None:
+            corrphotoionrenorm = jnp.ones((ncells, max(dad.nbfcontinua_ground, 1)), dtype)
+
+        def cont_body(carry, c):
+            ma, cool_ion_cont, cool_fb_cont = carry
+            idx = c * cont_chunk + jnp.arange(cont_chunk)
+            valid = idx < ncont
+            idx_safe = jnp.clip(idx, 0, ncont - 1)
+            ll = dad.cont_uniquelower[idx_safe]
+            ul = dad.cont_uniqueupper[idx_safe]
+            ion = dad.cont_ion[idx_safe]
+            eps_trans = dad.level_energy[ul] - dad.level_energy[ll]
+            g_l = dad.level_g[ll]
+            g_u = dad.level_g[ul]
+            sigma_edge = (
+                dad.allphixs[dad.cont_phixsrow[idx_safe], 0].astype(dtype)
+                * dad.cont_probability[idx_safe]
+            )
+            upper_stage = dad.ion_stage[ion] + 1
+            lower_stage = dad.ion_stage[ion]
+
+            te = t_e[:, None]
+            ne = nne[:, None]
+
+            # recombination rates (per n_upperlevel)
+            alpha_sp = interpolate_lut(rc.spontrecomb, rc, idx_safe[None, :], te)
+            r_rec = ne * alpha_sp
+            c_rec = col_recombination_ratecoeff(
+                te, ne, sigma_edge[None, :], eps_trans[None, :], upper_stage[None, :],
+                g_l[None, :], g_u[None, :],
+            )
+            wv = jnp.where(valid, 1.0, 0.0)[None, :]
+            ma = ma.at[:, ul, MA_ACTION_RADRECOMB].add(wv * r_rec * eps_trans[None, :])
+            ma = ma.at[:, ul, MA_ACTION_COLRECOMB].add(wv * c_rec * eps_trans[None, :])
+            ma = ma.at[:, ul, MA_ACTION_INTERNALDOWNLOWER].add(
+                wv * (r_rec + c_rec) * dad.level_energy[ll][None, :]
+            )
+
+            # ionisation rates (per n_lowerlevel)
+            gamma_lut = interpolate_lut(
+                rc.corrphotoion, rc, idx_safe[None, :], jnp.maximum(t_r, rc.mintemp)[:, None]
+            )
+            gidx = jnp.clip(dad.cont_groundindex[idx_safe], 0, max(dad.nbfcontinua_ground - 1, 0))
+            renorm = corrphotoionrenorm[:, gidx]
+            r_ion = w[:, None] * gamma_lut * renorm
+            c_ion = col_ionization_ratecoeff(
+                te, ne, sigma_edge[None, :], eps_trans[None, :], lower_stage[None, :]
+            )
+            ma = ma.at[:, ll, MA_ACTION_INTERNALUPHIGHER].add(
+                wv * (r_ion + c_ion) * dad.level_energy[ll][None, :]
+            )
+
+            # cooling channels (kpkt.cc:116-171)
+            n_ll = levelpops[:, ll]
+            cool_ion_cont = cool_ion_cont.at[:, idx_safe].add(
+                wv * n_ll * c_ion * eps_trans[None, :]
+            )
+            bfcool = interpolate_lut(rc.bfcooling, rc, idx_safe[None, :], te)
+            nnupperion = nnion[:, jnp.minimum(ion + 1, nions - 1)]
+            cool_fb_cont = cool_fb_cont.at[:, idx_safe].add(wv * bfcool * nnupperion * ne)
+            return (ma, cool_ion_cont, cool_fb_cont), None
+
+        (ma, cool_ion_cont, cool_fb_cont), _ = jax.lax.scan(
+            cont_body, (ma, cool_ion_cont, cool_fb_cont), jnp.arange(nchunks)
+        )
+
+    # ---- free-free cooling per ion (kpkt.cc:66-82) ----
+    charge = (dad.ion_stage - 1).astype(dtype)
+    cool_ff_ion = jnp.where(
+        charge[None, :] > 0,
+        1.426e-27 * jnp.sqrt(t_e)[:, None] * charge[None, :] ** 2 * nnion * nne[:, None],
+        0.0,
+    )
+
+    # ---- per-ion totals ----
+    lvl_ion = dad.level_ion
+    cool_exc_ion = jnp.zeros((ncells, nions), dtype).at[:, lvl_ion].add(cool_exc_level)
+    cont_ion_idx = dad.cont_ion if ncont else jnp.zeros(1, jnp.int32)
+    cool_ion_ion = jnp.zeros((ncells, nions), dtype).at[:, cont_ion_idx].add(cool_ion_cont)
+    cool_fb_ion = jnp.zeros((ncells, nions), dtype).at[:, cont_ion_idx].add(cool_fb_cont)
+    ion_cooling = cool_ff_ion + cool_exc_ion + cool_ion_ion + cool_fb_ion
+    totalcooling = jnp.sum(ion_cooling, axis=1)
+
+    return ProcessRates(
+        ma_rates=ma,
+        cool_exc_level=cool_exc_level,
+        cool_ion_cont=cool_ion_cont,
+        cool_fb_cont=cool_fb_cont,
+        cool_ff_ion=cool_ff_ion,
+        ion_cooling=ion_cooling,
+        totalcooling=totalcooling,
+        cool_exc_ion=cool_exc_ion,
+        cool_ion_ion=cool_ion_ion,
+        cool_fb_ion=cool_fb_ion,
+    )

@@ -1,0 +1,138 @@
+"""Synthetic atomic datasets and demo run directories.
+
+Used for tests, benchmarks, and the compile-check entry points (the real
+atomic datasets are downloaded tarballs in the reference CI, unavailable in a
+zero-egress environment). File formats follow the reference parsers
+(input.cc:912-1255, 228-327).
+"""
+
+import numpy as np
+
+
+def write_synthetic_atomicdata(
+    folder,
+    elements=((26, 3), (27, 2)),  # (Z, nions)
+    nlevels_per_ion=5,
+    nphixspoints=20,
+    nphixsnuincrement=0.1,
+    seed=42,
+):
+    rng = np.random.default_rng(seed)
+    folder = str(folder)
+
+    # compositiondata.txt
+    with open(f"{folder}/compositiondata.txt", "w") as f:
+        f.write(f"{len(elements)}\n0\n0\n")
+        for z, nions in elements:
+            mass = 2.0 * z  # rough A ~ 2Z
+            f.write(f"{z} {nions} 1 {nions} -1 0.0 {mass}\n")
+
+    # adata.txt: per-(Z, ionstage) blocks; also include an extra ionstage
+    # beyond uppermost to exercise skipping
+    with open(f"{folder}/adata.txt", "w") as f:
+        for z, nions in elements:
+            for ionstage in range(1, nions + 2):  # one extra block to skip at end
+                nlev = nlevels_per_ion if ionstage <= nions else 2
+                ionpot_ev = 7.0 + 5.0 * ionstage + 0.1 * z
+                f.write(f"{z} {ionstage} {nlev} {ionpot_ev:.4f}\n")
+                # increasing level energies below and above the ionpot
+                for lev in range(1, nlev + 1):
+                    energy = (lev - 1) * ionpot_ev / (nlev + 1)
+                    g = 2.0 * lev  # distinct stat weights
+                    f.write(f"{lev} {energy:.6f} {g:.1f} {max(lev - 1, 0)}\n")
+
+    # transitiondata.txt: same block order; downward transitions with random A
+    with open(f"{folder}/transitiondata.txt", "w") as f:
+        for z, nions in elements:
+            for ionstage in range(1, nions + 2):
+                nlev = nlevels_per_ion if ionstage <= nions else 2
+                rows = []
+                for lo in range(1, nlev + 1):
+                    for up in range(lo + 1, nlev + 1):
+                        A = 10.0 ** rng.uniform(4, 8)
+                        coll_str = -1.0
+                        forbidden = 0
+                        rows.append(f"{lo} {up} {A:.4e} {coll_str} {forbidden}")
+                f.write(f"{z} {ionstage} {len(rows)}\n")
+                f.write("\n".join(rows) + "\n")
+
+    # phixsdata_v2.txt: ground + excited-level tables for each non-top ion
+    with open(f"{folder}/phixsdata_v2.txt", "w") as f:
+        f.write(f"{nphixspoints}\n{nphixsnuincrement}\n")
+        for z, nions in elements:
+            for ionstage in range(1, nions):  # lower ion of each pair
+                for lowerlevel in range(1, 3):  # levels 1,2 (1-based)
+                    if lowerlevel == 1:
+                        # multi-target table
+                        f.write(f"{z} {ionstage + 1} -1 {ionstage} {lowerlevel} 10.0\n")
+                        f.write("2\n1 0.7\n2 0.3\n")
+                    else:
+                        f.write(f"{z} {ionstage + 1} 1 {ionstage} {lowerlevel} 10.0\n")
+                    sigma0 = rng.uniform(1.0, 10.0)  # Mb
+                    xs = sigma0 * (1.0 + np.arange(nphixspoints) * nphixsnuincrement) ** -3
+                    f.write("\n".join(f"{x:.6e}" for x in xs) + "\n")
+
+    return folder
+
+
+import numpy as np
+
+
+INPUT_TXT = """\
+42                       # pre_zseed
+{ntimesteps}             # ntimesteps
+000 {tsfinish:03d}       # timestep_start timestep_finish
+{tmin_days} {tmax_days}  # tmin_days tmax_days
+1.33  1.330000001        # UNUSED
+80                       # UNUSED
+3. 0.037                 # UNUSED
+1                        # UNUSED
+4                        # UNUSED
+1                        # UNUSED
+1.0                      # UNUSED
+-1                       # gamma grey opacity (<0: detailed)
+0 0 1                    # UNUSED syn_dir
+4                        # opacity_case
+1.0e-10                  # rho_crit_para
+-1                       # UNUSED debug
+0                        # continue
+1e-6                     # UNUSED rfcut
+999                      # num_lte_timesteps
+0.0 {ngreyts}            # cell_is_optically_thick num_grey_timesteps
+-1                       # UNUSED max_bf_continua
+1                        # nprocs_exspec
+1                        # do_emission_res
+0.001 1000               # kpkt diffusion
+"""
+
+
+def make_run(folder, ncells=10, ntimesteps=8, tmin_days=0.4, tmax_days=3.0,
+             ngreyts=3, vmax_kmps=30000.0, t_model_days=0.05, x_ni56=0.5):
+    folder = str(folder)
+    with open(f"{folder}/input.txt", "w") as f:
+        f.write(INPUT_TXT.format(ntimesteps=ntimesteps, tsfinish=ntimesteps - 1,
+                                 tmin_days=tmin_days, tmax_days=tmax_days, ngreyts=ngreyts))
+
+    # 1D Ni56-powered model
+    with open(f"{folder}/model.txt", "w") as f:
+        f.write(f"{ncells}\n{t_model_days}\n")
+        f.write("#inputcellid velocity_outer logrho X_Fegroup X_Ni56 X_Co56 X_Fe52 X_Cr48\n")
+        for i in range(ncells):
+            vout = vmax_kmps * (i + 1) / ncells
+            logrho = -9.0 - 0.25 * i
+            f.write(f"{i + 1} {vout} {logrho} 1.0 {x_ni56} 0.0 0.0 0.0\n")
+
+    # pure Fe/Co/Ni-ish gas: element Z=26,27,28 fractions (abundances.txt
+    # columns are Z=1..30); all mass in Ni (Z=28) to match X_Ni56 decaying
+    with open(f"{folder}/abundances.txt", "w") as f:
+        for i in range(ncells):
+            ab = np.zeros(30)
+            ab[27] = 0.6  # Z=28 Ni (>= X_Ni56 so stable Ni remains)
+            ab[25] = 0.3  # Z=26 Fe
+            ab[26] = 0.1  # Z=27 Co
+            f.write(f"{i + 1} " + " ".join(f"{v:g}" for v in ab) + "\n")
+
+    write_synthetic_atomicdata(
+        folder, elements=((26, 3), (27, 2), (28, 2)), nlevels_per_ion=8
+    )
+    return folder

@@ -49,8 +49,9 @@ from ..decay import (
     data_fields=[
         "levelpops", "nnion", "chi_ff_nnionpart", "gammaline_energy",
         "gammaline_cumfrac", "gammaline_nlines", "nuc_engamma",
+        "ts", "t2", "t_mid", "is_first_timestep",
     ],
-    meta_fields=["ts", "t2", "t_mid", "nts", "is_first_timestep", "lte_mode"],
+    meta_fields=["nts", "lte_mode"],
 )
 @dataclasses.dataclass(frozen=True)
 class StepContext:
@@ -63,11 +64,11 @@ class StepContext:
     gammaline_cumfrac: jax.Array  # (nnuc, maxlines)
     gammaline_nlines: jax.Array  # (nnuc,)
     nuc_engamma: jax.Array  # (nnuc,)
-    ts: float
-    t2: float
-    t_mid: float
+    ts: jax.Array  # scalar: timestep start [s]
+    t2: jax.Array  # scalar: timestep end [s]
+    t_mid: jax.Array  # scalar
+    is_first_timestep: jax.Array  # scalar bool
     nts: int
-    is_first_timestep: bool
     lte_mode: bool
 
 
@@ -276,11 +277,15 @@ def nonthermal_predeposit_step(
 
 
 def kpkt_blackbody_step(key, st: PacketState, ctx: StepContext, grid: GridData,
-                        cells_te, opts: Options):
-    """Emit k-packets as blackbody r-packets (thick cells and pre-kpkts)."""
+                        cells_te, cells_thick, opts: Options):
+    """Emit k-packets as blackbody r-packets (thick cells and pre-kpkts)
+    (reference: kpkt.cc:377-402, update_packets.cc:253-268)."""
     nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
-    te = cells_te[jnp.maximum(nonemptymgi, 0)]
-    mask = (st.ptype == TYPE_PRE_KPKT) | (st.ptype == TYPE_KPKT)
+    safe_mgi = jnp.maximum(nonemptymgi, 0)
+    te = cells_te[safe_mgi]
+    thick = nonemptymgi >= 0
+    thick = thick & (cells_thick[safe_mgi] == 1)
+    mask = (st.ptype == TYPE_PRE_KPKT) | ((st.ptype == TYPE_KPKT) & thick)
     mask = mask & (st.prop_time < ctx.t2) & (nonemptymgi >= 0)
     nu_planck = sample_planck_montecarlo(
         jax.random.fold_in(key, 31), jnp.maximum(te, 1.0), opts.nu_min_r, opts.nu_max_r
@@ -741,3 +746,148 @@ def rpkt_step(
     ma_activating_line = jnp.where(ev_bb, act_line, -99)
 
     return st, est, ma_mask, ma_level, ma_activating_line
+
+
+# ---------------------------------------------------------------------------
+# full-timestep wavefront (reference: update_packets.cc:361-437)
+# ---------------------------------------------------------------------------
+
+
+def apply_macroatom_results(key, tag, st: PacketState, ma_res, ma_mask, opts: Options):
+    """Apply macro-atom deactivation outcomes (reference: macroatom.cc:398-628)."""
+    kind = jnp.where(ma_mask, ma_res["kind"], 0)
+    rad = (kind == 1) | (kind == 2)
+    to_kpkt = kind == 3
+
+    st = st.replace(nu_cmf=jnp.where(rad, ma_res["nu_cmf"], st.nu_cmf))
+    st_emitted = emit_rpkt_batch(key, tag, st, rad, opts)
+    st = st_emitted.replace(
+        emissiontype=jnp.where(rad, ma_res["emissiontype"], st.emissiontype),
+        next_trans=jnp.where(rad, ma_res["next_trans"], st.next_trans),
+        em_pos=jnp.where(rad[:, None], st.pos, st.em_pos),
+        em_time=jnp.where(rad, st.prop_time, st.em_time),
+        nscatterings=jnp.where(rad, 0, st.nscatterings),
+        ptype=jnp.where(to_kpkt, TYPE_KPKT, st_emitted.ptype),
+    )
+    # first thermal-emission bookkeeping (macroatom.cc:617-621)
+    notset = st.trueemissiontype == EMTYPE_NOTSET
+    st = st.replace(
+        trueemissiontype=jnp.where(ma_mask & notset & rad, st.emissiontype, st.trueemissiontype),
+        trueem_time=jnp.where(ma_mask & notset & rad, st.em_time, st.trueem_time),
+        trueemissionvelocity=jnp.where(
+            ma_mask & notset & rad,
+            geometry.vec_len(st.em_pos) / jnp.maximum(st.em_time, 1e-30),
+            st.trueemissionvelocity,
+        ),
+    )
+    return st
+
+
+def transport_timestep(
+    key,
+    st: PacketState,
+    est: Estimators,
+    grid: GridData,
+    dad: DeviceAtomicData,
+    aux,
+    rc,
+    rates,
+    cells,
+    ctx: StepContext,
+    opts: Options,
+    gamma_kappagrey: float,
+    opacity_case: int,
+    kpktdiffusion_timescale: float,
+    apply_kpkt_diffusion: bool,
+    max_iters: int = 4096,
+):
+    """Advance every packet to the end of the timestep (or escape).
+
+    One while_loop iteration performs: pellet decays, nonthermal predeposits,
+    NT-deposit conversions, k-packet destruction, a gamma flight step, an
+    r-packet event step, and macro-atom resolution — each as a masked batched
+    pass, replacing the reference's per-packet recursion + sort-by-cell passes
+    (update_packets.cc:374-425).
+    """
+    from .kpkt import do_kpkt_batch
+    from .macroatom import do_macroatom_batch
+
+    def is_active(st):
+        return (st.ptype != TYPE_ESCAPE) & (st.prop_time < ctx.t2)
+
+    def cond(carry):
+        st, est, it, nsteps = carry
+        return jnp.logical_and(jnp.any(is_active(st)), it < max_iters)
+
+    def body(carry):
+        st, est, it, nsteps = carry
+        k = jax.random.fold_in(key, it)
+        # rpkt event-step counter (the headline throughput metric)
+        nsteps = nsteps + jnp.sum((st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2))
+
+        # 1. pellets
+        st, est = pellet_step(jax.random.fold_in(k, 101), st, est, ctx, opts)
+
+        # 2. nonthermal predeposit particles
+        st, est = nonthermal_predeposit_step(
+            jax.random.fold_in(k, 102), st, est, ctx, grid, cells.rho, opts
+        )
+
+        # 3. NT-deposited -> kpkt (NT solver off) (nonthermal.cc:2299-2307,
+        # 2385-2388 fallthrough)
+        nt_dep = (st.ptype == TYPE_NTLEPTON_DEPOSITED) | (st.ptype == TYPE_NTALPHA_DEPOSITED)
+        nt_dep = nt_dep & (st.prop_time < ctx.t2)
+        st = st.replace(ptype=jnp.where(nt_dep, TYPE_KPKT, st.ptype))
+
+        # 4. k-packets: blackbody in thick cells / pre-kpkts...
+        st, _bbmask = kpkt_blackbody_step(
+            jax.random.fold_in(k, 103), st, ctx, grid, cells.Te, cells.thick, opts
+        )
+        # ...full cooling-channel selection elsewhere
+        nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
+        safe_mgi = jnp.maximum(nonemptymgi, 0)
+        nonthick = (nonemptymgi >= 0) & (cells.thick[safe_mgi] != 1)
+        kpkt_mask = (st.ptype == TYPE_KPKT) & (st.prop_time < ctx.t2) & nonthick
+        st, kpkt_rad, ma_mask_k, ma_level_k = do_kpkt_batch(
+            jax.random.fold_in(k, 104), dad, aux, rc, rates, ctx.levelpops, st,
+            kpkt_mask, safe_mgi, cells.Te, cells.nne, ctx.t2, ctx.t2 - ctx.ts,
+            kpktdiffusion_timescale, apply_kpkt_diffusion,
+        )
+        # radiative kpkt destruction: emit as r-packets
+        st = emit_rpkt_batch(jax.random.fold_in(k, 105), 0, st, kpkt_rad, opts)
+        st = st.replace(
+            em_pos=jnp.where(kpkt_rad[:, None], st.pos, st.em_pos),
+            em_time=jnp.where(kpkt_rad, st.prop_time, st.em_time),
+            nscatterings=jnp.where(kpkt_rad, 0, st.nscatterings),
+        )
+
+        # 5. gamma packets
+        st, est = gamma_step(
+            jax.random.fold_in(k, 106), st, est, ctx, grid, cells.rho,
+            cells.nnetot, cells.ffegrp, gamma_kappagrey, opts,
+        )
+
+        # 6. r-packets
+        st, est, ma_mask_r, ma_level_r, ma_act_line = rpkt_step(
+            jax.random.fold_in(k, 107), st, est, ctx, grid, dad, cells, opts,
+            opacity_case,
+        )
+
+        # 7. macro-atoms (from kpkt collisions and rpkt bb/bf absorptions;
+        # always resolved within the same iteration)
+        ma_mask = ma_mask_k | ma_mask_r
+        ma_level = jnp.where(ma_mask_k, ma_level_k, ma_level_r)
+        ma_res = do_macroatom_batch(
+            jax.random.fold_in(k, 108), dad, aux, rc, rates, ctx.levelpops,
+            safe_mgi, ma_level, ma_mask, cells.Te, cells.TR, cells.W, cells.nne,
+            ctx.t_mid,
+        )
+        st = apply_macroatom_results(jax.random.fold_in(k, 109), 110, st, ma_res, ma_mask, opts)
+
+        return st, est, it + 1, nsteps
+
+    nsteps0 = jnp.sum(jnp.zeros_like(st.ptype, dtype=jnp.int64))
+    st, est, iters, nsteps = jax.lax.while_loop(
+        cond, body, (st, est, jnp.int32(0), nsteps0)
+    )
+    return st, est, iters, nsteps

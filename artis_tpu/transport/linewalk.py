@@ -75,18 +75,20 @@ def get_event_batch(
     # no-event outcome (reference: rpkt.cc:180-192 leaves next_trans untouched)
     fresh_nolines = cursor0 >= nlines
 
-    # walk state
+    # walk state (all carries derived from varying inputs so the loop is
+    # well-typed under shard_map's varying-axis tracking)
+    zerosf = jnp.zeros_like(nu_cmf0)
     state = dict(
         cursor=jnp.where(active, cursor0, jnp.int32(nlines)),
-        dist=jnp.zeros(npkts, dtype),
-        tau=jnp.zeros(npkts, dtype),
+        dist=zerosf,
+        tau=zerosf,
         nu=nu_cmf0,
         t=prop_time0,
         done=~active,
-        edist=jnp.full(npkts, big, dtype),
+        edist=zerosf + big,
         next_trans=next_trans_in.astype(jnp.int32),
-        is_bb=jnp.zeros(npkts, bool),
-        act_line=jnp.full(npkts, -99, jnp.int32),
+        is_bb=active & False,
+        act_line=jnp.zeros_like(next_trans_in, dtype=jnp.int32) - 99,
         it=jnp.int32(0),
     )
 

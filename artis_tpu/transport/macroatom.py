@@ -1,0 +1,417 @@
+"""Batched Lucy macro-atom: internal transitions until deactivation.
+
+TPU-native rebuild of the reference macro-atom (reference: macroatom.cc:309-628
+do_macroatom, 39-152 calculate_macroatom_transitionrates, 154-304 selection
+helpers). Process-rate sums per (cell, level) are precomputed by
+plasma.transitionrates; the jump loop is a masked batched while_loop whose
+per-jump transition choice re-walks only the active level's transition block
+in fixed-size chunks (the TPU version of the reference's cumulative arrays in
+the cell cache).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..atomic import DeviceAtomicData
+from ..constants import H, HCLIGHTOVERFOURPI, CLIGHTSQUAREDOVERTWOH
+from ..plasma.ratecoeff import RateCoeffTables, interpolate_lut, select_continuum_nu_batch
+from ..plasma.radfield import dbb
+from ..plasma.transitionrates import (
+    MA_ACTION_COLDEEXC, MA_ACTION_COLRECOMB, MA_ACTION_COUNT,
+    MA_ACTION_INTERNALDOWNLOWER, MA_ACTION_INTERNALDOWNSAME,
+    MA_ACTION_INTERNALUPHIGHER, MA_ACTION_INTERNALUPHIGHERNT,
+    MA_ACTION_INTERNALUPSAME, MA_ACTION_RADDEEXC, MA_ACTION_RADRECOMB,
+    ProcessRates, beta_sobolev, col_deexcitation_ratecoeff,
+    col_excitation_ratecoeff, col_ionization_ratecoeff,
+    col_recombination_ratecoeff,
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "recomb_cont_of_upper", "level_recomb_start", "level_recomb_count",
+        "ioncont_cont_of_lower", "level_ioncont_start", "level_ioncont_count",
+        "cont_emtype", "ion_cont_start", "ion_cont_count",
+    ],
+    meta_fields=["max_ndowntrans", "max_nuptrans", "max_recomb", "max_ioncont", "max_ioncont_ion", "max_nlevels_ion"],
+)
+@dataclasses.dataclass(frozen=True)
+class MacroAtomAux:
+    """Continuum-list regroupings by upper/lower level for MA selection."""
+
+    recomb_cont_of_upper: jax.Array  # (ncont,) cont indices sorted by upper level
+    level_recomb_start: jax.Array  # (nlevels,)
+    level_recomb_count: jax.Array
+    ioncont_cont_of_lower: jax.Array  # (ncont,) cont indices sorted by lower level
+    level_ioncont_start: jax.Array
+    level_ioncont_count: jax.Array
+    cont_emtype: jax.Array  # (ncont,) negative continuum emission-type codes
+    ion_cont_start: jax.Array  # (nions,) offset into ioncont_cont_of_lower per ion
+    ion_cont_count: jax.Array  # (nions,)
+    max_ndowntrans: int
+    max_nuptrans: int
+    max_recomb: int
+    max_ioncont: int
+    max_ioncont_ion: int
+    max_nlevels_ion: int
+
+
+def build_aux(dad: DeviceAtomicData) -> MacroAtomAux:
+    nlev = dad.nlevels_total
+    ncont = dad.nbfcontinua
+    upper = np.asarray(dad.cont_uniqueupper)
+    lower = np.asarray(dad.cont_uniquelower)
+
+    order_u = np.argsort(upper, kind="stable") if ncont else np.zeros(0, np.int64)
+    order_l = np.argsort(lower, kind="stable") if ncont else np.zeros(0, np.int64)
+    count_u = np.bincount(upper, minlength=nlev) if ncont else np.zeros(nlev, np.int64)
+    count_l = np.bincount(lower, minlength=nlev) if ncont else np.zeros(nlev, np.int64)
+    start_u = np.concatenate([[0], np.cumsum(count_u)[:-1]])
+    start_l = np.concatenate([[0], np.cumsum(count_l)[:-1]])
+
+    # continuum emission type: -1 - cont_index(level) - phixstargetindex
+    # (reference: atomic.h:444-448); cont_index increments over levels with
+    # tables in level order, which equals position when sorted by lower level
+    emtype = np.zeros(max(ncont, 1), np.int64)
+    if ncont:
+        # level_cont_index base per lower level: cumulative count in level order
+        base = start_l  # == cont_index of the level's first target
+        for k, ci in enumerate(order_l):
+            lev = lower[ci]
+            emtype[ci] = -1 - (base[lev] + (k - start_l[lev]))
+
+    # per-ion grouping: sorting by lower level also groups by ion because a
+    # given ion's levels are contiguous in the unique-level ordering
+    lvl_ion = np.asarray(dad.level_ion)
+    nions = dad.nions_total
+    cont_ion_sorted = lvl_ion[lower[order_l]] if ncont else np.zeros(0, np.int64)
+    ion_cont_count = np.bincount(cont_ion_sorted, minlength=nions) if ncont else np.zeros(nions, np.int64)
+    ion_cont_start = np.concatenate([[0], np.cumsum(ion_cont_count)[:-1]])
+
+    return MacroAtomAux(
+        recomb_cont_of_upper=jnp.asarray(order_u.astype(np.int64)),
+        level_recomb_start=jnp.asarray(start_u.astype(np.int64)),
+        level_recomb_count=jnp.asarray(count_u.astype(np.int32)),
+        ioncont_cont_of_lower=jnp.asarray(order_l.astype(np.int64)),
+        level_ioncont_start=jnp.asarray(start_l.astype(np.int64)),
+        level_ioncont_count=jnp.asarray(count_l.astype(np.int32)),
+        cont_emtype=jnp.asarray(emtype),
+        ion_cont_start=jnp.asarray(ion_cont_start.astype(np.int64)),
+        ion_cont_count=jnp.asarray(ion_cont_count.astype(np.int32)),
+        max_ndowntrans=int(np.asarray(dad.level_ndowntrans).max(initial=0)),
+        max_nuptrans=int(np.asarray(dad.level_nuptrans).max(initial=0)),
+        max_recomb=int(count_u.max(initial=0)),
+        max_ioncont=int(count_l.max(initial=0)),
+        max_ioncont_ion=int(ion_cont_count.max(initial=0)),
+        max_nlevels_ion=int(np.asarray(dad.ion_nlevels).max(initial=1)),
+    )
+
+
+def _select_chunked(target, count, maxcount, value_at, chunk: int = 64):
+    """Find the first index k in [0, count) where cumulative(value) > target.
+
+    value_at(k_array) -> (npkts, chunk) values; masked walk shared by all
+    macro-atom per-transition selections (reference upper_bound on cumulative
+    arrays, macroatom.cc:163-168 etc.). Returns (npkts,) selected k (clipped to
+    count-1 when rounding overshoots)."""
+    npkts = target.shape[0]
+    nchunks = max(-(-maxcount // chunk), 1)
+
+    def body(carry, c):
+        cum, chosen = carry
+        k = c * chunk + jnp.arange(chunk)
+        vals = value_at(k)  # (npkts, chunk)
+        vals = jnp.where((k[None, :] < count[:, None]), vals, 0.0)
+        cumchunk = jnp.cumsum(vals, axis=1) + cum[:, None]
+        hit = (cumchunk > target[:, None]) & (chosen[:, None] < 0) & (k[None, :] < count[:, None])
+        anyhit = jnp.any(hit, axis=1)
+        first = (jnp.argmax(hit, axis=1) + c * chunk).astype(jnp.int32)
+        chosen = jnp.where((chosen < 0) & anyhit, first, chosen)
+        return (cumchunk[:, -1], chosen), None
+
+    (cum, chosen), _ = jax.lax.scan(
+        body,
+        (jnp.zeros_like(target), jnp.zeros_like(target, dtype=jnp.int32) - 1),
+        jnp.arange(nchunks),
+    )
+    return jnp.clip(jnp.where(chosen < 0, count - 1, chosen), 0, jnp.maximum(count - 1, 0))
+
+
+def do_macroatom_batch(
+    key,
+    dad: DeviceAtomicData,
+    aux: MacroAtomAux,
+    rc: RateCoeffTables,
+    rates: ProcessRates,
+    levelpops: jax.Array,
+    cellidx: jax.Array,  # (npkts,) nonemptymgi (safe, >= 0)
+    level_in: jax.Array,  # (npkts,) global unique level of activation
+    active_in: jax.Array,  # (npkts,) packets in MA state
+    t_e_c: jax.Array,  # (ncells,)
+    t_r_c: jax.Array,
+    w_c: jax.Array,
+    nne_c: jax.Array,
+    t_mid: float,
+    max_jumps: int = 1024,
+):
+    """Run the macro-atom to deactivation for all flagged packets.
+
+    Returns dict with: deactivation kind (0 none, 1 rad-bb, 2 rad-fb, 3 kpkt),
+    nu_cmf for radiative deactivations, emissiontype, next_trans.
+    """
+    npkts = level_in.shape[0]
+    dtype = t_e_c.dtype
+    t_e = t_e_c[cellidx]
+    t_r = jnp.maximum(t_r_c[cellidx], 1.0)
+    w = w_c[cellidx]
+    nne = nne_c[cellidx]
+
+    nlev = dad.nlevels_total
+
+    def trans_block_values_down(level, mode):
+        """Per-downtrans values for the level: mode 0: R*eps_trans (raddeexc),
+        mode 1: (R+C)*eps_target (internal down same)."""
+
+        def value_at(k):
+            tidx = dad.level_alltrans_start[level][:, None] + k[None, :]
+            tidx = jnp.clip(tidx, 0, dad.ntrans_total - 1)
+            owner = level[:, None]
+            target_inion = dad.trans_target[tidx]
+            target = dad.ion_level_start[dad.level_ion[owner]] + target_inion
+            eps_trans = dad.level_energy[owner] - dad.level_energy[target]
+            nu_trans = jnp.maximum(eps_trans / H, 1e-30)
+            a_ul = dad.trans_A[tidx]
+            b_ul = CLIGHTSQUAREDOVERTWOH / nu_trans**3 * a_ul
+            g_u = dad.level_g[owner]
+            g_l = dad.level_g[target]
+            b_lu = g_u / g_l * b_ul
+            n_u = levelpops[cellidx[:, None], owner]
+            n_l = levelpops[cellidx[:, None], target]
+            tau = jnp.maximum((b_lu * n_l - b_ul * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0)
+            r = a_ul * beta_sobolev(tau)
+            if mode == 0:
+                return r * eps_trans
+            c = col_deexcitation_ratecoeff(
+                t_e[:, None], nne[:, None], eps_trans, dad.trans_coll_str[tidx],
+                dad.trans_forbidden[tidx], dad.trans_osc_strength[tidx], g_u, g_l,
+            )
+            return (r + c) * dad.level_energy[target]
+
+        return value_at
+
+    def trans_block_values_up(level):
+        """(R+C)*eps_current per uptrans (internal up same)."""
+
+        def value_at(k):
+            base = dad.level_alltrans_start[level] + dad.level_ndowntrans[level]
+            tidx = jnp.clip(base[:, None] + k[None, :], 0, dad.ntrans_total - 1)
+            owner = level[:, None]
+            target_inion = dad.trans_target[tidx]
+            target = dad.ion_level_start[dad.level_ion[owner]] + target_inion
+            eps_trans = dad.level_energy[target] - dad.level_energy[owner]
+            nu_trans = jnp.maximum(eps_trans / H, 1e-30)
+            a_ul = dad.trans_A[tidx]
+            b_ul = CLIGHTSQUAREDOVERTWOH / nu_trans**3 * a_ul
+            g_u = dad.level_g[target]
+            g_l = dad.level_g[owner]
+            b_lu = g_u / g_l * b_ul
+            n_u = levelpops[cellidx[:, None], target]
+            n_l = levelpops[cellidx[:, None], owner]
+            tau = jnp.maximum((b_lu * n_l - b_ul * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0)
+            beta = beta_sobolev(tau)
+            r_over_j = jnp.where(
+                n_l > 0, (b_lu - b_ul * n_u / jnp.maximum(n_l, 1e-300)) * beta, b_lu * beta
+            )
+            r = jnp.maximum(r_over_j * dbb(nu_trans, t_r[:, None], w[:, None]), 0.0)
+            c = col_excitation_ratecoeff(
+                t_e[:, None], nne[:, None], eps_trans, dad.trans_coll_str[tidx],
+                dad.trans_forbidden[tidx], dad.trans_osc_strength[tidx], g_u, g_l,
+            )
+            return (r + c) * dad.level_energy[owner]
+
+        return value_at
+
+    def recomb_block_values(level, mode):
+        """Per-recomb-continuum values: mode 0: R*eps_trans (radrecomb);
+        mode 1: (R+C)*eps_target (internal down lower)."""
+
+        def value_at(k):
+            bidx = jnp.clip(aux.level_recomb_start[level][:, None] + k[None, :], 0,
+                            max(dad.nbfcontinua - 1, 0))
+            ci = aux.recomb_cont_of_upper[bidx]
+            ll = dad.cont_uniquelower[ci]
+            eps_trans = dad.level_energy[level][:, None] - dad.level_energy[ll]
+            alpha = interpolate_lut(rc.spontrecomb, rc, ci, t_e[:, None])
+            r = nne[:, None] * alpha
+            if mode == 0:
+                return r * eps_trans
+            sigma_edge = dad.allphixs[dad.cont_phixsrow[ci], 0].astype(dtype) * dad.cont_probability[ci]
+            upper_stage = dad.ion_stage[dad.cont_ion[ci]] + 1
+            c = col_recombination_ratecoeff(
+                t_e[:, None], nne[:, None], sigma_edge, eps_trans, upper_stage,
+                dad.level_g[ll], dad.level_g[level][:, None],
+            )
+            return (r + c) * dad.level_energy[ll]
+
+        return value_at
+
+    def ioncont_block_values(level):
+        """(R+C)*eps_current per upward continuum (internal up higher)."""
+
+        def value_at(k):
+            bidx = jnp.clip(aux.level_ioncont_start[level][:, None] + k[None, :], 0,
+                            max(dad.nbfcontinua - 1, 0))
+            ci = aux.ioncont_cont_of_lower[bidx]
+            ul = dad.cont_uniqueupper[ci]
+            eps_trans = dad.level_energy[ul] - dad.level_energy[level][:, None]
+            gamma_lut = interpolate_lut(rc.corrphotoion, rc, ci, t_r[:, None])
+            r = w[:, None] * gamma_lut
+            sigma_edge = dad.allphixs[dad.cont_phixsrow[ci], 0].astype(dtype) * dad.cont_probability[ci]
+            c = col_ionization_ratecoeff(
+                t_e[:, None], nne[:, None], sigma_edge, eps_trans,
+                dad.ion_stage[dad.cont_ion[ci]],
+            )
+            return (r + c) * dad.level_energy[level][:, None]
+
+        return value_at
+
+    zi = jnp.zeros_like(level_in, dtype=jnp.int32)
+    state = dict(
+        level=jnp.clip(level_in, 0, nlev - 1),
+        active=active_in,
+        kind=zi,  # 1 rad-bb, 2 rad-fb, 3 kpkt
+        nu_cmf=jnp.zeros_like(t_e),
+        emissiontype=zi,
+        next_trans=zi,
+        fb_cont=zi,
+        it=jnp.int32(0),
+    )
+
+    def cond(s):
+        return jnp.logical_and(jnp.any(s["active"]), s["it"] < max_jumps)
+
+    def body(s):
+        k = jax.random.fold_in(key, s["it"])
+        level = s["level"]
+        pr = rates.ma_rates[cellidx, level]  # (npkts, 9)
+        cum = jnp.cumsum(pr, axis=1)
+        total = jnp.maximum(cum[:, -1], 1e-300)
+        zrand = jax.random.uniform(jax.random.fold_in(k, 1), (npkts,), dtype) * total
+        action = jnp.sum((cum <= zrand[:, None]).astype(jnp.int32), axis=1)
+        action = jnp.minimum(action, MA_ACTION_COUNT - 1)
+        act = lambda a: s["active"] & (action == a)
+        # dead-end guard: no rates at all -> kpkt (matches reference abort-free
+        # handling of zero-rate levels, which cannot occur with valid data)
+        stuck = s["active"] & (cum[:, -1] <= 0)
+
+        u2 = jax.random.uniform(jax.random.fold_in(k, 2), (npkts,), dtype)
+
+        # --- RADDEEXC: choose the down transition by R*eps cumulative ---
+        m = act(MA_ACTION_RADDEEXC)
+        tgt = u2 * pr[:, MA_ACTION_RADDEEXC]
+        ksel = _select_chunked(tgt, dad.level_ndowntrans[level], aux.max_ndowntrans,
+                               trans_block_values_down(level, 0))
+        tidx = jnp.clip(dad.level_alltrans_start[level] + ksel, 0, dad.ntrans_total - 1)
+        lineindex = dad.trans_lineindex[tidx].astype(jnp.int32)
+        target = dad.ion_level_start[dad.level_ion[level]] + dad.trans_target[tidx]
+        nu_line = (dad.level_energy[level] - dad.level_energy[target]) / H
+        kind = jnp.where(m, 1, s["kind"])
+        nu_cmf = jnp.where(m, nu_line, s["nu_cmf"])
+        emissiontype = jnp.where(m, lineindex, s["emissiontype"])
+        next_trans = jnp.where(m, lineindex + 1, s["next_trans"])
+        done = m
+
+        # --- COLDEEXC / COLRECOMB / NT-stuck: to kpkt ---
+        m = act(MA_ACTION_COLDEEXC) | act(MA_ACTION_COLRECOMB) | stuck
+        kind = jnp.where(m, 3, kind)
+        done = done | m
+
+        # --- INTERNALDOWNSAME ---
+        m = act(MA_ACTION_INTERNALDOWNSAME) & ~stuck
+        tgt = u2 * pr[:, MA_ACTION_INTERNALDOWNSAME]
+        ksel = _select_chunked(tgt, dad.level_ndowntrans[level], aux.max_ndowntrans,
+                               trans_block_values_down(level, 1))
+        tidx = jnp.clip(dad.level_alltrans_start[level] + ksel, 0, dad.ntrans_total - 1)
+        target = dad.ion_level_start[dad.level_ion[level]] + dad.trans_target[tidx]
+        newlevel = jnp.where(m, target, level)
+
+        # --- RADRECOMB: choose lower level, sample fb continuum nu ---
+        m = act(MA_ACTION_RADRECOMB)
+        tgt = u2 * pr[:, MA_ACTION_RADRECOMB]
+        ksel = _select_chunked(tgt, aux.level_recomb_count[level], max(aux.max_recomb, 1),
+                               recomb_block_values(level, 0))
+        bidx = jnp.clip(aux.level_recomb_start[level] + ksel, 0, max(dad.nbfcontinua - 1, 0))
+        ci = aux.recomb_cont_of_upper[bidx].astype(jnp.int32)
+        kind = jnp.where(m, 2, kind)
+        fb_cont = jnp.where(m, ci, s["fb_cont"])
+        emissiontype = jnp.where(m, aux.cont_emtype[ci].astype(jnp.int32), emissiontype)
+        next_trans = jnp.where(m, -1, next_trans)
+        done = done | m
+
+        # --- INTERNALDOWNLOWER ---
+        m = act(MA_ACTION_INTERNALDOWNLOWER) & ~stuck
+        tgt = u2 * pr[:, MA_ACTION_INTERNALDOWNLOWER]
+        ksel = _select_chunked(tgt, aux.level_recomb_count[level], max(aux.max_recomb, 1),
+                               recomb_block_values(level, 1))
+        bidx = jnp.clip(aux.level_recomb_start[level] + ksel, 0, max(dad.nbfcontinua - 1, 0))
+        ci = aux.recomb_cont_of_upper[bidx]
+        newlevel = jnp.where(m, dad.cont_uniquelower[ci], newlevel)
+
+        # --- INTERNALUPSAME ---
+        m = act(MA_ACTION_INTERNALUPSAME) & ~stuck
+        tgt = u2 * pr[:, MA_ACTION_INTERNALUPSAME]
+        ksel = _select_chunked(tgt, dad.level_nuptrans[level], max(aux.max_nuptrans, 1),
+                               trans_block_values_up(level))
+        base = dad.level_alltrans_start[level] + dad.level_ndowntrans[level]
+        tidx = jnp.clip(base + ksel, 0, dad.ntrans_total - 1)
+        target = dad.ion_level_start[dad.level_ion[level]] + dad.trans_target[tidx]
+        newlevel = jnp.where(m, target, newlevel)
+
+        # --- INTERNALUPHIGHER ---
+        m = act(MA_ACTION_INTERNALUPHIGHER) & ~stuck
+        tgt = u2 * pr[:, MA_ACTION_INTERNALUPHIGHER]
+        ksel = _select_chunked(tgt, aux.level_ioncont_count[level], max(aux.max_ioncont, 1),
+                               ioncont_block_values(level))
+        bidx = jnp.clip(aux.level_ioncont_start[level] + ksel, 0, max(dad.nbfcontinua - 1, 0))
+        ci = aux.ioncont_cont_of_lower[bidx]
+        newlevel = jnp.where(m, dad.cont_uniqueupper[ci], newlevel)
+
+        # NT up-higher: disabled (NT_ON handled in the nonthermal stack)
+        m = act(MA_ACTION_INTERNALUPHIGHERNT) & ~stuck
+        kind = jnp.where(m, 3, kind)
+        done = done | m
+
+        return dict(
+            level=newlevel,
+            active=s["active"] & ~done,
+            kind=kind,
+            nu_cmf=nu_cmf,
+            emissiontype=emissiontype,
+            next_trans=next_trans,
+            fb_cont=fb_cont,
+            it=s["it"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, state)
+
+    # sample fb emission frequency for radiative recombinations
+    # (reference: ratecoeff.cc:896-950 via macroatom.cc:259)
+    fb_mask = out["kind"] == 2
+    nu_fb = select_continuum_nu_batch(
+        jax.random.fold_in(key, 999), dad, out["fb_cont"], t_e, fb_mask
+    )
+    nu_cmf = jnp.where(fb_mask, nu_fb, out["nu_cmf"])
+
+    return dict(
+        kind=out["kind"],
+        nu_cmf=nu_cmf,
+        emissiontype=out["emissiontype"],
+        next_trans=out["next_trans"],
+    )

@@ -127,7 +127,9 @@ def calculate_chi_bf(
             return (cumchunk[:, -1], chosen), None
 
         (_, chosen), _ = jax.lax.scan(
-            body2, (jnp.zeros_like(nu), jnp.full(nu.shape, -1, jnp.int32)), jnp.arange(nchunks)
+            body2,
+            (jnp.zeros_like(nu), jnp.zeros_like(nu, dtype=jnp.int32) - 1),
+            jnp.arange(nchunks),
         )
         return jnp.clip(chosen, 0, ncont - 1)
 

@@ -1,0 +1,97 @@
+"""End-to-end simulation test on a miniature Ni56-powered 1D model.
+
+The correctness bar (SURVEY.md section 4): physically sane outputs rather than
+golden checksums — energy accounting, monotone behaviours, file formats.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from make_run import make_run
+
+
+@pytest.fixture(scope="module")
+def simrun(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("e2e"))
+    make_run(d, ncells=6, ntimesteps=4, tmax_days=2.0, ngreyts=2)
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, kilonova_lte
+
+    opts = kilonova_lte(
+        npkts=800, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=64,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    sim.run()
+    return d, sim, opts
+
+
+def test_packets_conserved_and_typed(simrun):
+    d, sim, opts = simrun
+    import artis_tpu.packets as pk
+
+    types = np.asarray(sim.state.ptype)
+    assert len(types) == opts.npkts
+    allowed = {pk.TYPE_ESCAPE, pk.TYPE_RADIOACTIVE_PELLET, pk.TYPE_GAMMA, pk.TYPE_RPKT,
+               pk.TYPE_KPKT}
+    assert set(np.unique(types)).issubset(allowed)
+    # remaining pellets must decay after the last SIMULATED timestep
+    # (timestep_finish is exclusive, reference: sn3d.cc:879)
+    pellets = types == pk.TYPE_RADIOACTIVE_PELLET
+    t_end = float(sim.ts.start[sim.params.timestep_finish])
+    assert np.all(np.asarray(sim.state.tdecay)[pellets] > t_end)
+
+
+def test_energy_conservation(simrun):
+    """e_cmf is conserved or degraded by expansion; total energy budget sane."""
+    d, sim, opts = simrun
+    e_cmf = np.asarray(sim.state.e_cmf)
+    assert np.all(np.isfinite(e_cmf))
+    assert np.all(e_cmf >= 0)
+    # total packet energy should be within the initial budget (expansion losses
+    # only reduce cmf energy; rf energy can differ)
+    assert e_cmf.sum() <= sim.pellet_tables.norm * 1.05
+
+
+def test_lightcurve_positive_and_outputs_written(simrun):
+    d, sim, opts = simrun
+    assert sim.lc_lum.max() > 0
+    assert os.path.exists(os.path.join(d, "light_curve.out"))
+    assert os.path.exists(os.path.join(d, "spec.out"))
+    assert os.path.exists(os.path.join(d, "packets00_0000.out"))
+    lc = np.loadtxt(os.path.join(d, "light_curve.out"))
+    assert lc.shape[1] == 3
+    spec = np.loadtxt(os.path.join(d, "spec.out"))
+    assert spec.shape == (1001, sim.params.ntimesteps + 1)
+
+
+def test_gamma_deposition_declines(simrun):
+    """Gamma deposition should decline as the ejecta thins (fixed Ni56 decay)."""
+    d, sim, opts = simrun
+    dep = sim.gamma_dep_ts[: sim.params.timestep_finish]
+    assert dep[0] > 0
+    assert dep[-1] < dep[0]
+
+
+def test_exspec_runs(simrun):
+    d, sim, opts = simrun
+    from artis_tpu.exspec import run_exspec
+
+    run_exspec(d, opts)
+    assert os.path.exists(os.path.join(d, "gamma_spec.out"))
+    assert os.path.exists(os.path.join(d, "gamma_light_curve.out"))
+    glc = np.loadtxt(os.path.join(d, "gamma_light_curve.out"))
+    assert glc[:, 1].max() > 0  # gamma packets escaped
+
+
+def test_estimators_sane(simrun):
+    d, sim, opts = simrun
+    j = np.asarray(sim.prev_est.j)
+    assert np.all(np.isfinite(j))
+    assert j.sum() > 0  # radiation field was sampled
+    te = np.asarray(sim.cells.Te)
+    assert np.all((te >= opts.mintemp) & (te <= opts.maxtemp))
+    nne = np.asarray(sim.cells.nne)
+    assert np.all(nne > 0)
