@@ -53,6 +53,31 @@ def printout(logfile, msg):
         logfile.flush()
 
 
+def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid, first_ts: bool):
+    """All device work of one grid update fused into a single dispatch:
+    radiation-field fit (LTE T_J path), Saha/nne balance, level populations,
+    ff-opacity parts and the macro-atom/cooling rate tables
+    (reference: update_grid.cc:869-1072 solved per cell; here batched)."""
+    if not first_ts:
+        t_j = radfield_mod.get_t_j_from_j(j_norm, opts.mintemp, opts.maxtemp)
+        valid = jnp.isfinite(t_j) & (j_norm > 0)
+        t_j = jnp.where(valid, t_j, cells.TJ)
+        cells = cells.replace(
+            TJ=t_j, TR=t_j, Te=t_j, W=jnp.ones_like(t_j)
+        )
+    cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
+    levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
+    nnion = ltepop_mod.get_nnion(dad, cells)
+    chi_ff_part = opacity_mod.chi_ff_nnionpart_cells(dad, nnion, cells.Te)
+    rates = transitionrates_mod.compute_process_rates(
+        dad, rc, levelpops, nnion, cells.Te, cells.TR, cells.W, cells.nne, t_mid
+    )
+    cells = cells.replace(
+        totalcooling=rates.totalcooling, ion_cooling_contribs=rates.ion_cooling
+    )
+    return cells, levelpops, nnion, chi_ff_part, rates
+
+
 class Simulation:
     """Owns all static data and the evolving state of one run."""
 
@@ -177,9 +202,9 @@ class Simulation:
         )
         seed = p.pre_zseed if p.pre_zseed > 0 else 42
         self.base_key = jax.random.PRNGKey(seed)
-        self.state = packets_mod.packet_init(
-            jax.random.fold_in(self.base_key, 0), self.grid, self.pellet_tables, self.opts
-        )
+        self.state = jax.jit(
+            packets_mod.packet_init, static_argnames=("opts",)
+        )(jax.random.fold_in(self.base_key, 0), self.grid, self.pellet_tables, self.opts)
         self.log(f"packets {self.opts.npkts} etot {self.pellet_tables.norm:g} erg")
 
         # estimators & spectra
@@ -208,6 +233,7 @@ class Simulation:
                 "kpktdiffusion_timescale", "apply_kpkt_diffusion", "max_iters",
             ),
         )
+        self._plasma_jit = jax.jit(_plasma_update_device, static_argnames=("opts", "first_ts"))
 
     # ------------------------------------------------------------------
     def _calculate_kappagrey_initial(self):
@@ -244,6 +270,7 @@ class Simulation:
             )
         else:
             kappa = np.full_like(rho_tmin, GREY_OP)
+        self._kappagrey_np = np.asarray(kappa)
         self.cells = self.cells.replace(kappagrey=jnp.asarray(kappa))
 
     def _total_masses(self):
@@ -279,37 +306,31 @@ class Simulation:
         nnetot = cellstate_mod.calculate_nnetot(self.cells, self.dad)
         self.cells = self.cells.replace(nnetot=nnetot)
 
-        if nts == self.params.timestep_start:
-            # temperatures were assigned at init (or read from restart)
-            self.cells = ltepop_mod.calculate_ion_balance_nne(self.dad, self.cells, opts)
+        first_ts = nts == self.params.timestep_start
+        if first_ts:
+            j_norm = jnp.zeros(ncells)
+            nuj_norm = jnp.zeros(ncells)
         else:
             # normalise estimators from the previous timestep's transport
             nts_prev = nts - 1
             deltat = float(self.ts.width[nts_prev])
-            vol_tmin = np.asarray(grid_mod.get_cell_volume_tmin(self.grid))
-            assoc_vol = np.zeros(self.grid.npts_model + 1)
-            np.add.at(assoc_vol, np.asarray(self.grid.mgi_of_cell), vol_tmin)
-            deltav = assoc_vol[mgi] * (float(self.ts.mid[nts_prev]) / p.tmin) ** 3
-            norm = 1.0 / (deltav * deltat)  # nprocs folded into psum
-            norm4pi = ONEOVER4PI * norm
+            if not hasattr(self, "_assoc_vol"):
+                vol_tmin = np.asarray(grid_mod.get_cell_volume_tmin(self.grid))
+                assoc_vol = np.zeros(self.grid.npts_model + 1)
+                np.add.at(assoc_vol, np.asarray(self.grid.mgi_of_cell), vol_tmin)
+                self._assoc_vol = assoc_vol
+            deltav = self._assoc_vol[mgi] * (float(self.ts.mid[nts_prev]) / p.tmin) ** 3
+            norm4pi = ONEOVER4PI / (deltav * deltat)  # nprocs folded into psum
+            j_norm = self.prev_est.j * jnp.asarray(norm4pi)
+            nuj_norm = self.prev_est.nuj * jnp.asarray(norm4pi)
 
-            j = np.asarray(self.prev_est.j) * norm4pi
-            nuj = np.asarray(self.prev_est.nuj) * norm4pi
-
-            if lte_mode or True:  # LTE path (NLTE stack lands next)
-                t_j = np.asarray(
-                    radfield_mod.get_t_j_from_j(jnp.asarray(j), opts.mintemp, opts.maxtemp)
-                )
-                valid = np.isfinite(t_j) & (j > 0)
-                t_j = np.where(valid, t_j, np.asarray(self.cells.TJ))
-                self.cells = self.cells.replace(
-                    TJ=jnp.asarray(t_j), TR=jnp.asarray(t_j), Te=jnp.asarray(t_j),
-                    W=jnp.ones(ncells),
-                )
-            self.cells = ltepop_mod.calculate_ion_balance_nne(self.dad, self.cells, opts)
+        (self.cells, levelpops, nnion, chi_ff_part, self.rates) = self._plasma_jit(
+            self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
+            jnp.asarray(tmid), first_ts=first_ts,
+        )
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)
-        kappagrey = np.asarray(self.cells.kappagrey)
+        kappagrey = self._kappagrey_np
         assoc_cells = np.asarray(self.grid.numpropcells_mgi)[mgi]
         radial_pos = (
             np.asarray(self.grid.initial_radial_pos_sum_mgi)[mgi] * tratmid / assoc_cells
@@ -323,21 +344,6 @@ class Simulation:
             thick[:] = 1
         self.cells = self.cells.replace(
             thick=jnp.asarray(thick), grey_depth=jnp.asarray(grey_depth)
-        )
-
-        # level populations + per-cell transport tables
-        levelpops = ltepop_mod.calculate_levelpops(self.dad, self.cells, opts)
-        nnion = ltepop_mod.get_nnion(self.dad, self.cells)
-        chi_ff_part = opacity_mod.chi_ff_nnionpart_cells(self.dad, nnion, self.cells.Te)
-
-        # cooling + macro-atom rate tables (only needed when any cell is thin)
-        self.rates = transitionrates_mod.compute_process_rates(
-            self.dad, self.rc, levelpops, nnion, self.cells.Te, self.cells.TR,
-            self.cells.W, self.cells.nne, tmid,
-        )
-        self.cells = self.cells.replace(
-            totalcooling=self.rates.totalcooling,
-            ion_cooling_contribs=self.rates.ion_cooling,
         )
 
         ctx = engine_mod.StepContext(

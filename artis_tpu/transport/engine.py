@@ -824,65 +824,116 @@ def transport_timestep(
         k = jax.random.fold_in(key, it)
         # rpkt event-step counter (the headline throughput metric)
         nsteps = nsteps + jnp.sum((st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2))
+        active = st.prop_time < ctx.t2
 
-        # 1. pellets
-        st, est = pellet_step(jax.random.fold_in(k, 101), st, est, ctx, opts)
+        # Each phase is gated by lax.cond on whether any packet needs it, so
+        # wavefront-tail iterations (a few straggler packets) skip the cost of
+        # every other phase — the TPU counterpart of the reference's
+        # sort-escaped-to-the-end pass structure (update_packets.cc:281-332).
+        def gated(pred, fn, operands):
+            return jax.lax.cond(pred, fn, lambda *ops: ops, *operands)
 
-        # 2. nonthermal predeposit particles
-        st, est = nonthermal_predeposit_step(
-            jax.random.fold_in(k, 102), st, est, ctx, grid, cells.rho, opts
+        # 1+2+3: pellets, NT predeposit, NT-deposit conversion (cheap, fused)
+        def conversions(st, est):
+            st, est = pellet_step(jax.random.fold_in(k, 101), st, est, ctx, opts)
+            st, est = nonthermal_predeposit_step(
+                jax.random.fold_in(k, 102), st, est, ctx, grid, cells.rho, opts
+            )
+            nt_dep = (st.ptype == TYPE_NTLEPTON_DEPOSITED) | (st.ptype == TYPE_NTALPHA_DEPOSITED)
+            nt_dep = nt_dep & (st.prop_time < ctx.t2)
+            st = st.replace(ptype=jnp.where(nt_dep, TYPE_KPKT, st.ptype))
+            return st, est
+
+        any_convertible = jnp.any(
+            active & (
+                (st.ptype == TYPE_RADIOACTIVE_PELLET)
+                | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_BETAMINUS)
+                | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_BETAPLUS)
+                | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_ALPHA)
+                | (st.ptype == TYPE_NTLEPTON_DEPOSITED)
+                | (st.ptype == TYPE_NTALPHA_DEPOSITED)
+            )
         )
+        st, est = gated(any_convertible, conversions, (st, est))
 
-        # 3. NT-deposited -> kpkt (NT solver off) (nonthermal.cc:2299-2307,
-        # 2385-2388 fallthrough)
-        nt_dep = (st.ptype == TYPE_NTLEPTON_DEPOSITED) | (st.ptype == TYPE_NTALPHA_DEPOSITED)
-        nt_dep = nt_dep & (st.prop_time < ctx.t2)
-        st = st.replace(ptype=jnp.where(nt_dep, TYPE_KPKT, st.ptype))
-
-        # 4. k-packets: blackbody in thick cells / pre-kpkts...
-        st, _bbmask = kpkt_blackbody_step(
-            jax.random.fold_in(k, 103), st, ctx, grid, cells.Te, cells.thick, opts
-        )
-        # ...full cooling-channel selection elsewhere
+        # 4. k-packets
         nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
         safe_mgi = jnp.maximum(nonemptymgi, 0)
         nonthick = (nonemptymgi >= 0) & (cells.thick[safe_mgi] != 1)
-        kpkt_mask = (st.ptype == TYPE_KPKT) & (st.prop_time < ctx.t2) & nonthick
-        st, kpkt_rad, ma_mask_k, ma_level_k = do_kpkt_batch(
-            jax.random.fold_in(k, 104), dad, aux, rc, rates, ctx.levelpops, st,
-            kpkt_mask, safe_mgi, cells.Te, cells.nne, ctx.t2, ctx.t2 - ctx.ts,
-            kpktdiffusion_timescale, apply_kpkt_diffusion,
+        active = st.prop_time < ctx.t2
+        any_kpkt = jnp.any(
+            active & ((st.ptype == TYPE_KPKT) | (st.ptype == TYPE_PRE_KPKT))
         )
-        # radiative kpkt destruction: emit as r-packets
-        st = emit_rpkt_batch(jax.random.fold_in(k, 105), 0, st, kpkt_rad, opts)
-        st = st.replace(
-            em_pos=jnp.where(kpkt_rad[:, None], st.pos, st.em_pos),
-            em_time=jnp.where(kpkt_rad, st.prop_time, st.em_time),
-            nscatterings=jnp.where(kpkt_rad, 0, st.nscatterings),
+
+        def kpkt_phase(st, est):
+            st, _bbmask = kpkt_blackbody_step(
+                jax.random.fold_in(k, 103), st, ctx, grid, cells.Te, cells.thick, opts
+            )
+            kpkt_mask = (st.ptype == TYPE_KPKT) & (st.prop_time < ctx.t2) & nonthick
+            st, kpkt_rad, ma_mask_k, ma_level_k = do_kpkt_batch(
+                jax.random.fold_in(k, 104), dad, aux, rc, rates, ctx.levelpops, st,
+                kpkt_mask, safe_mgi, cells.Te, cells.nne, ctx.t2, ctx.t2 - ctx.ts,
+                kpktdiffusion_timescale, apply_kpkt_diffusion,
+            )
+            st = emit_rpkt_batch(jax.random.fold_in(k, 105), 0, st, kpkt_rad, opts)
+            st = st.replace(
+                em_pos=jnp.where(kpkt_rad[:, None], st.pos, st.em_pos),
+                em_time=jnp.where(kpkt_rad, st.prop_time, st.em_time),
+                nscatterings=jnp.where(kpkt_rad, 0, st.nscatterings),
+            )
+            return st, est, ma_mask_k, ma_level_k
+
+        st, est, ma_mask_k, ma_level_k = jax.lax.cond(
+            any_kpkt, kpkt_phase,
+            lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
+                             jnp.zeros_like(st.ptype, dtype=jnp.int64)),
+            st, est,
         )
 
         # 5. gamma packets
-        st, est = gamma_step(
-            jax.random.fold_in(k, 106), st, est, ctx, grid, cells.rho,
-            cells.nnetot, cells.ffegrp, gamma_kappagrey, opts,
+        any_gamma = jnp.any(active & (st.ptype == TYPE_GAMMA))
+        st, est = gated(
+            any_gamma,
+            lambda st, est: gamma_step(
+                jax.random.fold_in(k, 106), st, est, ctx, grid, cells.rho,
+                cells.nnetot, cells.ffegrp, gamma_kappagrey, opts,
+            ),
+            (st, est),
         )
 
         # 6. r-packets
-        st, est, ma_mask_r, ma_level_r, ma_act_line = rpkt_step(
-            jax.random.fold_in(k, 107), st, est, ctx, grid, dad, cells, opts,
-            opacity_case,
+        any_rpkt = jnp.any((st.prop_time < ctx.t2) & (st.ptype == TYPE_RPKT))
+
+        def rpkt_phase(st, est):
+            return rpkt_step(
+                jax.random.fold_in(k, 107), st, est, ctx, grid, dad, cells, opts,
+                opacity_case,
+            )
+
+        st, est, ma_mask_r, ma_level_r, ma_act_line = jax.lax.cond(
+            any_rpkt, rpkt_phase,
+            lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
+                             jnp.zeros_like(st.ptype, dtype=jnp.int64),
+                             jnp.zeros_like(st.ptype) - 99),
+            st, est,
         )
 
         # 7. macro-atoms (from kpkt collisions and rpkt bb/bf absorptions;
         # always resolved within the same iteration)
         ma_mask = ma_mask_k | ma_mask_r
         ma_level = jnp.where(ma_mask_k, ma_level_k, ma_level_r)
-        ma_res = do_macroatom_batch(
-            jax.random.fold_in(k, 108), dad, aux, rc, rates, ctx.levelpops,
-            safe_mgi, ma_level, ma_mask, cells.Te, cells.TR, cells.W, cells.nne,
-            ctx.t_mid,
-        )
-        st = apply_macroatom_results(jax.random.fold_in(k, 109), 110, st, ma_res, ma_mask, opts)
+
+        def ma_phase(st):
+            ma_res = do_macroatom_batch(
+                jax.random.fold_in(k, 108), dad, aux, rc, rates, ctx.levelpops,
+                safe_mgi, ma_level, ma_mask, cells.Te, cells.TR, cells.W, cells.nne,
+                ctx.t_mid,
+            )
+            return apply_macroatom_results(
+                jax.random.fold_in(k, 109), 110, st, ma_res, ma_mask, opts
+            )
+
+        st = jax.lax.cond(jnp.any(ma_mask), ma_phase, lambda st: st, st)
 
         return st, est, it + 1, nsteps
 
