@@ -16,9 +16,15 @@ are sensitive to rounding. We therefore enable JAX x64 at import. Hot kernels
 may locally downcast where validated.
 """
 
+import os
+
 import jax
 
-jax.config.update("jax_enable_x64", True)
+# x64 on by default (reference physics is double precision); set ARTIS_X64=0
+# BEFORE importing artis_tpu for the all-float32 TPU fast path (TPUs have no
+# native f64 — on some backends f64 transfers hang outright).
+if os.environ.get("ARTIS_X64", "1") != "0":
+    jax.config.update("jax_enable_x64", True)
 
 from . import constants, options  # noqa: E402
 

@@ -37,7 +37,9 @@ from .plasma import cellstate as cellstate_mod
 from .plasma import ltepop as ltepop_mod
 from .plasma import radfield as radfield_mod
 from .plasma import ratecoeff as ratecoeff_mod
+from .plasma import thermalbalance as thermalbalance_mod
 from .plasma import transitionrates as transitionrates_mod
+from .devutil import demote_to_f32
 from .transport import engine as engine_mod
 from .transport import macroatom as macroatom_mod
 from .transport import opacity as opacity_mod
@@ -53,17 +55,45 @@ def printout(logfile, msg):
         logfile.flush()
 
 
-def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid, first_ts: bool):
+def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
+                          ffheating_norm, dep_heating, mode: str):
     """All device work of one grid update fused into a single dispatch:
-    radiation-field fit (LTE T_J path), Saha/nne balance, level populations,
-    ff-opacity parts and the macro-atom/cooling rate tables
-    (reference: update_grid.cc:869-1072 solved per cell; here batched)."""
-    if not first_ts:
+    radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
+    populations, ff-opacity parts and the macro-atom/cooling rate tables
+    (reference: update_grid.cc:869-1072 solved per cell; here batched).
+
+    mode: "first" (temperatures pre-assigned), "lte" (T_J path,
+    update_grid.cc:961-978), or "nlte" (T_R/W fit + thermal balance,
+    update_grid.cc:979-1002)."""
+    if mode == "lte":
         t_j = radfield_mod.get_t_j_from_j(j_norm, opts.mintemp, opts.maxtemp)
         valid = jnp.isfinite(t_j) & (j_norm > 0)
         t_j = jnp.where(valid, t_j, cells.TJ)
         cells = cells.replace(
             TJ=t_j, TR=t_j, Te=t_j, W=jnp.ones_like(t_j)
+        )
+    elif mode == "nlte":
+        t_j, t_r, w, valid = radfield_mod.fit_params_fullspec(
+            j_norm, nuj_norm, opts.mintemp, opts.maxtemp
+        )
+        cells = cells.replace(
+            TJ=jnp.where(valid, t_j, cells.TJ),
+            TR=jnp.where(valid, t_r, cells.TR),
+            W=jnp.where(valid, w, cells.W),
+        )
+        cells, _hc = thermalbalance_mod.call_t_e_finder(
+            dad, rc, cells, opts, t_mid, ffheating_norm, dep_heating
+        )
+        # thick cells use the grey/LTE T_J path even in non-LTE timesteps
+        # (reference: update_grid.cc:961-978 per-cell branch)
+        t_j = radfield_mod.get_t_j_from_j(j_norm, opts.mintemp, opts.maxtemp)
+        validj = jnp.isfinite(t_j) & (j_norm > 0)
+        thick1 = cells.thick == 1
+        cells = cells.replace(
+            TJ=jnp.where(thick1 & validj, t_j, cells.TJ),
+            TR=jnp.where(thick1 & validj, t_j, cells.TR),
+            Te=jnp.where(thick1 & validj, t_j, cells.Te),
+            W=jnp.where(thick1, jnp.ones_like(t_j), cells.W),
         )
     cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
     levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
@@ -105,7 +135,18 @@ class Simulation:
             single_level_top_ion=self.opts.single_level_top_ion,
             single_ground_level=self.opts.single_ground_level,
         )
+        # float32 device mode: the TPU path demotes every device structure at
+        # construction time so no float64 array ever lives on (or reads back
+        # from) the device (f64 is unsupported/emulated on TPU backends).
+        if self.opts.transport_dtype not in ("float64", "float32"):
+            raise ValueError(
+                f"transport_dtype must be 'float64' or 'float32', got "
+                f"{self.opts.transport_dtype!r}"
+            )
+        self._f32 = self.opts.transport_dtype == "float32"
         self.dad = to_device(self.ad)
+        if self._f32:
+            self.dad = demote_to_f32(self.dad)
         self.log(
             f"nelements {self.ad.nelements} ions {self.ad.nions_total} "
             f"levels {self.ad.nlevels_total} nlines {self.ad.nlines} "
@@ -118,6 +159,8 @@ class Simulation:
             self.model, p.tmin, self.opts.grid_type,
             (self.opts.ncoordgrid_x, self.opts.ncoordgrid_y, self.opts.ncoordgrid_z),
         )
+        if self._f32:
+            self.grid = demote_to_f32(self.grid)
         self.log(
             f"model dim {self.model.dim} npts {self.model.npts_model} "
             f"grid {self.grid.ncoordgrid} nonempty {self.grid.nonempty_npts}"
@@ -173,6 +216,9 @@ class Simulation:
             self.opts.use_lut_photoion, self.opts.use_lut_bfheating,
         )
         self.aux = macroatom_mod.build_aux(self.dad)
+        if self._f32:
+            self.rc = demote_to_f32(self.rc)
+            self.aux = demote_to_f32(self.aux)
 
         # --- cell state ---
         rho_tmin = self.model.rho_tmin[mgi_of_nonempty]
@@ -189,10 +235,14 @@ class Simulation:
         )
         if self.opts.initial_packets_on and self.opts.use_model_initial_energy and self.model.initenergyq is not None:
             endecay = endecay + self.model.initenergyq[mgi_of_nonempty]
+        fdtype = jnp.float32 if self._f32 else jnp.float64
         self.cells = cellstate_mod.assign_initial_temperatures(
-            self.cells, jnp.asarray(rho_tmin), jnp.asarray(endecay), p.tmin,
+            self.cells, jnp.asarray(rho_tmin, dtype=fdtype),
+            jnp.asarray(endecay, dtype=fdtype), p.tmin,
             float(self.ts.mid[0]), self.opts.mintemp, self.opts.maxtemp,
         )
+        if self._f32:
+            self.cells = demote_to_f32(self.cells)
 
         # --- packets ---
         self.log("placing pellets...")
@@ -200,6 +250,11 @@ class Simulation:
             self.grid, self.dec, self.initnucmassfrac,
             self.model.initenergyq, self.opts, p.tmin, p.tmax,
         )
+        if self._f32:
+            self.pellet_tables = demote_to_f32(self.pellet_tables)
+        # packet energies live on device in units of e0 (erg values overflow
+        # f32); every host-side consumer rescales by this factor
+        self._e0 = float(self.pellet_tables.e0)
         seed = p.pre_zseed if p.pre_zseed > 0 else 42
         self.base_key = jax.random.PRNGKey(seed)
         self.state = jax.jit(
@@ -208,7 +263,7 @@ class Simulation:
         self.log(f"packets {self.opts.npkts} etot {self.pellet_tables.norm:g} erg")
 
         # estimators & spectra
-        self.est = zero_estimators(ncells, max(self.ad.nbfcontinua_ground, 1))
+        self.est = zero_estimators(ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype)
         self.prev_est: Estimators | None = None
         self.lc_lum = np.zeros(p.ntimesteps)
         self.lc_lumcmf = np.zeros(p.ntimesteps)
@@ -218,8 +273,8 @@ class Simulation:
         self._escaped_counted = np.zeros(self.opts.npkts, dtype=bool)
 
         # gamma tables on device
-        self.gammaline_energy = jnp.asarray(self.gamma.line_energy)
-        self.gammaline_cumfrac = jnp.asarray(self.gamma.line_cumfrac)
+        self.gammaline_energy = jnp.asarray(self.gamma.line_energy, dtype=fdtype)
+        self.gammaline_cumfrac = jnp.asarray(self.gamma.line_cumfrac, dtype=fdtype)
         self.gammaline_nlines = jnp.asarray(self.gamma.nuc_nlines)
 
         if p.simulation_continued_from_saved:
@@ -233,7 +288,7 @@ class Simulation:
                 "kpktdiffusion_timescale", "apply_kpkt_diffusion", "max_iters",
             ),
         )
-        self._plasma_jit = jax.jit(_plasma_update_device, static_argnames=("opts", "first_ts"))
+        self._plasma_jit = jax.jit(_plasma_update_device, static_argnames=("opts", "mode"))
 
     # ------------------------------------------------------------------
     def _calculate_kappagrey_initial(self):
@@ -320,13 +375,35 @@ class Simulation:
                 np.add.at(assoc_vol, np.asarray(self.grid.mgi_of_cell), vol_tmin)
                 self._assoc_vol = assoc_vol
             deltav = self._assoc_vol[mgi] * (float(self.ts.mid[nts_prev]) / p.tmin) ** 3
-            norm4pi = ONEOVER4PI / (deltav * deltat)  # nprocs folded into psum
+            norm4pi = self._e0 * ONEOVER4PI / (deltav * deltat)  # nprocs folded into psum
             j_norm = self.prev_est.j * jnp.asarray(norm4pi)
             nuj_norm = self.prev_est.nuj * jnp.asarray(norm4pi)
 
+        # deposition heating rate density [erg/s/cm3]: path estimators
+        # normalised, NT heating fraction = 1 with the NT solver off
+        # (nonthermal.cc:2096-2159)
+        if first_ts:
+            ffheating_norm = jnp.zeros(ncells)
+            dep_heating = jnp.zeros(ncells)
+            mode = "first"
+        else:
+            ffheating_norm = self.prev_est.ffheating * jnp.asarray(norm4pi * FOURPI)
+            dep_norm = jnp.asarray(norm4pi * FOURPI)
+            dep_heating = (
+                self.prev_est.dep_gamma + self.prev_est.dep_positron
+                + self.prev_est.dep_electron + self.prev_est.dep_alpha
+            ) * dep_norm
+            mode = "lte" if lte_mode or bool(np.all(np.asarray(self.cells.thick) == 1)) else "nlte"
+
+        if self._f32:
+            j_norm = demote_to_f32(j_norm)
+            nuj_norm = demote_to_f32(nuj_norm)
+            ffheating_norm = demote_to_f32(ffheating_norm)
+            dep_heating = demote_to_f32(dep_heating)
         (self.cells, levelpops, nnion, chi_ff_part, self.rates) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
-            jnp.asarray(tmid), first_ts=first_ts,
+            jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
+            ffheating_norm, dep_heating, mode=mode,
         )
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)
@@ -345,18 +422,21 @@ class Simulation:
         self.cells = self.cells.replace(
             thick=jnp.asarray(thick), grey_depth=jnp.asarray(grey_depth)
         )
+        if self._f32:
+            self.cells = demote_to_f32(self.cells)
 
+        fdtype = jnp.float32 if self._f32 else jnp.float64
         ctx = engine_mod.StepContext(
             levelpops=levelpops,
             nnion=nnion,
             chi_ff_nnionpart=chi_ff_part,
-            gammaline_energy=self.gammaline_energy,
-            gammaline_cumfrac=self.gammaline_cumfrac,
+            gammaline_energy=jnp.asarray(self.gammaline_energy, dtype=fdtype),
+            gammaline_cumfrac=jnp.asarray(self.gammaline_cumfrac, dtype=fdtype),
             gammaline_nlines=self.gammaline_nlines,
-            nuc_engamma=jnp.asarray(self.dec.nuc_endecay_gamma),
-            ts=jnp.asarray(float(self.ts.start[nts])),
-            t2=jnp.asarray(float(self.ts.start[nts] + self.ts.width[nts])),
-            t_mid=jnp.asarray(tmid),
+            nuc_engamma=jnp.asarray(self.dec.nuc_endecay_gamma, dtype=fdtype),
+            ts=jnp.asarray(float(self.ts.start[nts]), dtype=fdtype),
+            t2=jnp.asarray(float(self.ts.start[nts] + self.ts.width[nts]), dtype=fdtype),
+            t_mid=jnp.asarray(tmid, dtype=fdtype),
             is_first_timestep=jnp.asarray(nts == 0),
             nts=nts,
             lte_mode=lte_mode,
@@ -370,7 +450,10 @@ class Simulation:
         ctx = self.update_grid(nts)
         self.log(f"timestep {nts}: grid update took {_time.time() - t0:.1f}s")
 
-        self.est = zero_estimators(self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1))
+        dtype = jnp.float32 if self._f32 else jnp.float64
+        self.est = zero_estimators(
+            self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1), dtype=dtype
+        )
 
         t0 = _time.time()
         key = jax.random.fold_in(self.base_key, 1000 + nts)
@@ -393,8 +476,8 @@ class Simulation:
         self.total_transport_seconds = getattr(self, "total_transport_seconds", 0.0) + dt_transport
 
         self.prev_est = self.est
-        self.gamma_dep_ts[nts] = float(jnp.sum(self.est.dep_gamma))
-        self.cmf_lum_ts[nts] = float(self.est.cmf_lum)
+        self.gamma_dep_ts[nts] = float(jnp.sum(self.est.dep_gamma)) * self._e0
+        self.cmf_lum_ts[nts] = float(self.est.cmf_lum) * self._e0
 
         # accumulate newly escaped rpackets into light curve + spectrum
         esc = (
@@ -407,8 +490,8 @@ class Simulation:
             dirv = np.asarray(self.state.dir)[esc]
             esct = np.asarray(self.state.escape_time)[esc]
             nurf = np.asarray(self.state.nu_rf)[esc]
-            erf = np.asarray(self.state.e_rf)[esc]
-            ecmf = np.asarray(self.state.e_cmf)[esc]
+            erf = np.asarray(self.state.e_rf, dtype=np.float64)[esc] * self._e0
+            ecmf = np.asarray(self.state.e_cmf, dtype=np.float64)[esc] * self._e0
             spectrum_mod.add_packets_to_lightcurve(
                 self.lc_lum, self.lc_lumcmf, pos, dirv, esct, erf, ecmf,
                 self.ts.start[:-1], p.tmin, p.tmax, self.grid.vmax,
@@ -485,6 +568,10 @@ class Simulation:
         )
         est = zero_estimators(self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1))
         self.prev_est = est.replace(j=jnp.asarray(g["j"]), nuj=jnp.asarray(g["nuj"]))
+        if self._f32:
+            self.cells = demote_to_f32(self.cells)
+            self.state = demote_to_f32(self.state)
+            self.prev_est = demote_to_f32(self.prev_est)
         self.lc_lum = g["lc_lum"]
         self.lc_lumcmf = g["lc_lumcmf"]
         self.gamma_dep_ts = g["gamma_dep_ts"]
@@ -495,7 +582,7 @@ class Simulation:
     def finish(self):
         """Final outputs: packets file for exspec (reference: sn3d.cc:860-877)."""
         packets_mod.write_packets_text(
-            os.path.join(self.rundir, "packets00_0000.out"), self.state
+            os.path.join(self.rundir, "packets00_0000.out"), self.state, e_scale=self._e0
         )
         self.write_outputs(partial=False)
 

@@ -438,16 +438,18 @@ def get_cellindex_from_pos(grid: GridData, pos, time):
     return jnp.clip(idx, 0, grid.ngrid - 1).astype(jnp.int32)
 
 
-def get_cell_volume_tmin(grid: GridData) -> jax.Array:
-    """Propagation-cell volumes at tmin, (ngrid,) (reference: grid.cc:1358-1366)."""
+def get_cell_volume_tmin(grid: GridData) -> np.ndarray:
+    """Propagation-cell volumes at tmin, (ngrid,) (reference: grid.cc:1358-1366).
+
+    Host-side float64: r**3 at CGS scales (1e42+) overflows float32, and
+    volumes are only ever consumed by host-side normalisation code.
+    """
     if grid.grid_type == GridType.CARTESIAN3D:
-        wid = 2.0 * grid.rmax / grid.ncoordgrid[0]
-        return jnp.full((grid.ngrid,), wid**3)
+        wid = 2.0 * float(grid.rmax) / grid.ncoordgrid[0]
+        return np.full((grid.ngrid,), wid**3)
+    pos_min = np.asarray(grid.cell_pos_min, dtype=np.float64)
+    pos_max = np.asarray(grid.cell_pos_max, dtype=np.float64)
     if grid.grid_type == GridType.CYLINDRICAL2D:
-        rmin = grid.cell_pos_min[:, 0]
-        rmax_ = grid.cell_pos_max[:, 0]
-        dz = grid.cell_pos_max[:, 1] - grid.cell_pos_min[:, 1]
-        return dz * PI * (rmax_**2 - rmin**2)
-    rmin = grid.cell_pos_min[:, 0]
-    rmax_ = grid.cell_pos_max[:, 0]
-    return 4.0 / 3.0 * PI * (rmax_**3 - rmin**3)
+        dz = pos_max[:, 1] - pos_min[:, 1]
+        return dz * PI * (pos_max[:, 0] ** 2 - pos_min[:, 0] ** 2)
+    return 4.0 / 3.0 * PI * (pos_max[:, 0] ** 3 - pos_min[:, 0] ** 3)

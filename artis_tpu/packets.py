@@ -129,8 +129,8 @@ def empty_state(npkts: int, dtype=jnp.float64) -> PacketState:
 class PelletTables:
     """Precomputed sampling tables for pellet placement."""
 
-    en_cumulative_cell: jax.Array  # (ngrid,) cumulative cell energies
-    chan_cumulative: jax.Array  # (nonempty, nchannels) cumulative channel energy
+    en_cumulative_cell: jax.Array  # (ngrid,) cumulative cell energy fractions in [0,1]
+    chan_cumulative: jax.Array  # (nonempty, nchannels) cumulative channel fractions in [0,1]
     path_meanlife: jax.Array  # (npaths, maxlen) [s], 0 padded
     path_len: jax.Array  # (npaths,)
     end_engamma: jax.Array  # (npaths,)
@@ -176,13 +176,16 @@ def make_pellet_tables(
     if has_init_en:
         q_mgi = q_mgi + initenergyq_mgi
 
-    vol = np.asarray(get_cell_volume_tmin(grid))
-    rho = np.asarray(grid.rho_tmin_mgi)[mgi_of_cell]
+    vol = np.asarray(get_cell_volume_tmin(grid), dtype=np.float64)
+    rho = np.asarray(grid.rho_tmin_mgi, dtype=np.float64)[mgi_of_cell]
     q_cell = np.where(mgi_of_cell < npts, np.concatenate([q_mgi, [0.0]])[mgi_of_cell], 0.0)
     cell_en = vol * rho * q_cell
     en_cumulative = np.cumsum(cell_en)
     norm = float(en_cumulative[-1])
     assert norm > 0
+    # tables are stored normalised to [0, 1]: raw cumulative energies (~1e46
+    # erg) overflow float32 on device, and sampling only needs relative values
+    en_cumulative = en_cumulative / norm
 
     # per-nonempty-cell channel cumulative sums (decay paths + optional init-E)
     mgi_of_nonempty = mgi_of_cell[np.asarray(grid.cell_of_nonemptymgi)]
@@ -190,6 +193,8 @@ def make_pellet_tables(
     if has_init_en:
         chan_en = np.concatenate([chan_en, initenergyq_mgi[mgi_of_nonempty][:, None]], axis=1)
     chan_cumulative = np.cumsum(chan_en, axis=1)
+    chan_total = chan_cumulative[:, -1:]
+    chan_cumulative = np.where(chan_total > 0, chan_cumulative / np.maximum(chan_total, 1e-300), 1.0)
 
     # per-path per-step mean lifetimes (all path members decay)
     lam = decdata.path_lambdas[:, : decdata.maxlen]
@@ -228,7 +233,9 @@ def _sample_pos_in_cell(key, grid: GridData, cellindex, tmin, dtype):
         z = jax.random.uniform(k1, (n,), dtype)
         r_inner = jnp.take(grid.cell_pos_min[:, 0], cellindex)
         r_outer = jnp.take(grid.cell_pos_max[:, 0], cellindex)
-        radius = (z * r_inner**3 + (1.0 - z) * r_outer**3) ** (1.0 / 3.0)
+        # ratio form: r**3 at CGS radii (1e42) overflows float32
+        ratio3 = jnp.where(r_outer > 0, r_inner / jnp.maximum(r_outer, 1.0), 0.0) ** 3
+        radius = r_outer * (z * ratio3 + (1.0 - z)) ** (1.0 / 3.0)
         return geometry.rand_isotropic_unitvec(k2, (n,), dtype) * radius[:, None]
     if grid.grid_type == GridType.CYLINDRICAL2D:
         z = jax.random.uniform(k1, (n,), dtype)
@@ -284,15 +291,14 @@ def packet_init(key, grid: GridData, tables: PelletTables, opts: Options) -> Pac
     kcell, kpos, kchan, ktime, kgp, kren = jax.random.split(key, 6)
 
     # select cells with probability proportional to their decay energy
-    target = jax.random.uniform(kcell, (npkts,), dtype) * tables.norm
+    target = jax.random.uniform(kcell, (npkts,), dtype)
     cellindex = jnp.searchsorted(tables.en_cumulative_cell, target, side="right").astype(jnp.int32)
     pos = _sample_pos_in_cell(kpos, grid, cellindex, grid.tmin, dtype)
 
     # select decay channel within the cell (decay.cc:1336-1343)
     nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, cellindex)
     chan_rows = jnp.take(tables.chan_cumulative, nonemptymgi, axis=0)  # (n, nchan)
-    chan_total = chan_rows[:, -1]
-    ztarget = jax.random.uniform(kchan, (npkts,), dtype) * chan_total
+    ztarget = jax.random.uniform(kchan, (npkts,), dtype)
     chanindex = jax.vmap(lambda row, t: jnp.searchsorted(row, t, side="right"))(
         chan_rows, ztarget
     ).astype(jnp.int32)
@@ -305,15 +311,17 @@ def packet_init(key, grid: GridData, tables: PelletTables, opts: Options) -> Pac
     # initial-energy channel decays at tmin (decay.cc:1351-1352)
     tdecay = jnp.where(is_initial_energy, tables.tmin, tdecay)
 
-    e0 = jnp.asarray(tables.e0, dtype)
-    e_cmf = jnp.full(npkts, e0)
+    # packet energies are carried in units of e0 = etot/npkts: raw erg values
+    # (1e40+) overflow float32, and only host-side output code needs erg
+    e_cmf = jnp.ones(npkts, dtype)
 
     engamma = jnp.take(tables.end_engamma, pathindex)
     enparticle = jnp.take(tables.end_enparticle, pathindex)
     ug = jax.random.uniform(kgp, (npkts,), dtype)
     frac_gamma = jnp.where(engamma + enparticle > 0, engamma / (engamma + enparticle), 0.0)
     from_particle = (ug >= frac_gamma) & ~is_initial_energy
-    nu_cmf = jnp.where(is_initial_energy, e0 / H, enparticle / H)
+    # the initial-energy channel pins nu to the pellet energy (erg; host float)
+    nu_cmf = jnp.where(is_initial_energy, tables.e0 / H, enparticle / H)
 
     pellet_nucindex = jnp.where(is_initial_energy, -1, jnp.take(tables.end_nucindex, pathindex))
     pellet_decaytype = jnp.where(is_initial_energy, -1, jnp.take(tables.end_decaytype, pathindex))
@@ -326,10 +334,6 @@ def packet_init(key, grid: GridData, tables: PelletTables, opts: Options) -> Pac
     )
     e_rf = e_cmf / doppler
 
-    # renormalise so the packet sum matches etot exactly (packet.cc:149-160)
-    e_ratio = tables.norm / jnp.sum(e_cmf)
-    e_cmf = e_cmf * e_ratio
-    e_rf = e_rf * e_ratio
 
     return st.replace(
         ptype=jnp.full(npkts, TYPE_RADIOACTIVE_PELLET, jnp.int32),
@@ -362,14 +366,16 @@ _TEXT_HEADER = (
 )
 
 
-def write_packets_text(filename: str, st: PacketState) -> None:
+def write_packets_text(filename: str, st: PacketState, e_scale: float = 1.0) -> None:
     """Write the packets*.out text format (reference: packet.cc:165-190)."""
     import numpy as np
 
     cols = [
         np.asarray(st.number), np.asarray(st.where), np.asarray(st.ptype),
         *np.asarray(st.pos).T, *np.asarray(st.dir).T,
-        np.asarray(st.tdecay), np.asarray(st.e_cmf), np.asarray(st.e_rf),
+        np.asarray(st.tdecay),
+        np.asarray(st.e_cmf, dtype=np.float64) * e_scale,
+        np.asarray(st.e_rf, dtype=np.float64) * e_scale,
         np.asarray(st.nu_cmf), np.asarray(st.nu_rf),
         np.asarray(st.escape_type), np.asarray(st.escape_time),
         np.asarray(st.emissiontype), np.asarray(st.trueemissiontype),

@@ -1,0 +1,284 @@
+"""NLTE level-population solver: per-element statistical equilibrium.
+
+TPU-native rebuild of the reference NLTE solver (reference:
+nltepop.cc:750-1058 solve_nlte_pops_element, 383-464 bound-bound matrix,
+466-523 ionisation/recombination matrix, 555-589 LTE-population column
+normalisation, 623-746 LU solve with refinement and negative-pop fallback,
+892-916 normalisation row and forced-Saha ion constraints).
+
+Design: the reference assembles and LU-solves one (dim x dim) GSL matrix per
+cell per element, serially. Here each element's rate matrix is assembled for
+ALL cells at once by vectorised gathers over the element's transition and
+continuum index lists (precomputed on the host), and the solve is one batched
+jnp.linalg.solve over the cell axis. Every level of the element is treated in
+NLTE (the reference's superlevel compression is an optimisation for very
+large model atoms and is planned alongside the multibin radiation field).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..atomic import DeviceAtomicData
+from ..constants import H, HCLIGHTOVERFOURPI, KB, CLIGHTSQUARED
+from ..options import Options
+from .ltepop import calculate_partfuncts, log_phi_saha, calculate_ionfractions_log, _ion_index_grid, find_uppermost_ion
+from .radfield import dbb
+from .ratecoeff import RateCoeffTables, interpolate_lut
+from .transitionrates import (
+    beta_sobolev, col_deexcitation_ratecoeff, col_excitation_ratecoeff,
+    col_ionization_ratecoeff, col_recombination_ratecoeff,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ElementNlteIndex:
+    """Host-side static index lists for one element's rate matrix."""
+
+    element: int
+    lstart: int  # first global level index
+    dim: int  # number of levels of this element
+    # transitions of this element (down entries only; each line appears once)
+    trans_upper_local: np.ndarray
+    trans_lower_local: np.ndarray
+    trans_A: np.ndarray
+    trans_coll_str: np.ndarray
+    trans_forbidden: np.ndarray
+    trans_osc_strength: np.ndarray
+    # continua of this element
+    cont_idx: np.ndarray  # indices into the global continuum arrays
+    cont_lower_local: np.ndarray
+    cont_upper_local: np.ndarray
+    # per-ion info
+    ion_local_start: np.ndarray  # local level index of each ion's ground state
+    ion_nlevels: np.ndarray
+    nions: int
+
+
+def build_indices(dad: DeviceAtomicData) -> list[ElementNlteIndex]:
+    """Precompute per-element index lists (host, once per run)."""
+    out = []
+    level_ion = np.asarray(dad.level_ion)
+    ion_element = np.asarray(dad.ion_element)
+    ion_level_start = np.asarray(dad.ion_level_start)
+    ion_nlevels = np.asarray(dad.ion_nlevels)
+    trans_owner = np.asarray(dad.trans_owner)
+    trans_is_down = np.asarray(dad.trans_is_down)
+    trans_target = np.asarray(dad.trans_target)
+    cont_lower = np.asarray(dad.cont_uniquelower)
+    cont_upper = np.asarray(dad.cont_uniqueupper)
+    cont_elem = np.asarray(dad.cont_element)
+
+    level_elem = ion_element[level_ion]
+    for el in range(dad.nelements):
+        ions = np.nonzero(ion_element == el)[0]
+        if len(ions) == 0:
+            continue
+        lstart = int(ion_level_start[ions[0]])
+        dim = int(ion_nlevels[ions].sum())
+
+        # down-block transition entries owned by this element's levels
+        sel = trans_is_down & (level_elem[trans_owner] == el)
+        owner = trans_owner[sel]
+        target_global = ion_level_start[level_ion[owner]] + trans_target[sel]
+        csel = cont_elem == el
+
+        out.append(
+            ElementNlteIndex(
+                element=el,
+                lstart=lstart,
+                dim=dim,
+                trans_upper_local=(owner - lstart).astype(np.int32),
+                trans_lower_local=(target_global - lstart).astype(np.int32),
+                trans_A=np.asarray(dad.trans_A)[sel],
+                trans_coll_str=np.asarray(dad.trans_coll_str)[sel],
+                trans_forbidden=np.asarray(dad.trans_forbidden)[sel],
+                trans_osc_strength=np.asarray(dad.trans_osc_strength)[sel],
+                cont_idx=np.nonzero(csel)[0].astype(np.int64),
+                cont_lower_local=(cont_lower[csel] - lstart).astype(np.int32),
+                cont_upper_local=(cont_upper[csel] - lstart).astype(np.int32),
+                ion_local_start=(ion_level_start[ions] - lstart).astype(np.int32),
+                ion_nlevels=ion_nlevels[ions].astype(np.int32),
+                nions=len(ions),
+            )
+        )
+    return out
+
+
+def solve_element(
+    idx: ElementNlteIndex,
+    dad: DeviceAtomicData,
+    rc: RateCoeffTables,
+    cells,
+    opts: Options,
+    levelpops_boltzmann: jax.Array,  # (ncells, nlevels_total) current LTE pops
+    nnelement: jax.Array,  # (ncells,)
+    t_mid,
+):
+    """Solve one element's statistical equilibrium for all cells.
+
+    Returns (ncells, dim) level populations [1/cm3].
+    """
+    ncells = nnelement.shape[0]
+    dim = idx.dim
+    lstart = idx.lstart
+    t_e = cells.Te
+    nne = cells.nne
+    t_r = jnp.maximum(cells.TR, 1.0)
+    w = cells.W
+    dtype = levelpops_boltzmann.dtype
+
+    lp = levelpops_boltzmann[:, lstart : lstart + dim]  # (ncells, dim)
+    m = jnp.zeros((ncells, dim, dim), dtype)
+
+    # --- bound-bound (nltepop.cc:383-464) ---
+    if len(idx.trans_A) > 0:
+        up = jnp.asarray(idx.trans_upper_local)
+        lo = jnp.asarray(idx.trans_lower_local)
+        e_up = dad.level_energy[lstart + up]
+        e_lo = dad.level_energy[lstart + lo]
+        eps_trans = e_up - e_lo
+        nu_trans = jnp.maximum(eps_trans / H, 1e-30)
+        a_ul = jnp.asarray(idx.trans_A)
+        b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
+        g_u = dad.level_g[lstart + up]
+        g_l = dad.level_g[lstart + lo]
+        b_lu = g_u / g_l * b_ul
+
+        n_u = lp[:, up]
+        n_l = lp[:, lo]
+        tau = jnp.maximum((b_lu[None, :] * n_l - b_ul[None, :] * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0)
+        beta = beta_sobolev(tau)
+
+        r_down = a_ul[None, :] * beta
+        c_down = col_deexcitation_ratecoeff(
+            t_e[:, None], nne[:, None], eps_trans[None, :], jnp.asarray(idx.trans_coll_str)[None, :],
+            jnp.asarray(idx.trans_forbidden)[None, :], jnp.asarray(idx.trans_osc_strength)[None, :],
+            g_u[None, :], g_l[None, :],
+        )
+        r_over_j = jnp.where(
+            n_l > 0, (b_lu[None, :] - b_ul[None, :] * n_u / jnp.maximum(n_l, 1e-300)) * beta,
+            b_lu[None, :] * beta,
+        )
+        r_up = jnp.maximum(r_over_j * dbb(nu_trans[None, :], t_r[:, None], w[:, None]), 0.0)
+        c_up = col_excitation_ratecoeff(
+            t_e[:, None], nne[:, None], eps_trans[None, :], jnp.asarray(idx.trans_coll_str)[None, :],
+            jnp.asarray(idx.trans_forbidden)[None, :], jnp.asarray(idx.trans_osc_strength)[None, :],
+            g_u[None, :], g_l[None, :],
+        )
+        down = r_down + c_down
+        upr = r_up + c_up
+        m = m.at[:, up, up].add(-down)
+        m = m.at[:, lo, up].add(down)
+        m = m.at[:, lo, lo].add(-upr)
+        m = m.at[:, up, lo].add(upr)
+
+    # --- bound-free (nltepop.cc:466-523) ---
+    if len(idx.cont_idx) > 0:
+        ci = jnp.asarray(idx.cont_idx)
+        ll = jnp.asarray(idx.cont_lower_local)
+        ul = jnp.asarray(idx.cont_upper_local)
+        eps_trans = dad.level_energy[lstart + ul] - dad.level_energy[lstart + ll]
+        sigma_edge = dad.allphixs[dad.cont_phixsrow[ci], 0].astype(dtype) * dad.cont_probability[ci]
+        lower_stage = dad.ion_stage[dad.cont_ion[ci]]
+        g_l = dad.level_g[lstart + ll]
+        g_u = dad.level_g[lstart + ul]
+
+        gamma_lut = interpolate_lut(rc.corrphotoion, rc, ci[None, :], t_r[:, None])
+        r_ion = w[:, None] * gamma_lut
+        c_ion = col_ionization_ratecoeff(
+            t_e[:, None], nne[:, None], sigma_edge[None, :], eps_trans[None, :], lower_stage[None, :]
+        )
+        alpha = interpolate_lut(rc.spontrecomb, rc, ci[None, :], t_e[:, None])
+        r_rec = nne[:, None] * alpha
+        c_rec = col_recombination_ratecoeff(
+            t_e[:, None], nne[:, None], sigma_edge[None, :], eps_trans[None, :],
+            (lower_stage + 1)[None, :], g_l[None, :], g_u[None, :],
+        )
+        ion = r_ion + c_ion
+        rec = r_rec + c_rec
+        m = m.at[:, ll, ll].add(-ion)
+        m = m.at[:, ul, ll].add(ion)
+        m = m.at[:, ul, ul].add(-rec)
+        m = m.at[:, ll, ul].add(rec)
+
+    # --- constraint rows and column normalisation ---
+    # The reference sets constraint rows to 1 BEFORE scaling every matrix
+    # column by the Boltzmann norm factors (nltepop.cc:892-930), so the
+    # constraint rows end up containing norm_j — i.e. they constrain the
+    # physical populations sum(x_j norm_j). We apply the end state directly.
+    norm = jnp.maximum(lp, opts.minpop)  # (ncells, dim)
+    m = m * norm[:, None, :]
+    balance = jnp.zeros((ncells, dim), dtype).at[:, 0].set(nnelement)
+    m = m.at[:, 0, :].set(norm)
+
+    if opts.force_saha_ion_balance:
+        # replace each ion's ground row with the Saha ion-population constraint
+        # (nltepop.cc:904-921)
+        partfuncts = calculate_partfuncts(dad, cells.TJ if opts.ltepop_excitation_use_tj else cells.Te)
+        logphi = log_phi_saha(dad, partfuncts, t_e)
+        from ..constants import MH
+
+        uppermost = find_uppermost_ion(dad, logphi, cells.rho / MH)
+        frac = calculate_ionfractions_log(dad, logphi, nne, uppermost)  # (ncells, nelem, maxn)
+        for k in range(1, idx.nions):
+            g0 = int(idx.ion_local_start[k])
+            g1 = g0 + int(idx.ion_nlevels[k])
+            nnion_k = nnelement * frac[:, idx.element, k]
+            row = jnp.zeros((ncells, dim), dtype).at[:, g0:g1].set(1.0) * norm
+            m = m.at[:, g0, :].set(row)
+            balance = balance.at[:, g0].set(nnion_k)
+
+    # --- batched solve (nltepop.cc:623-746) ---
+    x = jnp.linalg.solve(m, balance[..., None])[..., 0]
+    pops = x * norm
+
+    # fallbacks: non-finite solve or negative pops -> LTE value
+    bad = ~jnp.isfinite(pops) | (pops < 0)
+    pops = jnp.where(bad, norm, pops)
+    return pops
+
+
+def solve_all_elements(
+    indices,
+    dad: DeviceAtomicData,
+    rc: RateCoeffTables,
+    cells,
+    opts: Options,
+    levelpops_boltzmann: jax.Array,
+    t_mid,
+):
+    """Solve every element and return the merged (ncells, nlevels_total)
+    population table plus updated ion ground pops / partition functions."""
+    nnelement_all = cells.elem_numberdens()
+    levelpops = levelpops_boltzmann
+    for idx in indices:
+        pops = solve_element(
+            idx, dad, rc, cells, opts, levelpops_boltzmann,
+            nnelement_all[:, idx.element], t_mid,
+        )
+        levelpops = jax.lax.dynamic_update_slice(
+            levelpops, pops, (0, idx.lstart)
+        )
+
+    # re-derive ion ground pops, partition functions, and nne from the pops
+    ncells = levelpops.shape[0]
+    nions = dad.nions_total
+    ion_of_level = dad.level_ion
+    ionpop = jnp.zeros((ncells, nions), levelpops.dtype).at[:, ion_of_level].add(levelpops)
+    groundpops = levelpops[:, dad.ion_level_start]
+    partfuncts = jnp.where(
+        groundpops > 0, ionpop / jnp.maximum(groundpops, 1e-300) * dad.ion_g0[None, :],
+        dad.ion_g0[None, :],
+    )
+    charge = (dad.ion_stage - 1)[None, :]
+    nne = jnp.maximum(jnp.sum(ionpop * charge, axis=1), opts.minpop)
+    cells = cells.replace(
+        ion_groundlevelpops=groundpops, ion_partfuncts=partfuncts, nne=nne
+    )
+    return cells, levelpops

@@ -15,9 +15,16 @@ import jax.numpy as jnp
 from ..constants import H, HOVERKB, KB, PI, STEBO, TWOHOVERCLIGHTSQUARED
 
 
+# nu**3 at optical frequencies (1e45) overflows float32; scaling nu by an
+# exact power of two keeps every intermediate in range and is bit-identical
+# in float64.
+_NU_SCALE = 2.0**-50
+_DBB_COEFF = TWOHOVERCLIGHTSQUARED * 2.0**150
+
+
 def dbb(nu, t, w):
     """Dilute blackbody intensity J_nu = W * 2 h nu^3/c^2 / (exp(hnu/kT)-1)."""
-    return w * TWOHOVERCLIGHTSQUARED * nu**3 / jnp.expm1(HOVERKB * nu / t)
+    return w * _DBB_COEFF * (nu * _NU_SCALE) ** 3 / jnp.expm1(HOVERKB * nu / t)
 
 
 def fit_params_fullspec(j, nuj, mintemp, maxtemp):

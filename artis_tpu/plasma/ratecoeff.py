@@ -115,12 +115,14 @@ def build_tables(dad: DeviceAtomicData, tablesize: int, mintemp: float, maxtemp:
 
         if use_lut_photoion:
             # gammacorr: 4pi prob int sigma/(h nu) dbb(nu,T,1) (1-exp(-hnu/kT))
-            dbbval = TWOHOVERCLIGHTSQUARED * nu**3 / np.expm1(HOVERKB * nu / T)
+            dbbval = TWOHOVERCLIGHTSQUARED * nu**3 / np.expm1(np.minimum(HOVERKB * nu / T, 700.0))
+            dbbval = np.where(HOVERKB * nu / T > 700.0, 0.0, dbbval)
             integ = np.sum(w[None, :] * sigma * ONEOVERH / nu * dbbval * (1 - exp_nu), axis=1) * dnu
             corr[:, it] = FOURPI * prob * integ
 
         if use_lut_bfheating:
-            dbbval = TWOHOVERCLIGHTSQUARED * nu**3 / np.expm1(HOVERKB * nu / T)
+            dbbval = TWOHOVERCLIGHTSQUARED * nu**3 / np.expm1(np.minimum(HOVERKB * nu / T, 700.0))
+            dbbval = np.where(HOVERKB * nu / T > 700.0, 0.0, dbbval)
             integ = np.sum(
                 w[None, :] * sigma * (1 - nu_edge[:, None] / nu) * dbbval * (1 - exp_nu), axis=1
             ) * dnu
@@ -190,7 +192,8 @@ def select_continuum_nu_batch(key, dad: DeviceAtomicData, contindex, t_e, mask):
     kgrid = 1.0 + inc * jnp.arange(npts, dtype=t_e.dtype)
     nu = nu_edge[:, None] * kgrid[None, :]
     # stable exponent anchored at the edge
-    f = sigma * nu**3 * jnp.exp(-HOVERKB * (nu - nu_edge[:, None]) / t_e[:, None])
+    # relative weights only: (nu/nu_edge)**3 keeps float32 in range
+    f = sigma * kgrid[None, :] ** 3 * jnp.exp(-HOVERKB * (nu - nu_edge[:, None]) / t_e[:, None])
     # trapezoid cumulative
     seg = 0.5 * (f[:, 1:] + f[:, :-1])
     cum = jnp.concatenate([jnp.zeros_like(f[:, :1]), jnp.cumsum(seg, axis=1)], axis=1)

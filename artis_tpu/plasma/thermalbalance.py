@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..atomic import DeviceAtomicData
-from ..constants import H, HCLIGHTOVERFOURPI, KB, CLIGHTSQUAREDOVERTWOH
+from ..constants import H, HCLIGHTOVERFOURPI, KB
 from ..options import Options
 from .ltepop import calculate_ion_balance_nne, calculate_levelpops, get_nnion
 from .ratecoeff import RateCoeffTables, interpolate_lut

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..atomic import DeviceAtomicData
 from ..constants import (
     C_0, EULERGAMMA, H, HCLIGHTOVERFOURPI, HOVERKB, H_IONPOT, KB,
-    CLIGHTSQUAREDOVERTWOH,
+    CLIGHTSQUARED,
 )
 from .ratecoeff import RateCoeffTables, interpolate_lut
 from .radfield import dbb
@@ -180,7 +180,7 @@ def compute_process_rates(
             g_u = jnp.where(is_down, g_owner, g_target)
             g_l = jnp.where(is_down, g_target, g_owner)
 
-            b_ul = CLIGHTSQUAREDOVERTWOH / nu_trans**3 * a_ul
+            b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
             b_lu = g_u / g_l * b_ul
 
             n_u = levelpops[:, upper]  # (ncells, chunk)

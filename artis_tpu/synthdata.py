@@ -97,7 +97,7 @@ INPUT_TXT = """\
 -1                       # UNUSED debug
 0                        # continue
 1e-6                     # UNUSED rfcut
-999                      # num_lte_timesteps
+{nltets}                  # num_lte_timesteps
 0.0 {ngreyts}            # cell_is_optically_thick num_grey_timesteps
 -1                       # UNUSED max_bf_continua
 1                        # nprocs_exspec
@@ -107,11 +107,13 @@ INPUT_TXT = """\
 
 
 def make_run(folder, ncells=10, ntimesteps=8, tmin_days=0.4, tmax_days=3.0,
-             ngreyts=3, vmax_kmps=30000.0, t_model_days=0.05, x_ni56=0.5):
+             ngreyts=3, vmax_kmps=30000.0, t_model_days=0.05, x_ni56=0.5,
+             num_lte_timesteps=999):
     folder = str(folder)
     with open(f"{folder}/input.txt", "w") as f:
         f.write(INPUT_TXT.format(ntimesteps=ntimesteps, tsfinish=ntimesteps - 1,
-                                 tmin_days=tmin_days, tmax_days=tmax_days, ngreyts=ngreyts))
+                                 tmin_days=tmin_days, tmax_days=tmax_days, ngreyts=ngreyts,
+                                 nltets=num_lte_timesteps))
 
     # 1D Ni56-powered model
     with open(f"{folder}/model.txt", "w") as f:

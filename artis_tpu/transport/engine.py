@@ -741,7 +741,7 @@ def rpkt_step(
         absorptionfreq=jnp.where(ev_bb, st.nu_rf, st.absorptionfreq),
     )
     ma_level_bb = dad.line_upperunique[jnp.clip(act_line, 0, dad.nlines - 1)]
-    ma_level = jnp.where(ev_bb, ma_level_bb, ma_level_bf)
+    ma_level = jnp.where(ev_bb, ma_level_bb, ma_level_bf).astype(jnp.int32)
     ma_mask = ev_bb | ma_from_bf
     ma_activating_line = jnp.where(ev_bb, act_line, -99)
 
@@ -823,7 +823,9 @@ def transport_timestep(
         st, est, it, nsteps = carry
         k = jax.random.fold_in(key, it)
         # rpkt event-step counter (the headline throughput metric)
-        nsteps = nsteps + jnp.sum((st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2))
+        nsteps = nsteps + jnp.sum(
+            ((st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2)).astype(nsteps.dtype)
+        )
         active = st.prop_time < ctx.t2
 
         # Each phase is gated by lax.cond on whether any packet needs it, so
@@ -886,7 +888,7 @@ def transport_timestep(
         st, est, ma_mask_k, ma_level_k = jax.lax.cond(
             any_kpkt, kpkt_phase,
             lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
-                             jnp.zeros_like(st.ptype, dtype=jnp.int64)),
+                             jnp.zeros_like(st.ptype, dtype=jnp.int32)),
             st, est,
         )
 
@@ -913,7 +915,7 @@ def transport_timestep(
         st, est, ma_mask_r, ma_level_r, ma_act_line = jax.lax.cond(
             any_rpkt, rpkt_phase,
             lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
-                             jnp.zeros_like(st.ptype, dtype=jnp.int64),
+                             jnp.zeros_like(st.ptype, dtype=jnp.int32),
                              jnp.zeros_like(st.ptype) - 99),
             st, est,
         )
@@ -937,7 +939,8 @@ def transport_timestep(
 
         return st, est, it + 1, nsteps
 
-    nsteps0 = jnp.sum(jnp.zeros_like(st.ptype, dtype=jnp.int64))
+    nsteps_dtype = jnp.int64 if st.pos.dtype == jnp.float64 else jnp.int32
+    nsteps0 = jnp.sum(jnp.zeros_like(st.ptype, dtype=nsteps_dtype))
     st, est, iters, nsteps = jax.lax.while_loop(
         cond, body, (st, est, jnp.int32(0), nsteps0)
     )

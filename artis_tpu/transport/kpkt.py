@@ -166,7 +166,7 @@ def do_kpkt_batch(
     )
 
     ma_mask = is_exc | is_ionz
-    ma_level = jnp.where(is_exc, ma_level_exc, ma_level_ionz)
+    ma_level = jnp.where(is_exc, ma_level_exc, ma_level_ionz).astype(jnp.int32)
     st = st.replace(
         ptype=jnp.where(ma_mask, TYPE_MA, st.ptype),
         trueemissiontype=jnp.where(ma_mask, EMTYPE_NOTSET, st.trueemissiontype),

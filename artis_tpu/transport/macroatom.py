@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..atomic import DeviceAtomicData
-from ..constants import H, HCLIGHTOVERFOURPI, CLIGHTSQUAREDOVERTWOH
+from ..constants import H, HCLIGHTOVERFOURPI, CLIGHTSQUARED
 from ..plasma.ratecoeff import RateCoeffTables, interpolate_lut, select_continuum_nu_batch
 from ..plasma.radfield import dbb
 from ..plasma.transitionrates import (
@@ -188,7 +188,7 @@ def do_macroatom_batch(
             eps_trans = dad.level_energy[owner] - dad.level_energy[target]
             nu_trans = jnp.maximum(eps_trans / H, 1e-30)
             a_ul = dad.trans_A[tidx]
-            b_ul = CLIGHTSQUAREDOVERTWOH / nu_trans**3 * a_ul
+            b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
             g_u = dad.level_g[owner]
             g_l = dad.level_g[target]
             b_lu = g_u / g_l * b_ul
@@ -218,7 +218,7 @@ def do_macroatom_batch(
             eps_trans = dad.level_energy[target] - dad.level_energy[owner]
             nu_trans = jnp.maximum(eps_trans / H, 1e-30)
             a_ul = dad.trans_A[tidx]
-            b_ul = CLIGHTSQUAREDOVERTWOH / nu_trans**3 * a_ul
+            b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
             g_u = dad.level_g[target]
             g_l = dad.level_g[owner]
             b_lu = g_u / g_l * b_ul
@@ -284,7 +284,7 @@ def do_macroatom_batch(
 
     zi = jnp.zeros_like(level_in, dtype=jnp.int32)
     state = dict(
-        level=jnp.clip(level_in, 0, nlev - 1),
+        level=jnp.clip(level_in, 0, nlev - 1).astype(jnp.int32),
         active=active_in,
         kind=zi,  # 1 rad-bb, 2 rad-fb, 3 kpkt
         nu_cmf=jnp.zeros_like(t_e),
@@ -389,7 +389,7 @@ def do_macroatom_batch(
         done = done | m
 
         return dict(
-            level=newlevel,
+            level=newlevel.astype(jnp.int32),
             active=s["active"] & ~done,
             kind=kind,
             nu_cmf=nu_cmf,

@@ -6,9 +6,12 @@ published reference numbers exist, so vs_baseline is value/target.
 """
 
 import json
+import os
 import sys
 import tempfile
 import time
+
+os.environ.setdefault("ARTIS_X64", "0")  # TPU path: all-f32 device arrays
 
 import jax
 
@@ -25,7 +28,7 @@ def main() -> None:
     make_run(d, ncells=16, ntimesteps=6, tmax_days=2.5, ngreyts=1)
     opts = kilonova_lte(
         npkts=npkts, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
-        maxtemp=20000.0, tablesize=20,
+        maxtemp=20000.0, tablesize=20, transport_dtype="float32",
     )
     sim = Simulation(d, opts, datadir="/root/reference/data")
 
@@ -37,6 +40,8 @@ def main() -> None:
     )
 
     def run_ts(nts, state, est):
+        sim.est = est
+        sim.prev_est = est if nts > 0 else None
         ctx = sim.update_grid(nts)
         key = jax.random.fold_in(sim.base_key, 1000 + nts)
         return fn(

@@ -52,7 +52,7 @@ def test_energy_conservation(simrun):
     assert np.all(e_cmf >= 0)
     # total packet energy should be within the initial budget (expansion losses
     # only reduce cmf energy; rf energy can differ)
-    assert e_cmf.sum() <= sim.pellet_tables.norm * 1.05
+    assert e_cmf.sum() * sim.pellet_tables.e0 <= sim.pellet_tables.norm * 1.05
 
 
 def test_lightcurve_positive_and_outputs_written(simrun):

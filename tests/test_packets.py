@@ -36,8 +36,11 @@ def setup(tmp_path_factory):
 
 def test_pellet_energy_sum(setup):
     m, g, dec, opts, tables, st, tmin, tmax = setup
-    # total e_cmf matches the norm exactly after renormalisation
-    np.testing.assert_allclose(float(np.sum(np.asarray(st.e_cmf))), tables.norm, rtol=1e-12)
+    # packet energies are carried in units of e0 = etot/npkts, so the total in
+    # erg is sum(e_cmf) * e0 = etot exactly
+    np.testing.assert_allclose(
+        float(np.sum(np.asarray(st.e_cmf))) * tables.e0, tables.norm, rtol=1e-12
+    )
     assert np.all(np.asarray(st.e_cmf) > 0)
 
 
