@@ -11,6 +11,12 @@ import jax
 import jax.numpy as jnp
 
 
+def exp_clipped(x):
+    """exp with a dtype-aware overflow clip (float64: 709, float32: 87)."""
+    limit = 709.0 if jnp.result_type(x) == jnp.float64 else 87.0
+    return jnp.exp(jnp.minimum(x, limit))
+
+
 def demote_to_f32(tree):
     """Cast float64 -> float32 and int64 -> int32 across a pytree."""
 

@@ -41,6 +41,7 @@ from .plasma import thermalbalance as thermalbalance_mod
 from .plasma import transitionrates as transitionrates_mod
 from .devutil import demote_to_f32
 from .transport import engine as engine_mod
+from .transport import linewalk as linewalk_mod
 from .transport import macroatom as macroatom_mod
 from .transport import opacity as opacity_mod
 
@@ -105,7 +106,14 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     cells = cells.replace(
         totalcooling=rates.totalcooling, ion_cooling_contribs=rates.ion_cooling
     )
-    return cells, levelpops, nnion, chi_ff_part, rates
+    # per-timestep transport tables (the cellcache equivalent): Sobolev tau
+    # factors and bound-free factor tables, so the per-packet hot loop does
+    # single row-gathers instead of recomputing per packet
+    tau_sob = linewalk_mod.build_tau_factor(dad, levelpops)
+    bf_a, bf_dep = opacity_mod.build_bf_tables(
+        dad, levelpops, nnion, cells.nne, cells.nnetot, cells.Te
+    )
+    return cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep
 
 
 class Simulation:
@@ -400,7 +408,8 @@ class Simulation:
             nuj_norm = demote_to_f32(nuj_norm)
             ffheating_norm = demote_to_f32(ffheating_norm)
             dep_heating = demote_to_f32(dep_heating)
-        (self.cells, levelpops, nnion, chi_ff_part, self.rates) = self._plasma_jit(
+        (self.cells, levelpops, nnion, chi_ff_part, self.rates,
+         tau_sob, bf_a, bf_dep) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
@@ -430,6 +439,9 @@ class Simulation:
             levelpops=levelpops,
             nnion=nnion,
             chi_ff_nnionpart=chi_ff_part,
+            tau_sob_factor=tau_sob,
+            bf_a=bf_a,
+            bf_dep=bf_dep,
             gammaline_energy=jnp.asarray(self.gammaline_energy, dtype=fdtype),
             gammaline_cumfrac=jnp.asarray(self.gammaline_cumfrac, dtype=fdtype),
             gammaline_nlines=self.gammaline_nlines,
@@ -456,15 +468,26 @@ class Simulation:
         )
 
         t0 = _time.time()
-        key = jax.random.fold_in(self.base_key, 1000 + nts)
-        self.state, self.est, iters, nsteps = self._transport_jit(
-            key, self.state, self.est, self.grid, self.dad, self.aux, self.rc,
-            self.rates, self.cells, ctx, self.opts,
-            gamma_kappagrey=float(p.gamma_kappagrey),
-            opacity_case=int(p.opacity_case),
-            kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
-            apply_kpkt_diffusion=bool(nts < p.n_kpktdiffusion_timesteps),
-        )
+        base_key = jax.random.fold_in(self.base_key, 1000 + nts)
+        chunk_iters = self.opts.dispatch_chunk_iters
+        iters = 0
+        nsteps = 0
+        for chunk in range(4096):  # hard backstop; each chunk advances or drains
+            key = jax.random.fold_in(base_key, chunk)
+            self.state, self.est, it_c, ns_c = self._transport_jit(
+                key, self.state, self.est, self.grid, self.dad, self.aux, self.rc,
+                self.rates, self.cells, ctx, self.opts,
+                gamma_kappagrey=float(p.gamma_kappagrey),
+                opacity_case=int(p.opacity_case),
+                kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
+                apply_kpkt_diffusion=bool(nts < p.n_kpktdiffusion_timesteps),
+                max_iters=chunk_iters,
+            )
+            it_c = int(it_c)
+            iters += it_c
+            nsteps += int(ns_c)
+            if it_c < chunk_iters:
+                break
         jax.block_until_ready(self.state.ptype)
         dt_transport = _time.time() - t0
         self.log(

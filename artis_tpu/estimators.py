@@ -74,8 +74,8 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64) -> 
         gammaestimator=jnp.zeros((ncells, nbfcontinua_ground), dtype),
         bfheatingestimator=jnp.zeros((ncells, nbfcontinua_ground), dtype),
         cmf_lum=z,
-        pellet_decays=jnp.zeros((), jnp.int64),
-        nesc=jnp.zeros((), jnp.int64),
+        pellet_decays=jnp.zeros((), jnp.int32),
+        nesc=jnp.zeros((), jnp.int32),
         gamma_emission=z,
         positron_emission=z,
         electron_emission=z,

@@ -142,10 +142,28 @@ class Options:
     # --- TPU-native knobs (no reference equivalent) ---
     # main floating dtype for transport state ("float64" or "float32")
     transport_dtype: str = "float64"
+    # iterations per device dispatch: bounds single-execution runtime (remote
+    # TPU relays impose per-dispatch deadlines) and lets the host observe
+    # progress; the driver loops until the wavefront drains
+    dispatch_chunk_iters: int = 512
+    # macro-atom jumps resolved per wavefront iteration; unresolved macro
+    # atoms carry their level in the packet state to the next iteration,
+    # bounding the cost of any single device dispatch
+    ma_max_jumps_per_iter: int = 16
+    # macro-atom phase compaction: active macro atoms are gathered into a
+    # buffer of npkts//ma_compact_divisor lanes before the jump loop runs, so
+    # its cost scales with the number of macro atoms, not the packet count
+    # (overflow stays in the packet state for the next iteration)
+    ma_compact_divisor: int = 8
+    # r-packet phase compaction: when the active r-packet count fits in
+    # npkts//rpkt_compact_divisor lanes, the whole rpkt step (opacities, line
+    # walk, moves) runs on the compacted buffer — the wavefront-tail answer to
+    # the reference's sort-escaped-packets-to-the-end (update_packets.cc:281)
+    rpkt_compact_divisor: int = 8
     # number of packet "advance one event" micro-steps fused per device launch
     transport_chunk_steps: int = 64
     # line-walk chunk width (lines scanned per vector step in get_event)
-    linewalk_chunk: int = 256
+    linewalk_chunk: int = 64
     # escape-direction binning (reference exspec.h: MABINS=100)
     ncosthetabins: int = 10
     nphibins: int = 10

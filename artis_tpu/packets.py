@@ -55,7 +55,7 @@ EMTYPE_FREEFREE = -9999999
         "trueemissiontype", "trueem_time", "stokes", "tdecay",
         "escape_type", "escape_time", "number",
         "originated_from_particlenotgamma", "pellet_decaytype",
-        "pellet_nucindex", "trueemissionvelocity",
+        "pellet_nucindex", "trueemissionvelocity", "ma_level",
     ],
     meta_fields=[],
 )
@@ -90,6 +90,7 @@ class PacketState:
     pellet_decaytype: jax.Array  # int32
     pellet_nucindex: jax.Array  # int32
     trueemissionvelocity: jax.Array
+    ma_level: jax.Array  # int32: current macro-atom level while mid-resolution
 
     @property
     def npkts(self) -> int:
@@ -108,7 +109,7 @@ def empty_state(npkts: int, dtype=jnp.float64) -> PacketState:
         dir=z3, e_cmf=z, e_rf=z, nu_cmf=z, nu_rf=z, next_trans=zi - 1,
         emissiontype=zi + EMTYPE_NOTSET, em_pos=jnp.full((npkts, 3), jnp.nan, dtype),
         em_time=z - 1.0, absorptiontype=zi, absorptionfreq=z,
-        trueemissiontype=zi + EMTYPE_NOTSET, trueem_time=z - 1.0,
+        trueemissiontype=zi + EMTYPE_NOTSET, trueem_time=z - 1.0, ma_level=zi,
         stokes=jnp.concatenate([jnp.ones((npkts, 1), dtype), jnp.zeros((npkts, 2), dtype)], axis=1),
         tdecay=z - 1.0, escape_type=zi, escape_time=z - 1.0,
         number=jnp.arange(npkts, dtype=jnp.int32),
@@ -320,8 +321,10 @@ def packet_init(key, grid: GridData, tables: PelletTables, opts: Options) -> Pac
     ug = jax.random.uniform(kgp, (npkts,), dtype)
     frac_gamma = jnp.where(engamma + enparticle > 0, engamma / (engamma + enparticle), 0.0)
     from_particle = (ug >= frac_gamma) & ~is_initial_energy
-    # the initial-energy channel pins nu to the pellet energy (erg; host float)
-    nu_cmf = jnp.where(is_initial_energy, tables.e0 / H, enparticle / H)
+    # the initial-energy channel pins nu to the pellet energy (erg; host float,
+    # clamped so the unused branch never materialises an inf float32 constant)
+    nu_init_en = min(tables.e0 / H, 3.0e38) if dtype == jnp.float32 else tables.e0 / H
+    nu_cmf = jnp.where(is_initial_energy, nu_init_en, enparticle / H)
 
     pellet_nucindex = jnp.where(is_initial_energy, -1, jnp.take(tables.end_nucindex, pathindex))
     pellet_decaytype = jnp.where(is_initial_energy, -1, jnp.take(tables.end_decaytype, pathindex))

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..atomic import DeviceAtomicData
+from ..devutil import exp_clipped
 from ..constants import (
     C_0, EULERGAMMA, H, HCLIGHTOVERFOURPI, HOVERKB, H_IONPOT, KB,
     CLIGHTSQUARED,
@@ -47,6 +48,8 @@ MA_ACTION_COUNT = 9
         "ma_rates", "cool_exc_level", "cool_ion_cont", "cool_fb_cont",
         "cool_ff_ion", "ion_cooling", "totalcooling", "cool_exc_ion",
         "cool_ion_ion", "cool_fb_ion",
+        "trans_rad", "trans_tot", "trans_coolexc",
+        "cont_rad", "cont_tot_down", "cont_tot_up",
     ],
     meta_fields=[],
 )
@@ -62,6 +65,15 @@ class ProcessRates:
     cool_exc_ion: jax.Array  # (ncells, nions)
     cool_ion_ion: jax.Array  # (ncells, nions)
     cool_fb_ion: jax.Array  # (ncells, nions)
+    # per-transition / per-continuum selection value tables: the macro-atom
+    # and k-packet walks gather single values from these instead of
+    # recomputing rate formulas per packet (one gather vs ~10 on TPU)
+    trans_rad: jax.Array  # (ncells, ntrans) down: R*eps_trans
+    trans_tot: jax.Array  # (ncells, ntrans) down: (R+C)*eps_target; up: (R+C)*eps_owner
+    trans_coolexc: jax.Array  # (ncells, ntrans) up: n_l*C*eps_trans
+    cont_rad: jax.Array  # (ncells, ncont) R_rec*eps_trans
+    cont_tot_down: jax.Array  # (ncells, ncont) (R+C)_rec*eps_lower
+    cont_tot_up: jax.Array  # (ncells, ncont) (R+C)_ion*eps_owner
 
 
 def beta_sobolev(tau):
@@ -93,7 +105,7 @@ def col_deexcitation_ratecoeff(t_e, nne, eps_trans, coll_str, forbidden, osc_str
 def col_excitation_ratecoeff(t_e, nne, eps_trans, coll_str, forbidden, osc_strength, g_u, g_l):
     """(reference: macroatom.cc:906-947) — multiply by n_lower for a rate."""
     eoverkt = eps_trans / (KB * t_e)
-    exp_eoverkt = jnp.exp(jnp.minimum(eoverkt, 700.0))
+    exp_eoverkt = exp_clipped(eoverkt)
     g_bar = 0.2
     test = 0.276 * exp_eoverkt * (-EULERGAMMA - jnp.log(jnp.maximum(eoverkt, 1e-100)))
     gamma = jnp.maximum(g_bar, test)
@@ -139,6 +151,8 @@ def compute_process_rates(
     trans_chunk: int = 4096,
     cont_chunk: int = 1024,
 ) -> ProcessRates:
+    trans_chunk = max(min(trans_chunk, dad.ntrans_total), 1)
+    cont_chunk = max(min(cont_chunk, dad.nbfcontinua), 1)
     ncells = t_e.shape[0]
     nlevels = dad.nlevels_total
     nions = dad.nions_total
@@ -149,11 +163,15 @@ def compute_process_rates(
 
     # ---- scan over the flat transition axis (bb processes) ----
     ntrans = dad.ntrans_total
+    ntrans_pad = max(-(-max(ntrans, 1) // trans_chunk) * trans_chunk, trans_chunk)
+    trans_rad = jnp.zeros((ncells, ntrans_pad), dtype)
+    trans_tot = jnp.zeros((ncells, ntrans_pad), dtype)
+    trans_coolexc = jnp.zeros((ncells, ntrans_pad), dtype)
     if ntrans > 0:
         nchunks = -(-ntrans // trans_chunk)
 
         def trans_body(carry, c):
-            ma, cool_exc_level = carry
+            ma, cool_exc_level, trans_rad, trans_tot, trans_coolexc = carry
             kidx = jnp.clip(c * trans_chunk + jnp.arange(trans_chunk), 0, ntrans - 1)
             sl = lambda x: x[kidx]
             owner = jnp.clip(sl(dad.trans_owner), 0, nlevels - 1)
@@ -200,11 +218,11 @@ def compute_process_rates(
                 osc[None, :], g_u[None, :], g_l[None, :],
             )
             wdown = jnp.where(valid & is_down, 1.0, 0.0)[None, :]
-            ma = ma.at[:, owner, MA_ACTION_RADDEEXC].add(wdown * r_down * eps_trans[None, :])
+            v_rad = wdown * r_down * eps_trans[None, :]
+            v_tot_down = wdown * (r_down + c_down) * e_target[None, :]
+            ma = ma.at[:, owner, MA_ACTION_RADDEEXC].add(v_rad)
             ma = ma.at[:, owner, MA_ACTION_COLDEEXC].add(wdown * c_down * eps_trans[None, :])
-            ma = ma.at[:, owner, MA_ACTION_INTERNALDOWNSAME].add(
-                wdown * (r_down + c_down) * e_target[None, :]
-            )
+            ma = ma.at[:, owner, MA_ACTION_INTERNALDOWNSAME].add(v_tot_down)
 
             # --- up entries ---
             r_over_j = jnp.where(
@@ -219,30 +237,43 @@ def compute_process_rates(
                 osc[None, :], g_u[None, :], g_l[None, :],
             )
             wup = jnp.where(valid & ~is_down, 1.0, 0.0)[None, :]
-            ma = ma.at[:, owner, MA_ACTION_INTERNALUPSAME].add(
-                wup * (r_up + c_up) * e_owner[None, :]
-            )
+            v_tot_up = wup * (r_up + c_up) * e_owner[None, :]
+            v_coolexc = wup * n_l * c_up * eps_trans[None, :]
+            ma = ma.at[:, owner, MA_ACTION_INTERNALUPSAME].add(v_tot_up)
             # collisional-excitation cooling: n_l * C * eps_trans (kpkt.cc:95-105)
-            cool_exc_level = cool_exc_level.at[:, owner].add(
-                wup * n_l * c_up * eps_trans[None, :]
+            cool_exc_level = cool_exc_level.at[:, owner].add(v_coolexc)
+            upd = lambda tbl, v: jax.lax.dynamic_update_slice_in_dim(
+                tbl, v, c * trans_chunk, axis=1
             )
-            return (ma, cool_exc_level), None
+            trans_rad = upd(trans_rad, v_rad)
+            trans_tot = upd(trans_tot, v_tot_down + v_tot_up)
+            trans_coolexc = upd(trans_coolexc, v_coolexc)
+            return (ma, cool_exc_level, trans_rad, trans_tot, trans_coolexc), None
 
-        (ma, cool_exc_level), _ = jax.lax.scan(
-            trans_body, (ma, cool_exc_level), jnp.arange(nchunks)
+        (ma, cool_exc_level, trans_rad, trans_tot, trans_coolexc), _ = jax.lax.scan(
+            trans_body, (ma, cool_exc_level, trans_rad, trans_tot, trans_coolexc),
+            jnp.arange(nchunks),
         )
+    trans_rad = trans_rad[:, :max(ntrans, 1)]
+    trans_tot = trans_tot[:, :max(ntrans, 1)]
+    trans_coolexc = trans_coolexc[:, :max(ntrans, 1)]
 
     # ---- scan over the continuum axis (bf processes) ----
     ncont = dad.nbfcontinua
+    ncont_pad = max(-(-max(ncont, 1) // cont_chunk) * cont_chunk, cont_chunk)
     cool_ion_cont = jnp.zeros((ncells, max(ncont, 1)), dtype)
     cool_fb_cont = jnp.zeros((ncells, max(ncont, 1)), dtype)
+    cont_rad = jnp.zeros((ncells, ncont_pad), dtype)
+    cont_tot_down = jnp.zeros((ncells, ncont_pad), dtype)
+    cont_tot_up = jnp.zeros((ncells, ncont_pad), dtype)
     if ncont > 0:
         nchunks = -(-ncont // cont_chunk)
         if corrphotoionrenorm is None:
             corrphotoionrenorm = jnp.ones((ncells, max(dad.nbfcontinua_ground, 1)), dtype)
 
         def cont_body(carry, c):
-            ma, cool_ion_cont, cool_fb_cont = carry
+            (ma, cool_ion_cont, cool_fb_cont,
+             cont_rad, cont_tot_down, cont_tot_up) = carry
             idx = c * cont_chunk + jnp.arange(cont_chunk)
             valid = idx < ncont
             idx_safe = jnp.clip(idx, 0, ncont - 1)
@@ -270,11 +301,11 @@ def compute_process_rates(
                 g_l[None, :], g_u[None, :],
             )
             wv = jnp.where(valid, 1.0, 0.0)[None, :]
-            ma = ma.at[:, ul, MA_ACTION_RADRECOMB].add(wv * r_rec * eps_trans[None, :])
+            v_rec_rad = wv * r_rec * eps_trans[None, :]
+            v_rec_tot = wv * (r_rec + c_rec) * dad.level_energy[ll][None, :]
+            ma = ma.at[:, ul, MA_ACTION_RADRECOMB].add(v_rec_rad)
             ma = ma.at[:, ul, MA_ACTION_COLRECOMB].add(wv * c_rec * eps_trans[None, :])
-            ma = ma.at[:, ul, MA_ACTION_INTERNALDOWNLOWER].add(
-                wv * (r_rec + c_rec) * dad.level_energy[ll][None, :]
-            )
+            ma = ma.at[:, ul, MA_ACTION_INTERNALDOWNLOWER].add(v_rec_tot)
 
             # ionisation rates (per n_lowerlevel)
             gamma_lut = interpolate_lut(
@@ -286,9 +317,8 @@ def compute_process_rates(
             c_ion = col_ionization_ratecoeff(
                 te, ne, sigma_edge[None, :], eps_trans[None, :], lower_stage[None, :]
             )
-            ma = ma.at[:, ll, MA_ACTION_INTERNALUPHIGHER].add(
-                wv * (r_ion + c_ion) * dad.level_energy[ll][None, :]
-            )
+            v_ion_tot = wv * (r_ion + c_ion) * dad.level_energy[ll][None, :]
+            ma = ma.at[:, ll, MA_ACTION_INTERNALUPHIGHER].add(v_ion_tot)
 
             # cooling channels (kpkt.cc:116-171)
             n_ll = levelpops[:, ll]
@@ -298,11 +328,25 @@ def compute_process_rates(
             bfcool = interpolate_lut(rc.bfcooling, rc, idx_safe[None, :], te)
             nnupperion = nnion[:, jnp.minimum(ion + 1, nions - 1)]
             cool_fb_cont = cool_fb_cont.at[:, idx_safe].add(wv * bfcool * nnupperion * ne)
-            return (ma, cool_ion_cont, cool_fb_cont), None
+            upd = lambda tbl, v: jax.lax.dynamic_update_slice_in_dim(
+                tbl, v, c * cont_chunk, axis=1
+            )
+            cont_rad = upd(cont_rad, v_rec_rad)
+            cont_tot_down = upd(cont_tot_down, v_rec_tot)
+            cont_tot_up = upd(cont_tot_up, v_ion_tot)
+            return (ma, cool_ion_cont, cool_fb_cont,
+                    cont_rad, cont_tot_down, cont_tot_up), None
 
-        (ma, cool_ion_cont, cool_fb_cont), _ = jax.lax.scan(
-            cont_body, (ma, cool_ion_cont, cool_fb_cont), jnp.arange(nchunks)
+        (ma, cool_ion_cont, cool_fb_cont, cont_rad, cont_tot_down, cont_tot_up), _ = (
+            jax.lax.scan(
+                cont_body,
+                (ma, cool_ion_cont, cool_fb_cont, cont_rad, cont_tot_down, cont_tot_up),
+                jnp.arange(nchunks),
+            )
         )
+    cont_rad = cont_rad[:, :max(ncont, 1)]
+    cont_tot_down = cont_tot_down[:, :max(ncont, 1)]
+    cont_tot_up = cont_tot_up[:, :max(ncont, 1)]
 
     # ---- free-free cooling per ion (kpkt.cc:66-82) ----
     charge = (dad.ion_stage - 1).astype(dtype)
@@ -332,4 +376,10 @@ def compute_process_rates(
         cool_exc_ion=cool_exc_ion,
         cool_ion_ion=cool_ion_ion,
         cool_fb_ion=cool_fb_ion,
+        trans_rad=trans_rad,
+        trans_tot=trans_tot,
+        trans_coolexc=trans_coolexc,
+        cont_rad=cont_rad,
+        cont_tot_down=cont_tot_down,
+        cont_tot_up=cont_tot_up,
     )

@@ -47,7 +47,8 @@ from ..decay import (
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "levelpops", "nnion", "chi_ff_nnionpart", "gammaline_energy",
+        "levelpops", "nnion", "chi_ff_nnionpart", "tau_sob_factor",
+        "bf_a", "bf_dep", "gammaline_energy",
         "gammaline_cumfrac", "gammaline_nlines", "nuc_engamma",
         "ts", "t2", "t_mid", "is_first_timestep",
     ],
@@ -60,6 +61,9 @@ class StepContext:
     levelpops: jax.Array  # (ncells, nlevels_total)
     nnion: jax.Array  # (ncells, nions_total)
     chi_ff_nnionpart: jax.Array  # (ncells,)
+    tau_sob_factor: jax.Array  # (ncells, nlines) linewalk.build_tau_factor
+    bf_a: jax.Array  # (ncells, nbfcontinua) opacity.build_bf_tables
+    bf_dep: jax.Array  # (ncells, nbfcontinua)
     gammaline_energy: jax.Array  # (nnuc, maxlines) [erg]
     gammaline_cumfrac: jax.Array  # (nnuc, maxlines)
     gammaline_nlines: jax.Array  # (nnuc,)
@@ -126,7 +130,9 @@ def pellet_step(key, st: PacketState, est: Estimators, ctx: StepContext, opts: O
     pos = st.pos * (scale_nodecay * scale_decay)[:, None]
     prop_time = jnp.where(no_decay, ctx.t2, jnp.where(decays_now, tdecay, st.prop_time))
 
-    est = est.replace(pellet_decays=est.pellet_decays + jnp.sum(decays_now))
+    est = est.replace(
+        pellet_decays=est.pellet_decays + jnp.sum(decays_now).astype(est.pellet_decays.dtype)
+    )
 
     # particle-origin pellets become predeposit particles
     to_particle = decays_now & st.originated_from_particlenotgamma
@@ -499,7 +505,7 @@ def gamma_step(
         escape_time=jnp.where(escaping, st.prop_time, st.escape_time),
         ptype=jnp.where(escaping, TYPE_ESCAPE, st.ptype),
     )
-    est = est.replace(nesc=est.nesc + jnp.sum(escaping))
+    est = est.replace(nesc=est.nesc + jnp.sum(escaping).astype(est.nesc.dtype))
 
     # physical event (gammapkt.cc:793-813)
     chi_rnd = _uniform(key, 42, n, st.pos.dtype) * chi_tot
@@ -611,7 +617,7 @@ def rpkt_step(
     need_chi = mask & nonempty & ~thick
     chi_escat, chi_ff, chi_bf, select_continuum = opacity.calculate_chi_rpkt_cont(
         dad, jnp.where(need_chi, st.nu_cmf, 1e15), safe_mgi, need_chi,
-        ctx.levelpops, ctx.nnion, ctx.chi_ff_nnionpart, cells.nne, cells.nnetot,
+        ctx.bf_a, ctx.bf_dep, ctx.chi_ff_nnionpart, cells.nne,
         cells.Te, opacity_case,
     )
     chi_cont_cmf = chi_escat + chi_ff + chi_bf
@@ -622,7 +628,7 @@ def rpkt_step(
     edist_thick = tau_next / jnp.maximum(chi_grey, 1e-300)
 
     ev = get_event_batch(
-        dad, ctx.levelpops, safe_mgi, st.nu_cmf, st.prop_time, st.next_trans,
+        dad, ctx.tau_sob_factor, safe_mgi, st.nu_cmf, st.prop_time, st.next_trans,
         chi_cont, tau_next, abort_dist, nu_cmf_abort, d_nu_on_d_l,
         need_chi, opts.use_relativistic_doppler_shift, chunk=opts.linewalk_chunk,
     )
@@ -677,7 +683,7 @@ def rpkt_step(
         ptype=jnp.where(escaping, TYPE_ESCAPE, st.ptype),
     )
     est = est.replace(
-        nesc=est.nesc + jnp.sum(escaping),
+        nesc=est.nesc + jnp.sum(escaping).astype(est.nesc.dtype),
         cmf_lum=est.cmf_lum + jnp.sum(jnp.where(escaping, st.e_cmf, 0.0)),
     )
 
@@ -904,35 +910,107 @@ def transport_timestep(
         )
 
         # 6. r-packets
-        any_rpkt = jnp.any((st.prop_time < ctx.t2) & (st.ptype == TYPE_RPKT))
+        rpkt_active = (st.prop_time < ctx.t2) & (st.ptype == TYPE_RPKT)
+        n_rpkt = jnp.sum(rpkt_active.astype(jnp.int32))
+        npk = st.npkts
+        K_r = max(min(npk // max(opts.rpkt_compact_divisor, 1), npk), 1)
 
-        def rpkt_phase(st, est):
+        def rpkt_phase_full(st, est):
             return rpkt_step(
                 jax.random.fold_in(k, 107), st, est, ctx, grid, dad, cells, opts,
                 opacity_case,
             )
 
+        def rpkt_phase_compact(st, est):
+            # gather the active r-packets into K_r lanes so the line walk and
+            # opacity gathers scale with the straggler count, not npkts
+            (idx,) = jnp.nonzero(rpkt_active, size=K_r, fill_value=npk)
+            sel_valid = idx < npk
+            idxc = jnp.minimum(idx, npk - 1)
+            sub = jax.tree_util.tree_map(lambda x: x[idxc], st)
+            # deactivate the padding lanes so they take no step
+            sub = sub.replace(ptype=jnp.where(sel_valid, sub.ptype, TYPE_ESCAPE))
+            sub2, est2, ma_m, ma_l, ma_a = rpkt_step(
+                jax.random.fold_in(k, 107), sub, est, ctx, grid, dad, cells, opts,
+                opacity_case,
+            )
+            scatter_idx = jnp.where(sel_valid, idx, npk)
+
+            def put(full, part):
+                return full.at[scatter_idx].set(part, mode="drop")
+
+            st2 = jax.tree_util.tree_map(put, st, sub2)
+
+            def expand(x, fill):
+                return jnp.full((npk,), fill, x.dtype).at[scatter_idx].set(x, mode="drop")
+
+            return (st2, est2, expand(ma_m, False), expand(ma_l, jnp.int32(0)),
+                    expand(ma_a, jnp.int32(-99)))
+
+        def rpkt_phase(st, est):
+            return jax.lax.cond(
+                n_rpkt <= K_r, rpkt_phase_compact, rpkt_phase_full, st, est
+            )
+
         st, est, ma_mask_r, ma_level_r, ma_act_line = jax.lax.cond(
-            any_rpkt, rpkt_phase,
+            n_rpkt > 0, rpkt_phase,
             lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
                              jnp.zeros_like(st.ptype, dtype=jnp.int32),
-                             jnp.zeros_like(st.ptype) - 99),
+                             jnp.zeros_like(st.ptype, dtype=jnp.int32) - 99),
             st, est,
         )
 
-        # 7. macro-atoms (from kpkt collisions and rpkt bb/bf absorptions;
-        # always resolved within the same iteration)
-        ma_mask = ma_mask_k | ma_mask_r
-        ma_level = jnp.where(ma_mask_k, ma_level_k, ma_level_r)
+        # 7. macro-atoms (from kpkt collisions, rpkt bb/bf absorptions, and
+        # unresolved macro atoms carried from previous iterations). At most
+        # ma_max_jumps_per_iter jumps resolve per iteration; stragglers keep
+        # their level in st.ma_level and continue next iteration, so a single
+        # device dispatch never runs an unbounded jump chain.
+        ma_carried = (st.ptype == TYPE_MA) & (st.prop_time < ctx.t2)
+        ma_mask = ma_mask_k | ma_mask_r | ma_carried
+        ma_level = jnp.where(
+            ma_mask_k, ma_level_k, jnp.where(ma_mask_r, ma_level_r, st.ma_level)
+        )
 
         def ma_phase(st):
-            ma_res = do_macroatom_batch(
+            # compact the (usually sparse) macro-atom set into K lanes so the
+            # jump loop's gathers scale with the macro-atom count
+            npk = st.npkts
+            K = max(min(npk // max(opts.ma_compact_divisor, 1), npk), 1)
+            (idx,) = jnp.nonzero(ma_mask, size=K, fill_value=npk)
+            sel_valid = idx < npk
+            idxc = jnp.minimum(idx, npk - 1)
+            ma_res_c = do_macroatom_batch(
                 jax.random.fold_in(k, 108), dad, aux, rc, rates, ctx.levelpops,
-                safe_mgi, ma_level, ma_mask, cells.Te, cells.TR, cells.W, cells.nne,
-                ctx.t_mid,
+                safe_mgi[idxc], ma_level[idxc], sel_valid,
+                cells.Te, cells.TR, cells.W, cells.nne,
+                ctx.t_mid, max_jumps=opts.ma_max_jumps_per_iter,
             )
-            return apply_macroatom_results(
-                jax.random.fold_in(k, 109), 110, st, ma_res, ma_mask, opts
+            scatter_idx = jnp.where(sel_valid, idx, npk)
+
+            def expand(x, fill):
+                full = jnp.full((npk,), fill, x.dtype)
+                return full.at[scatter_idx].set(x, mode="drop")
+
+            ma_res = {
+                "kind": expand(ma_res_c["kind"], jnp.int32(0)),
+                "nu_cmf": expand(ma_res_c["nu_cmf"], jnp.asarray(0.0, st.nu_cmf.dtype)),
+                "emissiontype": expand(ma_res_c["emissiontype"], jnp.int32(0)),
+                "next_trans": expand(ma_res_c["next_trans"], jnp.int32(0)),
+            }
+            selected = expand(sel_valid, False)
+            resolved_mask = ma_mask & selected
+            st2 = apply_macroatom_results(
+                jax.random.fold_in(k, 109), 110, st, ma_res, resolved_mask, opts
+            )
+            # unresolved (jump cap) and unselected (buffer overflow) macro
+            # atoms persist in the packet state for the next iteration
+            level_full = expand(ma_res_c["level"], jnp.int32(0))
+            unresolved_full = expand(ma_res_c["unresolved"], False)
+            pending = ma_mask & ((selected & unresolved_full) | ~selected)
+            pend_level = jnp.where(selected, level_full, ma_level)
+            return st2.replace(
+                ptype=jnp.where(pending, TYPE_MA, st2.ptype),
+                ma_level=jnp.where(pending, pend_level, st2.ma_level).astype(jnp.int32),
             )
 
         st = jax.lax.cond(jnp.any(ma_mask), ma_phase, lambda st: st, st)

@@ -18,7 +18,7 @@ from ..constants import H, KB
 from ..options import Options
 from ..packets import EMTYPE_FREEFREE, EMTYPE_NOTSET, PacketState, TYPE_KPKT, TYPE_MA, TYPE_RPKT
 from ..plasma.ratecoeff import RateCoeffTables, select_continuum_nu_batch
-from ..plasma.transitionrates import ProcessRates, col_excitation_ratecoeff
+from ..plasma.transitionrates import ProcessRates
 from .macroatom import MacroAtomAux, _select_chunked
 
 
@@ -126,18 +126,10 @@ def do_kpkt_batch(
     exc_level = jnp.clip(dad.ion_level_start[ion] + kex, 0, dad.nlevels_total - 1)
 
     def exc_upper_value_at(k):
+        # precomputed n_l * C * eps_trans per up transition (one gather)
         base = dad.level_alltrans_start[exc_level] + dad.level_ndowntrans[exc_level]
         tidx = jnp.clip(base[:, None] + k[None, :], 0, dad.ntrans_total - 1)
-        owner = exc_level[:, None]
-        target = dad.ion_level_start[dad.level_ion[owner]] + dad.trans_target[tidx]
-        eps_trans = dad.level_energy[target] - dad.level_energy[owner]
-        n_l = levelpops[cellidx[:, None], owner]
-        c = col_excitation_ratecoeff(
-            t_e[:, None], nne[:, None], eps_trans, dad.trans_coll_str[tidx],
-            dad.trans_forbidden[tidx], dad.trans_osc_strength[tidx],
-            dad.level_g[target], dad.level_g[owner],
-        )
-        return n_l * c * eps_trans
+        return rates.trans_coolexc[cellidx[:, None], tidx]
 
     u_ex2 = jax.random.uniform(jax.random.fold_in(key, 8), (npkts,), dtype)
     lvl_cool = rates.cool_exc_level[cellidx, exc_level]

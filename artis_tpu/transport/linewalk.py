@@ -36,6 +36,21 @@ class EventResult(NamedTuple):
     activating_line: jax.Array  # lineindex for bb events, -99 otherwise
 
 
+def build_tau_factor(dad: DeviceAtomicData, levelpops: jax.Array) -> jax.Array:
+    """(ncells, nlines) Sobolev opacity factor (tau_sobolev / t).
+
+    Precomputed once per timestep from the level populations — the TPU
+    counterpart of the reference's per-cell cellcache of tau_sobolevs
+    (update_grid.cc:62-110): the line walk then needs a single 2D gather per
+    chunk instead of five (pops x2, B coefficients x2, line nu).
+    """
+    n_l = levelpops[:, dad.line_lowerunique]
+    n_u = levelpops[:, dad.line_upperunique]
+    return jnp.maximum(
+        (dad.line_blu[None, :] * n_l - dad.line_bul[None, :] * n_u) * HCLIGHTOVERFOURPI, 0.0
+    )
+
+
 def closest_transition_initial(dad: DeviceAtomicData, nu_cmf, next_trans):
     """Resolve a fresh cursor (next_trans <= 0) by binary search
     (reference: rpkt.h:75-117). Returns cursor >= 0, or nlines (no lines)."""
@@ -50,7 +65,7 @@ def closest_transition_initial(dad: DeviceAtomicData, nu_cmf, next_trans):
 
 def get_event_batch(
     dad: DeviceAtomicData,
-    levelpops: jax.Array,  # (ncells, nlevels)
+    tau_factor: jax.Array,  # (ncells, nlines) from build_tau_factor
     cellidx: jax.Array,  # (npkts,) nonemptymgi
     nu_cmf0: jax.Array,  # (npkts,) at step start
     prop_time0: jax.Array,
@@ -63,9 +78,16 @@ def get_event_batch(
     active: jax.Array,  # (npkts,) participate in the walk
     relativistic: bool,
     chunk: int = 256,
-    max_iters: int = 1 << 24,
+    max_iters: int | None = None,
 ) -> EventResult:
     nlines = dad.nlines
+    chunk = max(min(chunk, nlines), 1)  # never pad a walk chunk past the list
+    if max_iters is None:
+        # each non-terminal iteration advances the cursor by a full chunk, so
+        # the walk is structurally bounded; an explicit cap also guarantees
+        # termination if non-finite data ever corrupts the terminal tests
+        # (an unbounded while_loop on TPU dies by watchdog, not by error)
+        max_iters = -(-max(nlines, 1) // chunk) + 2
     npkts = nu_cmf0.shape[0]
     dtype = nu_cmf0.dtype
     big = jnp.inf
@@ -118,11 +140,7 @@ def get_event_batch(
         relD_prev = jnp.concatenate([jnp.zeros((npkts, 1), dtype), relD[:, :-1]], axis=1)
         t_prev = s["t"][:, None] + relD_prev / CLIGHT_PROP
 
-        n_l = levelpops[cellidx[:, None], dad.line_lowerunique[idx_safe]]
-        n_u = levelpops[cellidx[:, None], dad.line_upperunique[idx_safe]]
-        blu = dad.line_blu[idx_safe]
-        bul = dad.line_bul[idx_safe]
-        tau_line = jnp.maximum((blu * n_l - bul * n_u) * HCLIGHTOVERFOURPI * t_prev, 0.0)
+        tau_line = tau_factor[cellidx[:, None], idx_safe] * t_prev
         tau_line = jnp.where(validk, tau_line, 0.0)
 
         s_cum = jnp.cumsum(tau_line, axis=1) - tau_line  # exclusive prefix

@@ -19,17 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..atomic import DeviceAtomicData
-from ..constants import H, HCLIGHTOVERFOURPI, CLIGHTSQUARED
-from ..plasma.ratecoeff import RateCoeffTables, interpolate_lut, select_continuum_nu_batch
-from ..plasma.radfield import dbb
+from ..constants import H
+from ..plasma.ratecoeff import RateCoeffTables, select_continuum_nu_batch
 from ..plasma.transitionrates import (
     MA_ACTION_COLDEEXC, MA_ACTION_COLRECOMB, MA_ACTION_COUNT,
     MA_ACTION_INTERNALDOWNLOWER, MA_ACTION_INTERNALDOWNSAME,
     MA_ACTION_INTERNALUPHIGHER, MA_ACTION_INTERNALUPHIGHERNT,
     MA_ACTION_INTERNALUPSAME, MA_ACTION_RADDEEXC, MA_ACTION_RADRECOMB,
-    ProcessRates, beta_sobolev, col_deexcitation_ratecoeff,
-    col_excitation_ratecoeff, col_ionization_ratecoeff,
-    col_recombination_ratecoeff,
+    ProcessRates,
 )
 
 
@@ -122,6 +119,7 @@ def _select_chunked(target, count, maxcount, value_at, chunk: int = 64):
     arrays, macroatom.cc:163-168 etc.). Returns (npkts,) selected k (clipped to
     count-1 when rounding overshoots)."""
     npkts = target.shape[0]
+    chunk = max(min(chunk, maxcount), 1)  # never pad a short block up to chunk
     nchunks = max(-(-maxcount // chunk), 1)
 
     def body(carry, c):
@@ -175,112 +173,23 @@ def do_macroatom_batch(
 
     nlev = dad.nlevels_total
 
-    def trans_block_values_down(level, mode):
-        """Per-downtrans values for the level: mode 0: R*eps_trans (raddeexc),
-        mode 1: (R+C)*eps_target (internal down same)."""
-
-        def value_at(k):
-            tidx = dad.level_alltrans_start[level][:, None] + k[None, :]
-            tidx = jnp.clip(tidx, 0, dad.ntrans_total - 1)
-            owner = level[:, None]
-            target_inion = dad.trans_target[tidx]
-            target = dad.ion_level_start[dad.level_ion[owner]] + target_inion
-            eps_trans = dad.level_energy[owner] - dad.level_energy[target]
-            nu_trans = jnp.maximum(eps_trans / H, 1e-30)
-            a_ul = dad.trans_A[tidx]
-            b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
-            g_u = dad.level_g[owner]
-            g_l = dad.level_g[target]
-            b_lu = g_u / g_l * b_ul
-            n_u = levelpops[cellidx[:, None], owner]
-            n_l = levelpops[cellidx[:, None], target]
-            tau = jnp.maximum((b_lu * n_l - b_ul * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0)
-            r = a_ul * beta_sobolev(tau)
-            if mode == 0:
-                return r * eps_trans
-            c = col_deexcitation_ratecoeff(
-                t_e[:, None], nne[:, None], eps_trans, dad.trans_coll_str[tidx],
-                dad.trans_forbidden[tidx], dad.trans_osc_strength[tidx], g_u, g_l,
-            )
-            return (r + c) * dad.level_energy[target]
-
-        return value_at
-
-    def trans_block_values_up(level):
-        """(R+C)*eps_current per uptrans (internal up same)."""
-
-        def value_at(k):
-            base = dad.level_alltrans_start[level] + dad.level_ndowntrans[level]
-            tidx = jnp.clip(base[:, None] + k[None, :], 0, dad.ntrans_total - 1)
-            owner = level[:, None]
-            target_inion = dad.trans_target[tidx]
-            target = dad.ion_level_start[dad.level_ion[owner]] + target_inion
-            eps_trans = dad.level_energy[target] - dad.level_energy[owner]
-            nu_trans = jnp.maximum(eps_trans / H, 1e-30)
-            a_ul = dad.trans_A[tidx]
-            b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
-            g_u = dad.level_g[target]
-            g_l = dad.level_g[owner]
-            b_lu = g_u / g_l * b_ul
-            n_u = levelpops[cellidx[:, None], target]
-            n_l = levelpops[cellidx[:, None], owner]
-            tau = jnp.maximum((b_lu * n_l - b_ul * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0)
-            beta = beta_sobolev(tau)
-            r_over_j = jnp.where(
-                n_l > 0, (b_lu - b_ul * n_u / jnp.maximum(n_l, 1e-300)) * beta, b_lu * beta
-            )
-            r = jnp.maximum(r_over_j * dbb(nu_trans, t_r[:, None], w[:, None]), 0.0)
-            c = col_excitation_ratecoeff(
-                t_e[:, None], nne[:, None], eps_trans, dad.trans_coll_str[tidx],
-                dad.trans_forbidden[tidx], dad.trans_osc_strength[tidx], g_u, g_l,
-            )
-            return (r + c) * dad.level_energy[owner]
-
-        return value_at
-
-    def recomb_block_values(level, mode):
-        """Per-recomb-continuum values: mode 0: R*eps_trans (radrecomb);
-        mode 1: (R+C)*eps_target (internal down lower)."""
-
-        def value_at(k):
-            bidx = jnp.clip(aux.level_recomb_start[level][:, None] + k[None, :], 0,
-                            max(dad.nbfcontinua - 1, 0))
-            ci = aux.recomb_cont_of_upper[bidx]
-            ll = dad.cont_uniquelower[ci]
-            eps_trans = dad.level_energy[level][:, None] - dad.level_energy[ll]
-            alpha = interpolate_lut(rc.spontrecomb, rc, ci, t_e[:, None])
-            r = nne[:, None] * alpha
-            if mode == 0:
-                return r * eps_trans
-            sigma_edge = dad.allphixs[dad.cont_phixsrow[ci], 0].astype(dtype) * dad.cont_probability[ci]
-            upper_stage = dad.ion_stage[dad.cont_ion[ci]] + 1
-            c = col_recombination_ratecoeff(
-                t_e[:, None], nne[:, None], sigma_edge, eps_trans, upper_stage,
-                dad.level_g[ll], dad.level_g[level][:, None],
-            )
-            return (r + c) * dad.level_energy[ll]
-
-        return value_at
-
-    def ioncont_block_values(level):
-        """(R+C)*eps_current per upward continuum (internal up higher)."""
-
-        def value_at(k):
-            bidx = jnp.clip(aux.level_ioncont_start[level][:, None] + k[None, :], 0,
-                            max(dad.nbfcontinua - 1, 0))
-            ci = aux.ioncont_cont_of_lower[bidx]
-            ul = dad.cont_uniqueupper[ci]
-            eps_trans = dad.level_energy[ul] - dad.level_energy[level][:, None]
-            gamma_lut = interpolate_lut(rc.corrphotoion, rc, ci, t_r[:, None])
-            r = w[:, None] * gamma_lut
-            sigma_edge = dad.allphixs[dad.cont_phixsrow[ci], 0].astype(dtype) * dad.cont_probability[ci]
-            c = col_ionization_ratecoeff(
-                t_e[:, None], nne[:, None], sigma_edge, eps_trans,
-                dad.ion_stage[dad.cont_ion[ci]],
-            )
-            return (r + c) * dad.level_energy[level][:, None]
-
-        return value_at
+    # Unified selection walk: all six per-jump transition choices gather from
+    # ONE merged per-timestep value table (ncells, 2*ntrans + 3*ncont), with a
+    # per-packet (base, count) window chosen by the sampled action. One
+    # cumulative walk per jump instead of six (TPU gathers dominate this
+    # kernel; reference: the per-action upper_bound searches of
+    # macroatom.cc:163-320 on the cellcache arrays).
+    T = max(dad.ntrans_total, 1)
+    C = max(dad.nbfcontinua, 1)
+    cont_rad_u = rates.cont_rad[:, aux.recomb_cont_of_upper]  # by upper level
+    cont_down_u = rates.cont_tot_down[:, aux.recomb_cont_of_upper]
+    cont_up_l = rates.cont_tot_up[:, aux.ioncont_cont_of_lower]  # by lower level
+    vtab = jnp.concatenate(
+        [rates.trans_rad, rates.trans_tot, cont_rad_u, cont_down_u, cont_up_l], axis=1
+    )
+    off_rad, off_tot, off_crad, off_cdown, off_cup = 0, T, 2 * T, 2 * T + C, 2 * T + 2 * C
+    vwidth = vtab.shape[1]
+    maxblock = max(aux.max_ndowntrans, aux.max_nuptrans, aux.max_recomb, aux.max_ioncont, 1)
 
     zi = jnp.zeros_like(level_in, dtype=jnp.int32)
     state = dict(
@@ -313,15 +222,47 @@ def do_macroatom_batch(
 
         u2 = jax.random.uniform(jax.random.fold_in(k, 2), (npkts,), dtype)
 
-        # --- RADDEEXC: choose the down transition by R*eps cumulative ---
+        # --- one unified selection walk for whichever action was sampled ---
+        downstart = dad.level_alltrans_start[level]
+        ndown = dad.level_ndowntrans[level]
+        nup = dad.level_nuptrans[level]
+        rstart = aux.level_recomb_start[level].astype(jnp.int32)
+        rcount = aux.level_recomb_count[level]
+        istart = aux.level_ioncont_start[level].astype(jnp.int32)
+        icount = aux.level_ioncont_count[level]
+        downstart = downstart.astype(jnp.int32)
+        conds = [
+            action == MA_ACTION_RADDEEXC,
+            action == MA_ACTION_INTERNALDOWNSAME,
+            action == MA_ACTION_INTERNALUPSAME,
+            action == MA_ACTION_RADRECOMB,
+            action == MA_ACTION_INTERNALDOWNLOWER,
+            action == MA_ACTION_INTERNALUPHIGHER,
+        ]
+        base = jnp.select(conds, [
+            off_rad + downstart,
+            off_tot + downstart,
+            off_tot + downstart + ndown,
+            off_crad + rstart,
+            off_cdown + rstart,
+            off_cup + istart,
+        ], jnp.int32(0))
+        count = jnp.select(conds, [ndown, ndown, nup, rcount, rcount, icount], jnp.int32(0))
+        pr_sel = jnp.take_along_axis(pr, jnp.minimum(action, MA_ACTION_COUNT - 1)[:, None], axis=1)[:, 0]
+        tgt = u2 * pr_sel
+
+        def walk_values(kk):
+            idxv = jnp.clip(base[:, None] + kk[None, :], 0, vwidth - 1)
+            return vtab[cellidx[:, None], idxv]
+
+        ksel = _select_chunked(tgt, count, maxblock, walk_values)
+
+        # --- RADDEEXC: emit in the selected down transition's line ---
         m = act(MA_ACTION_RADDEEXC)
-        tgt = u2 * pr[:, MA_ACTION_RADDEEXC]
-        ksel = _select_chunked(tgt, dad.level_ndowntrans[level], aux.max_ndowntrans,
-                               trans_block_values_down(level, 0))
-        tidx = jnp.clip(dad.level_alltrans_start[level] + ksel, 0, dad.ntrans_total - 1)
+        tidx = jnp.clip(downstart + ksel, 0, dad.ntrans_total - 1)
         lineindex = dad.trans_lineindex[tidx].astype(jnp.int32)
-        target = dad.ion_level_start[dad.level_ion[level]] + dad.trans_target[tidx]
-        nu_line = (dad.level_energy[level] - dad.level_energy[target]) / H
+        target_d = dad.ion_level_start[dad.level_ion[level]] + dad.trans_target[tidx]
+        nu_line = (dad.level_energy[level] - dad.level_energy[target_d]) / H
         kind = jnp.where(m, 1, s["kind"])
         nu_cmf = jnp.where(m, nu_line, s["nu_cmf"])
         emissiontype = jnp.where(m, lineindex, s["emissiontype"])
@@ -335,19 +276,11 @@ def do_macroatom_batch(
 
         # --- INTERNALDOWNSAME ---
         m = act(MA_ACTION_INTERNALDOWNSAME) & ~stuck
-        tgt = u2 * pr[:, MA_ACTION_INTERNALDOWNSAME]
-        ksel = _select_chunked(tgt, dad.level_ndowntrans[level], aux.max_ndowntrans,
-                               trans_block_values_down(level, 1))
-        tidx = jnp.clip(dad.level_alltrans_start[level] + ksel, 0, dad.ntrans_total - 1)
-        target = dad.ion_level_start[dad.level_ion[level]] + dad.trans_target[tidx]
-        newlevel = jnp.where(m, target, level)
+        newlevel = jnp.where(m, target_d, level)
 
-        # --- RADRECOMB: choose lower level, sample fb continuum nu ---
+        # --- RADRECOMB: deactivate in the selected fb continuum ---
         m = act(MA_ACTION_RADRECOMB)
-        tgt = u2 * pr[:, MA_ACTION_RADRECOMB]
-        ksel = _select_chunked(tgt, aux.level_recomb_count[level], max(aux.max_recomb, 1),
-                               recomb_block_values(level, 0))
-        bidx = jnp.clip(aux.level_recomb_start[level] + ksel, 0, max(dad.nbfcontinua - 1, 0))
+        bidx = jnp.clip(rstart + ksel, 0, max(dad.nbfcontinua - 1, 0))
         ci = aux.recomb_cont_of_upper[bidx].astype(jnp.int32)
         kind = jnp.where(m, 2, kind)
         fb_cont = jnp.where(m, ci, s["fb_cont"])
@@ -357,31 +290,19 @@ def do_macroatom_batch(
 
         # --- INTERNALDOWNLOWER ---
         m = act(MA_ACTION_INTERNALDOWNLOWER) & ~stuck
-        tgt = u2 * pr[:, MA_ACTION_INTERNALDOWNLOWER]
-        ksel = _select_chunked(tgt, aux.level_recomb_count[level], max(aux.max_recomb, 1),
-                               recomb_block_values(level, 1))
-        bidx = jnp.clip(aux.level_recomb_start[level] + ksel, 0, max(dad.nbfcontinua - 1, 0))
-        ci = aux.recomb_cont_of_upper[bidx]
         newlevel = jnp.where(m, dad.cont_uniquelower[ci], newlevel)
 
         # --- INTERNALUPSAME ---
         m = act(MA_ACTION_INTERNALUPSAME) & ~stuck
-        tgt = u2 * pr[:, MA_ACTION_INTERNALUPSAME]
-        ksel = _select_chunked(tgt, dad.level_nuptrans[level], max(aux.max_nuptrans, 1),
-                               trans_block_values_up(level))
-        base = dad.level_alltrans_start[level] + dad.level_ndowntrans[level]
-        tidx = jnp.clip(base + ksel, 0, dad.ntrans_total - 1)
-        target = dad.ion_level_start[dad.level_ion[level]] + dad.trans_target[tidx]
-        newlevel = jnp.where(m, target, newlevel)
+        tidx_u = jnp.clip(downstart + ndown + ksel, 0, dad.ntrans_total - 1)
+        target_u = dad.ion_level_start[dad.level_ion[level]] + dad.trans_target[tidx_u]
+        newlevel = jnp.where(m, target_u, newlevel)
 
         # --- INTERNALUPHIGHER ---
         m = act(MA_ACTION_INTERNALUPHIGHER) & ~stuck
-        tgt = u2 * pr[:, MA_ACTION_INTERNALUPHIGHER]
-        ksel = _select_chunked(tgt, aux.level_ioncont_count[level], max(aux.max_ioncont, 1),
-                               ioncont_block_values(level))
-        bidx = jnp.clip(aux.level_ioncont_start[level] + ksel, 0, max(dad.nbfcontinua - 1, 0))
-        ci = aux.ioncont_cont_of_lower[bidx]
-        newlevel = jnp.where(m, dad.cont_uniqueupper[ci], newlevel)
+        bidx_i = jnp.clip(istart + ksel, 0, max(dad.nbfcontinua - 1, 0))
+        ci_i = aux.ioncont_cont_of_lower[bidx_i]
+        newlevel = jnp.where(m, dad.cont_uniqueupper[ci_i], newlevel)
 
         # NT up-higher: disabled (NT_ON handled in the nonthermal stack)
         m = act(MA_ACTION_INTERNALUPHIGHERNT) & ~stuck
@@ -414,4 +335,6 @@ def do_macroatom_batch(
         nu_cmf=nu_cmf,
         emissiontype=out["emissiontype"],
         next_trans=out["next_trans"],
+        level=out["level"],
+        unresolved=out["active"],
     )

@@ -124,8 +124,9 @@ def test_get_event_matches_reference(setup, relativistic, chunkn):
     next_trans = np.where(rng.uniform(size=n) < 0.5, -1, rng.integers(0, 500, n))
     cellidx = rng.integers(0, 3, n)
 
+    tau_factor = linewalk.build_tau_factor(dad, jnp.asarray(pops))
     res = linewalk.get_event_batch(
-        dad, jnp.asarray(pops), jnp.asarray(cellidx), jnp.asarray(nu0),
+        dad, tau_factor, jnp.asarray(cellidx), jnp.asarray(nu0),
         jnp.full(n, t0), jnp.asarray(next_trans.astype(np.int32)),
         jnp.asarray(chi_cont), jnp.asarray(tau_rnd), jnp.asarray(abort_dist),
         jnp.asarray(nu_abort), jnp.asarray(dndl), jnp.ones(n, bool),

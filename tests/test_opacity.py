@@ -73,10 +73,13 @@ def test_chi_bf_matches_dense(dad):
     nu = rng.uniform(nu_lo, nu_hi, n)
     cells = rng.integers(0, ncells, n)
 
+    bf_a, bf_dep = opacity.build_bf_tables(
+        dad, jnp.asarray(levelpops), jnp.asarray(nnion), jnp.asarray(nne),
+        jnp.asarray(nnetot), jnp.asarray(t_e),
+    )
     chi_bf, select = opacity.calculate_chi_bf(
         dad, jnp.asarray(nu), jnp.asarray(cells), jnp.ones(n, bool),
-        jnp.asarray(levelpops), jnp.asarray(nnion), jnp.asarray(nne),
-        jnp.asarray(nnetot), jnp.asarray(t_e), chunk=4,
+        bf_a, bf_dep, jnp.asarray(t_e), chunk=4,
     )
     for i in range(n):
         expected = dense_chi_bf(dad, nu[i], cells[i], levelpops, nnion, nne, nnetot, t_e)
@@ -99,10 +102,13 @@ def test_select_continuum_within_window(dad):
     n = 256
     nu = np.full(n, float(dad.cont_nu_edge[-1]) * 1.5)
     cells = rng.integers(0, ncells, n)
+    bf_a, bf_dep = opacity.build_bf_tables(
+        dad, jnp.asarray(levelpops), jnp.asarray(nnion), jnp.asarray(nne),
+        jnp.asarray(nnetot), jnp.asarray(t_e),
+    )
     chi_bf, select = opacity.calculate_chi_bf(
         dad, jnp.asarray(nu), jnp.asarray(cells), jnp.ones(n, bool),
-        jnp.asarray(levelpops), jnp.asarray(nnion), jnp.asarray(nne),
-        jnp.asarray(nnetot), jnp.asarray(t_e), chunk=4,
+        bf_a, bf_dep, jnp.asarray(t_e), chunk=4,
     )
     assert np.all(np.asarray(chi_bf) > 0)
     chosen = np.asarray(select(jax.random.PRNGKey(0)))
