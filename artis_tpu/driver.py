@@ -450,8 +450,6 @@ class Simulation:
             t2=jnp.asarray(float(self.ts.start[nts] + self.ts.width[nts]), dtype=fdtype),
             t_mid=jnp.asarray(tmid, dtype=fdtype),
             is_first_timestep=jnp.asarray(nts == 0),
-            nts=nts,
-            lte_mode=lte_mode,
         )
         return ctx
 

@@ -160,6 +160,10 @@ class Options:
     # walk, moves) runs on the compacted buffer — the wavefront-tail answer to
     # the reference's sort-escaped-packets-to-the-end (update_packets.cc:281)
     rpkt_compact_divisor: int = 8
+    # whole-body compaction: when the total active packet count fits in
+    # npkts//wavefront_compact_divisor lanes, the entire wavefront iteration
+    # runs on a compacted buffer (one gather/scatter for all phases)
+    wavefront_compact_divisor: int = 8
     # number of packet "advance one event" micro-steps fused per device launch
     transport_chunk_steps: int = 64
     # line-walk chunk width (lines scanned per vector step in get_event)

@@ -52,7 +52,7 @@ from ..decay import (
         "gammaline_cumfrac", "gammaline_nlines", "nuc_engamma",
         "ts", "t2", "t_mid", "is_first_timestep",
     ],
-    meta_fields=["nts", "lte_mode"],
+    meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class StepContext:
@@ -72,8 +72,6 @@ class StepContext:
     t2: jax.Array  # scalar: timestep end [s]
     t_mid: jax.Array  # scalar
     is_first_timestep: jax.Array  # scalar bool
-    nts: int
-    lte_mode: bool
 
 
 def _uniform(key, tag: int, n: int, dtype):
@@ -825,9 +823,7 @@ def transport_timestep(
         st, est, it, nsteps = carry
         return jnp.logical_and(jnp.any(is_active(st)), it < max_iters)
 
-    def body(carry):
-        st, est, it, nsteps = carry
-        k = jax.random.fold_in(key, it)
+    def body_inner(st, est, k, nsteps):
         # rpkt event-step counter (the headline throughput metric)
         nsteps = nsteps + jnp.sum(
             ((st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2)).astype(nsteps.dtype)
@@ -1015,6 +1011,40 @@ def transport_timestep(
 
         st = jax.lax.cond(jnp.any(ma_mask), ma_phase, lambda st: st, st)
 
+        return st, est, nsteps
+
+    def body(carry):
+        st, est, it, nsteps = carry
+        k = jax.random.fold_in(key, it)
+
+        # Whole-body compaction: when the active set fits in npkts//divisor
+        # lanes, every phase (including all its gathers) runs on the compacted
+        # buffer — the generalised wavefront-tail optimisation. Estimators are
+        # cell-indexed, so they accumulate directly from the compacted lanes.
+        npk = st.npkts
+        K_w = max(min(npk // max(opts.wavefront_compact_divisor, 1), npk), 1)
+        act = (st.prop_time < ctx.t2) & (st.ptype != TYPE_ESCAPE)
+        n_act = jnp.sum(act.astype(jnp.int32))
+
+        def run_full(st, est, nsteps):
+            return body_inner(st, est, k, nsteps)
+
+        def run_compact(st, est, nsteps):
+            (idx,) = jnp.nonzero(act, size=K_w, fill_value=npk)
+            sel_valid = idx < npk
+            idxc = jnp.minimum(idx, npk - 1)
+            sub = jax.tree_util.tree_map(lambda x: x[idxc], st)
+            sub = sub.replace(ptype=jnp.where(sel_valid, sub.ptype, TYPE_ESCAPE))
+            sub2, est2, nsteps2 = body_inner(sub, est, k, nsteps)
+            scatter_idx = jnp.where(sel_valid, idx, npk)
+            st2 = jax.tree_util.tree_map(
+                lambda full, part: full.at[scatter_idx].set(part, mode="drop"), st, sub2
+            )
+            return st2, est2, nsteps2
+
+        st, est, nsteps = jax.lax.cond(
+            n_act <= K_w, run_compact, run_full, st, est, nsteps
+        )
         return st, est, it + 1, nsteps
 
     nsteps_dtype = jnp.int64 if st.pos.dtype == jnp.float64 else jnp.int32
