@@ -164,10 +164,14 @@ class Options:
     # npkts//wavefront_compact_divisor lanes, the entire wavefront iteration
     # runs on a compacted buffer (one gather/scatter for all phases)
     wavefront_compact_divisor: int = 8
+    # events advanced per compacted wavefront iteration: straggler packets
+    # (e.g. diffusing in a dense core) take thousands of micro-steps, so the
+    # compacted buffer loops several times before scattering back
+    compact_micro_iters: int = 8
     # number of packet "advance one event" micro-steps fused per device launch
     transport_chunk_steps: int = 64
     # line-walk chunk width (lines scanned per vector step in get_event)
-    linewalk_chunk: int = 64
+    linewalk_chunk: int = 256
     # escape-direction binning (reference exspec.h: MABINS=100)
     ncosthetabins: int = 10
     nphibins: int = 10

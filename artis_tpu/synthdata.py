@@ -108,7 +108,7 @@ INPUT_TXT = """\
 
 def make_run(folder, ncells=10, ntimesteps=8, tmin_days=0.4, tmax_days=3.0,
              ngreyts=3, vmax_kmps=30000.0, t_model_days=0.05, x_ni56=0.5,
-             num_lte_timesteps=999):
+             num_lte_timesteps=999, logrho0=-9.0, logrho_slope=-0.25):
     folder = str(folder)
     with open(f"{folder}/input.txt", "w") as f:
         f.write(INPUT_TXT.format(ntimesteps=ntimesteps, tsfinish=ntimesteps - 1,
@@ -121,7 +121,7 @@ def make_run(folder, ncells=10, ntimesteps=8, tmin_days=0.4, tmax_days=3.0,
         f.write("#inputcellid velocity_outer logrho X_Fegroup X_Ni56 X_Co56 X_Fe52 X_Cr48\n")
         for i in range(ncells):
             vout = vmax_kmps * (i + 1) / ncells
-            logrho = -9.0 - 0.25 * i
+            logrho = logrho0 + logrho_slope * i
             f.write(f"{i + 1} {vout} {logrho} 1.0 {x_ni56} 0.0 0.0 0.0\n")
 
     # pure Fe/Co/Ni-ish gas: element Z=26,27,28 fractions (abundances.txt

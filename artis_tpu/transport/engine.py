@@ -611,30 +611,52 @@ def rpkt_step(
     d_nu_on_d_l = (nu_cmf_abort - st.nu_cmf) / jnp.maximum(abort_dist, 1e-300)
     d_nu_on_d_l = jnp.where(d_nu_on_d_l < 0, d_nu_on_d_l, -1e-300)
 
-    # continuum opacities in the cmf at the current frequency
+    # continuum opacities in the cmf at the current frequency; the whole
+    # line/bf machinery is gated off when every active r-packet is in a grey
+    # (thick) cell, which is the entire bulk of early grey-approximation
+    # timesteps (reference: rpkt.cc:647-654 takes the grey branch per packet)
     need_chi = mask & nonempty & ~thick
-    chi_escat, chi_ff, chi_bf, select_continuum = opacity.calculate_chi_rpkt_cont(
-        dad, jnp.where(need_chi, st.nu_cmf, 1e15), safe_mgi, need_chi,
-        ctx.bf_a, ctx.bf_dep, ctx.chi_ff_nnionpart, cells.nne,
-        cells.Te, opacity_case,
+
+    def nongrey_machinery(st_nu_cmf, st_next_trans):
+        chi_escat, chi_ff, chi_bf, select_continuum = opacity.calculate_chi_rpkt_cont(
+            dad, jnp.where(need_chi, st_nu_cmf, 1e15), safe_mgi, need_chi,
+            ctx.bf_a, ctx.bf_dep, ctx.chi_ff_nnionpart, cells.nne,
+            cells.Te, opacity_case,
+        )
+        chi_cont_cmf = chi_escat + chi_ff + chi_bf
+        chi_cont = chi_cont_cmf * doppler
+        ev = get_event_batch(
+            dad, ctx.tau_sob_factor, safe_mgi, st_nu_cmf, st.prop_time, st_next_trans,
+            chi_cont, tau_next, abort_dist, nu_cmf_abort, d_nu_on_d_l,
+            need_chi, opts.use_relativistic_doppler_shift, chunk=opts.linewalk_chunk,
+        )
+        if select_continuum is not None:
+            contindex = select_continuum(jax.random.fold_in(key, 54)).astype(jnp.int32)
+        else:
+            contindex = jnp.zeros_like(st.ptype)
+        return (chi_escat, chi_ff, chi_bf, chi_cont_cmf, ev.edist,
+                ev.next_trans, ev.is_boundbound, ev.activating_line, contindex)
+
+    def grey_only(st_nu_cmf, st_next_trans):
+        z = jnp.zeros_like(st_nu_cmf)
+        zi = jnp.zeros_like(st.ptype)
+        return (z, z, z, z, z + jnp.inf, st_next_trans.astype(jnp.int32),
+                jnp.zeros_like(mask), zi - 99, zi)
+
+    (chi_escat, chi_ff, chi_bf, chi_cont_cmf, ev_edist, ev_next_trans,
+     ev_is_bb, ev_act_line, bf_contindex) = jax.lax.cond(
+        jnp.any(need_chi), nongrey_machinery, grey_only, st.nu_cmf, st.next_trans
     )
-    chi_cont_cmf = chi_escat + chi_ff + chi_bf
-    chi_cont = chi_cont_cmf * doppler
 
     # thick cells: grey opacity (rpkt.cc:647-654)
     chi_grey = cells.kappagrey[safe_mgi] * cells.rho[safe_mgi] * doppler
     edist_thick = tau_next / jnp.maximum(chi_grey, 1e-300)
 
-    ev = get_event_batch(
-        dad, ctx.tau_sob_factor, safe_mgi, st.nu_cmf, st.prop_time, st.next_trans,
-        chi_cont, tau_next, abort_dist, nu_cmf_abort, d_nu_on_d_l,
-        need_chi, opts.use_relativistic_doppler_shift, chunk=opts.linewalk_chunk,
-    )
-    edist = jnp.where(thick, edist_thick, jnp.where(nonempty, ev.edist, jnp.inf))
+    edist = jnp.where(thick, edist_thick, jnp.where(nonempty, ev_edist, jnp.inf))
     next_trans = jnp.where(
-        thick, -1, jnp.where(nonempty, ev.next_trans, -1)
+        thick, -1, jnp.where(nonempty, ev_next_trans, -1)
     )
-    is_bb = ~thick & nonempty & ev.is_boundbound
+    is_bb = ~thick & nonempty & ev_is_bb
 
     take_boundary = mask & (sdist <= tdist) & (sdist <= edist)
     take_event = mask & ~take_boundary & (edist <= tdist)
@@ -713,9 +735,10 @@ def rpkt_step(
         absorptiontype=jnp.where(ev_ff, -1, st.absorptiontype),
     )
 
-    # bf absorption (rpkt.cc:457-510)
-    if select_continuum is not None:
-        contindex = select_continuum(jax.random.fold_in(key, 54))
+    # bf absorption (rpkt.cc:457-510); the continuum was pre-selected inside
+    # the gated non-grey branch
+    if dad.nbfcontinua > 0:
+        contindex = bf_contindex
         nu_edge_sel = dad.cont_nu_edge[contindex]
         goes_macroatom = ev_bf & (
             _uniform(key, 55, n, dtype) < nu_edge_sel / jnp.maximum(st.nu_cmf, 1e-30)
@@ -735,10 +758,10 @@ def rpkt_step(
             ptype=jnp.where(ev_bf, TYPE_KPKT, st.ptype),
         )
         ma_from_bf = jnp.zeros(n, bool)
-        ma_level_bf = jnp.zeros(n, jnp.int64)
+        ma_level_bf = jnp.zeros_like(st.ptype)
 
     # bound-bound absorption -> macro-atom (rpkt.cc:517-543)
-    act_line = ev.activating_line
+    act_line = ev_act_line
     st = st.replace(
         ptype=jnp.where(ev_bb, TYPE_MA, st.ptype),
         absorptiontype=jnp.where(ev_bb, act_line, st.absorptiontype),
@@ -1027,7 +1050,8 @@ def transport_timestep(
         n_act = jnp.sum(act.astype(jnp.int32))
 
         def run_full(st, est, nsteps):
-            return body_inner(st, est, k, nsteps)
+            st, est, nsteps = body_inner(st, est, k, nsteps)
+            return st, est, nsteps, jnp.int32(1)
 
         def run_compact(st, est, nsteps):
             (idx,) = jnp.nonzero(act, size=K_w, fill_value=npk)
@@ -1035,17 +1059,37 @@ def transport_timestep(
             idxc = jnp.minimum(idx, npk - 1)
             sub = jax.tree_util.tree_map(lambda x: x[idxc], st)
             sub = sub.replace(ptype=jnp.where(sel_valid, sub.ptype, TYPE_ESCAPE))
-            sub2, est2, nsteps2 = body_inner(sub, est, k, nsteps)
+
+            # several events per dispatch iteration on the compacted buffer:
+            # amortises the gather/scatter and lets straggler packets (which
+            # need thousands of micro-steps) drain without full-width passes
+            micro = max(opts.compact_micro_iters, 1)
+
+            def micro_cond(c):
+                sub, est, nsteps, m = c
+                alive = (sub.prop_time < ctx.t2) & (sub.ptype != TYPE_ESCAPE)
+                return jnp.logical_and(m < micro, jnp.any(alive))
+
+            def micro_body(c):
+                sub, est, nsteps, m = c
+                sub, est, nsteps = body_inner(
+                    sub, est, jax.random.fold_in(k, 7000 + m), nsteps
+                )
+                return sub, est, nsteps, m + 1
+
+            sub2, est2, nsteps2, mdone = jax.lax.while_loop(
+                micro_cond, micro_body, (sub, est, nsteps, jnp.int32(0))
+            )
             scatter_idx = jnp.where(sel_valid, idx, npk)
             st2 = jax.tree_util.tree_map(
                 lambda full, part: full.at[scatter_idx].set(part, mode="drop"), st, sub2
             )
-            return st2, est2, nsteps2
+            return st2, est2, nsteps2, jnp.maximum(mdone, 1)
 
-        st, est, nsteps = jax.lax.cond(
+        st, est, nsteps, advanced = jax.lax.cond(
             n_act <= K_w, run_compact, run_full, st, est, nsteps
         )
-        return st, est, it + 1, nsteps
+        return st, est, it + advanced, nsteps
 
     nsteps_dtype = jnp.int64 if st.pos.dtype == jnp.float64 else jnp.int32
     nsteps0 = jnp.sum(jnp.zeros_like(st.ptype, dtype=nsteps_dtype))

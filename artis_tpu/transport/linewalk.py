@@ -97,73 +97,83 @@ def get_event_batch(
     # no-event outcome (reference: rpkt.cc:180-192 leaves next_trans untouched)
     fresh_nolines = cursor0 >= nlines
 
-    # walk state (all carries derived from varying inputs so the loop is
-    # well-typed under shard_map's varying-axis tracking)
-    zerosf = jnp.zeros_like(nu_cmf0)
+    nblocks = -(-nlines // chunk)
+    pad = nblocks * chunk - nlines
+    line_nu = dad.line_nu
+    if pad:
+        line_nu = jnp.concatenate([line_nu, jnp.zeros((pad,), line_nu.dtype)])
+        tau_factor = jnp.concatenate(
+            [tau_factor, jnp.zeros((tau_factor.shape[0], pad), tau_factor.dtype)], axis=1
+        )
+    karange = jnp.arange(chunk, dtype=jnp.int32)
+    row = jnp.arange(npkts)
+    safe_chi = jnp.maximum(chi_cont, 1e-30)
+
+    # packets starting past the whole list resolve analytically: continuum
+    # event within the abort window or no event at all (matches the
+    # invalid-index outcome of the per-line walk, rpkt.h:75-117)
+    no_lines = cursor0 >= nlines
+    nl_contdist = tau_rnd / safe_chi
+    nl_cont = no_lines & active & (nl_contdist <= abort_dist)
+    nl_noev = no_lines & active & ~nl_cont
+
     state = dict(
-        cursor=jnp.where(active, cursor0, jnp.int32(nlines)),
-        dist=zerosf,
-        tau=zerosf,
-        nu=nu_cmf0,
-        t=prop_time0,
-        done=~active,
-        edist=zerosf + big,
-        next_trans=next_trans_in.astype(jnp.int32),
+        b=jnp.min(jnp.where(active & ~no_lines, cursor0, jnp.int32(nlines))) // chunk,
+        tau_cum=jnp.zeros_like(nu_cmf0),
+        lastD=jnp.zeros_like(nu_cmf0),
+        done=~active | no_lines,
+        edist=jnp.where(nl_cont, nl_contdist, jnp.inf) + jnp.zeros_like(nu_cmf0),
+        next_trans=jnp.where(
+            nl_cont, jnp.int32(nlines + 1),
+            jnp.where(nl_noev & ~fresh_nolines, jnp.int32(nlines),
+                      next_trans_in.astype(jnp.int32)),
+        ),
         is_bb=active & False,
-        act_line=jnp.zeros_like(next_trans_in, dtype=jnp.int32) - 99,
-        it=jnp.int32(0),
+        act_line=jnp.zeros_like(cursor0) - 99,
     )
 
-    karange = jnp.arange(chunk, dtype=jnp.int32)
-
     def cond(s):
-        return jnp.logical_and(~jnp.all(s["done"]), s["it"] < max_iters)
+        return jnp.logical_and(s["b"] < nblocks, ~jnp.all(s["done"]))
 
     def body(s):
-        cursor = s["cursor"]
-        idx = cursor[:, None] + karange[None, :]  # (npkts, K)
-        validk = (idx <= nlines - 1) & ~s["done"][:, None]
-        idx_safe = jnp.clip(idx, 0, nlines - 1)
+        b = s["b"]
+        l0 = b * chunk
+        l_glob = l0 + karange[None, :]  # (1, chunk) broadcast with packets
+        nu_k = jax.lax.dynamic_slice_in_dim(line_nu, l0, chunk)[None, :]
+        # the only 2D load: a row gather of the per-timestep tau table block
+        tau_blk = jax.lax.dynamic_slice_in_dim(tau_factor, l0, chunk, axis=1)[cellidx]
 
-        nu_k = jnp.where(validk, dad.line_nu[idx_safe], 1.0)
-        nu_cur = s["nu"]
+        below = l_glob < cursor0[:, None]  # before this packet's walk start
+        beyond = l_glob > nlines - 1
+        validk = ~below & ~beyond & ~s["done"][:, None]
 
+        # global closed-form distances from the packet's event-step origin
+        # (rpkt.cc:141-149 linear nu(d); rpkt.h:72 t*nu_cmf invariant)
         if relativistic:
-            relD = (nu_k - nu_cur[:, None]) / d_nu_on_d_l[:, None]
+            relD = (nu_k - nu_cmf0[:, None]) / d_nu_on_d_l[:, None]
         else:
-            relD = CLIGHT_PROP * s["t"][:, None] * (nu_cur[:, None] / nu_k - 1.0)
-        relD = jnp.maximum(relD, 0.0)  # photon already past the line -> dist 0
+            relD = CLIGHT_PROP * prop_time0[:, None] * (nu_cmf0[:, None] / nu_k - 1.0)
+        relD = jnp.maximum(relD, 0.0)
         relD = jnp.where(validk, relD, 0.0)
 
-        # time at the previous line (the reference evaluates tau_sobolev
-        # before moving to the line, rpkt.cc:123)
-        relD_prev = jnp.concatenate([jnp.zeros((npkts, 1), dtype), relD[:, :-1]], axis=1)
-        t_prev = s["t"][:, None] + relD_prev / CLIGHT_PROP
+        # tau_sobolev is evaluated at the time of the previous line
+        # (rpkt.cc:123); the first line of the walk anchors at t0
+        relD_prev = jnp.concatenate([s["lastD"][:, None], relD[:, :-1]], axis=1)
+        t_prev = prop_time0[:, None] + relD_prev / CLIGHT_PROP
+        tau_line = jnp.where(validk, tau_blk * t_prev, 0.0)
 
-        tau_line = tau_factor[cellidx[:, None], idx_safe] * t_prev
-        tau_line = jnp.where(validk, tau_line, 0.0)
+        s_cum = jnp.cumsum(tau_line, axis=1) - tau_line + s["tau_cum"][:, None]
+        contdist = (tau_rnd[:, None] - s_cum) / safe_chi[:, None]
 
-        s_cum = jnp.cumsum(tau_line, axis=1) - tau_line  # exclusive prefix
-        bigt = tau_rnd - s["tau"]
-        safe_chi = jnp.maximum(chi_cont, 1e-300)
-        contdist = (bigt[:, None] - s_cum) / safe_chi[:, None]
-
-        abort_rel = abort_dist - s["dist"]
-
-        ev_cont = jnp.where(
-            validk, contdist <= relD, contdist <= abort_rel[:, None]
-        )
+        ev_cont = jnp.where(validk, contdist <= relD, contdist <= abort_dist[:, None])
         ev_abort = validk & (nu_k < nu_cmf_abort[:, None])
         ev_bb = validk & (
-            bigt[:, None] - s_cum <= safe_chi[:, None] * relD + tau_line
+            tau_rnd[:, None] - s_cum <= safe_chi[:, None] * relD + tau_line
         )
-        terminal = ev_cont | ev_abort | ev_bb | ~validk
-        terminal = terminal & ~s["done"][:, None]
+        terminal = ~below & (ev_cont | ev_abort | ev_bb | beyond) & ~s["done"][:, None]
 
         any_term = jnp.any(terminal, axis=1)
-        j = jnp.argmax(terminal, axis=1)  # first terminal element
-        jj = jnp.clip(j, 0, chunk - 1)
-        row = jnp.arange(npkts)
+        jj = jnp.clip(jnp.argmax(terminal, axis=1), 0, chunk - 1).astype(jnp.int32)
 
         j_valid = validk[row, jj]
         j_cont = ev_cont[row, jj]
@@ -172,52 +182,39 @@ def get_event_batch(
         j_cont_invalid = ~j_valid & j_cont  # continuum event past all lines
         j_noevent = ~j_valid & ~j_cont
 
-        lineindex_j = idx_safe[row, jj]
+        lineindex_j = jnp.clip(l0 + jj, 0, nlines - 1).astype(jnp.int32)
         contdist_j = contdist[row, jj]
         relD_j = relD[row, jj]
 
         newly = any_term & ~s["done"]
-        edist = jnp.where(
-            newly & (j_cont | j_cont_invalid), s["dist"] + contdist_j, s["edist"]
-        )
-        edist = jnp.where(newly & j_bb, s["dist"] + relD_j, edist)
-        # abort and no-event leave edist at +inf
+        edist = jnp.where(newly & (j_cont | j_cont_invalid), contdist_j, s["edist"])
+        edist = jnp.where(newly & j_bb, relD_j, edist)
 
         next_trans = s["next_trans"]
-        next_trans = jnp.where(newly & j_valid & (j_cont | j_abort), lineindex_j, next_trans)
+        next_trans = jnp.where(
+            newly & j_valid & (j_cont | j_abort), lineindex_j, next_trans
+        )
         next_trans = jnp.where(newly & j_bb, lineindex_j + 1, next_trans)
         next_trans = jnp.where(newly & j_cont_invalid, jnp.int32(nlines + 1), next_trans)
-        # no-event past the end of the linelist: cursor at iteration entry,
-        # except when there was never a reachable line (keep caller's cursor)
         next_trans = jnp.where(
-            newly & j_noevent, jnp.where(fresh_nolines, s["next_trans"], idx[row, jj]), next_trans
+            newly & j_noevent,
+            jnp.where(fresh_nolines, s["next_trans"], jnp.int32(l0) + jj),
+            next_trans,
         )
 
         is_bb = jnp.where(newly, j_bb, s["is_bb"])
         act_line = jnp.where(newly & j_bb, lineindex_j, s["act_line"])
 
-        # packets with no terminal element advance past the whole chunk
         not_term = ~any_term & ~s["done"]
-        lastD = relD[:, -1]
-        total_tau_chunk = safe_chi * lastD + jnp.sum(tau_line, axis=1)
-        dist = jnp.where(not_term, s["dist"] + lastD, s["dist"])
-        tau = jnp.where(not_term, s["tau"] + total_tau_chunk, s["tau"])
-        # nu follows the frequency model along the path; a stale cursor
-        # (bluer lines with relD = 0) must leave nu unchanged, matching the
-        # reference's nu_cmf = pkt.nu_cmf + d_nu_on_d_l * dist anchoring
-        # (rpkt.cc:147) and the exact t*nu_cmf invariant of first-order mode
-        if relativistic:
-            nu_advanced = nu_cur + d_nu_on_d_l * lastD
-        else:
-            nu_advanced = nu_cur * s["t"] / (s["t"] + lastD / CLIGHT_PROP)
-        nu = jnp.where(not_term, nu_advanced, s["nu"])
-        t = jnp.where(not_term, s["t"] + lastD / CLIGHT_PROP, s["t"])
-        cursor = jnp.where(not_term, cursor + chunk, cursor)
+        tau_cum = jnp.where(
+            not_term, s["tau_cum"] + jnp.sum(tau_line, axis=1), s["tau_cum"]
+        )
+        lastD = jnp.where(not_term, jnp.maximum(s["lastD"], jnp.max(relD, axis=1)), s["lastD"])
 
         return dict(
-            cursor=cursor, dist=dist, tau=tau, nu=nu, t=t,
+            b=b + 1, tau_cum=tau_cum, lastD=lastD,
             done=s["done"] | any_term, edist=edist, next_trans=next_trans,
-            is_bb=is_bb, act_line=act_line, it=s["it"] + 1,
+            is_bb=is_bb, act_line=act_line,
         )
 
     out = jax.lax.while_loop(cond, body, state)

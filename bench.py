@@ -21,11 +21,15 @@ def main() -> None:
     npkts = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
 
     d = tempfile.mkdtemp(prefix="bench")
-    make_run(d, ncells=16, ntimesteps=6, tmax_days=2.5, ngreyts=1)
+    # photospheric-phase scene: most Ni56 decays before tmin, so the packet
+    # population activates at once and diffuses through optically thick ejecta
+    make_run(d, ncells=16, ntimesteps=5, tmin_days=5.0, tmax_days=9.0, ngreyts=1,
+             logrho0=-7.0, logrho_slope=-0.15)
     opts = kilonova_lte(
         npkts=npkts, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
         maxtemp=20000.0, tablesize=20, transport_dtype="float32",
-        dispatch_chunk_iters=64,
+        dispatch_chunk_iters=256, compact_micro_iters=32,
+        wavefront_compact_divisor=4,
     )
     sim = Simulation(d, opts, datadir="/root/reference/data")
 
