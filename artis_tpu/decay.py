@@ -570,6 +570,21 @@ def get_qdot(dec: DecayData, initnucmassfrac: np.ndarray, t: float, decaytype: i
     return massfrac @ rate
 
 
+def get_particle_power_pergram(dec: DecayData, initnucmassfrac: np.ndarray,
+                               t: float, decaytype: int) -> np.ndarray:
+    """(ncells,) kinetic-particle energy release rate [erg/s/g] for one decay
+    type (reference: sn3d.cc:113-131 eps_*_ana_power terms)."""
+    massfrac = get_nuc_massfrac_all(dec, initnucmassfrac, t)
+    unstable = dec.nuc_meanlife > 0
+    e_part = dec.nuc_endecay_particle[:, decaytype] * dec.nuc_branchprobs[:, decaytype]
+    rate = np.where(
+        unstable & (e_part > 0),
+        e_part / np.where(unstable, dec.nuc_meanlife, 1.0) / nucmass(dec.nuc_z, dec.nuc_a),
+        0.0,
+    )
+    return massfrac @ rate
+
+
 def get_global_etot_t0_tinf(dec: DecayData, totmassradionuclide_of_nuc: np.ndarray) -> float:
     """Total energy ever released by the network [erg] (reference: decay.cc:1143-1154)."""
     top = dec.path_top_nucindex

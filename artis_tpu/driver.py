@@ -35,6 +35,7 @@ from .options import GridType, Options, kilonova_lte
 from .packets import TYPE_ESCAPE, TYPE_RPKT, PacketState
 from .plasma import cellstate as cellstate_mod
 from .plasma import ltepop as ltepop_mod
+from .plasma import nltepop as nltepop_mod
 from .plasma import radfield as radfield_mod
 from .plasma import ratecoeff as ratecoeff_mod
 from .plasma import thermalbalance as thermalbalance_mod
@@ -57,7 +58,8 @@ def printout(logfile, msg):
 
 
 def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
-                          ffheating_norm, dep_heating, mode: str):
+                          ffheating_norm, dep_heating, mode: str,
+                          nlte_indices=None):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
     populations, ff-opacity parts and the macro-atom/cooling rate tables
@@ -97,7 +99,18 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             W=jnp.where(thick1, jnp.ones_like(t_j), cells.W),
         )
     cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
-    levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
+    if mode == "nlte" and opts.nlte_enabled and nlte_indices:
+        # NLTE statistical equilibrium with pops<->nne feedback (the outer
+        # iteration of update_grid.cc:670-763; T_e is solved above from the
+        # thermal balance, then populations and nne iterate to consistency)
+        levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
+        for _ in range(max(opts.nlte_outer_iters, 1)):
+            boltz = ltepop_mod.calculate_levelpops(dad, cells, opts)
+            cells, levelpops = nltepop_mod.solve_all_elements(
+                nlte_indices, dad, rc, cells, opts, boltz, t_mid
+            )
+    else:
+        levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
     nnion = ltepop_mod.get_nnion(dad, cells)
     chi_ff_part = opacity_mod.chi_ff_nnionpart_cells(dad, nnion, cells.Te)
     rates = transitionrates_mod.compute_process_rates(
@@ -277,8 +290,33 @@ class Simulation:
         self.lc_lumcmf = np.zeros(p.ntimesteps)
         self.gamma_dep_ts = np.zeros(p.ntimesteps)
         self.cmf_lum_ts = np.zeros(p.ntimesteps)
+        self.dep_ts = {k: np.zeros(p.ntimesteps) for k in (
+            "electron", "positron", "alpha",
+            "electron_discrete", "positron_discrete", "alpha_discrete",
+            "gamma_emission", "positron_emission", "electron_emission",
+            "alpha_emission",
+        )}
         self.spec = spectrum_mod.init_spectra(self.opts.nu_min_r, self.opts.nu_max_r, p.ntimesteps)
         self._escaped_counted = np.zeros(self.opts.npkts, dtype=bool)
+
+        # analytic-thermalisation scalars (reference: grid.h:131-142
+        # get_ejecta_kinetic_energy; gammapkt.cc:832-837; update_packets.cc:44)
+        from .transport import thermalisation as therm_mod
+        vol_tmin_all = np.asarray(grid_mod.get_cell_volume_tmin(self.grid))
+        assoc_vol_mgi = np.zeros(self.grid.npts_model + 1)
+        np.add.at(assoc_vol_mgi, np.asarray(self.grid.mgi_of_cell), vol_tmin_all)
+        self._assoc_vol_model = assoc_vol_mgi[: self.model.npts_model]
+        m_cell = self.model.rho_tmin * self._assoc_vol_model
+        self.mtot_input = float(m_cell.sum())
+        radial_pos_avg = np.asarray(self.grid.initial_radial_pos_sum_mgi)[
+            : self.model.npts_model
+        ] / np.maximum(np.asarray(self.grid.numpropcells_mgi)[: self.model.npts_model], 1)
+        self.e_kin = float(np.sum(0.5 * m_cell * (radial_pos_avg / p.tmin) ** 2))
+        self._barnes_t_ineff = therm_mod.barnes_t_ineff(max(self.mtot_input, 1e-30), max(self.e_kin, 1e-30))
+        self._barnes_tau_lepton = therm_mod.barnes_tau_ineff_particle(
+            max(self.mtot_input, 1e-30), max(self.e_kin, 1e-30), alpha=False)
+        self._barnes_tau_alpha = therm_mod.barnes_tau_ineff_particle(
+            max(self.mtot_input, 1e-30), max(self.e_kin, 1e-30), alpha=True)
 
         # gamma tables on device
         self.gammaline_energy = jnp.asarray(self.gamma.line_energy, dtype=fdtype)
@@ -296,7 +334,14 @@ class Simulation:
                 "kpktdiffusion_timescale", "apply_kpkt_diffusion", "max_iters",
             ),
         )
-        self._plasma_jit = jax.jit(_plasma_update_device, static_argnames=("opts", "mode"))
+        self.nlte_indices = (
+            nltepop_mod.build_indices(self.dad) if self.opts.nlte_enabled else None
+        )
+        import functools as _ft
+        self._plasma_jit = jax.jit(
+            _ft.partial(_plasma_update_device, nlte_indices=self.nlte_indices),
+            static_argnames=("opts", "mode"),
+        )
 
     # ------------------------------------------------------------------
     def _calculate_kappagrey_initial(self):
@@ -442,6 +487,15 @@ class Simulation:
             tau_sob_factor=tau_sob,
             bf_a=bf_a,
             bf_dep=bf_dep,
+            barnes_t_ineff=jnp.asarray(self._barnes_t_ineff, dtype=fdtype),
+            barnes_tau_ineff_lepton=jnp.asarray(self._barnes_tau_lepton, dtype=fdtype),
+            barnes_tau_ineff_alpha=jnp.asarray(self._barnes_tau_alpha, dtype=fdtype),
+            rho_t_mgi=jnp.asarray(
+                np.concatenate([self.model.rho_tmin, [0.0]])
+                * (self.params.tmin / tmid) ** 3, dtype=fdtype),
+            rho_tmin_mgi=jnp.asarray(
+                np.concatenate([self.model.rho_tmin, [0.0]]), dtype=fdtype),
+            tmin=jnp.asarray(self.params.tmin, dtype=fdtype),
             gammaline_energy=jnp.asarray(self.gammaline_energy, dtype=fdtype),
             gammaline_cumfrac=jnp.asarray(self.gammaline_cumfrac, dtype=fdtype),
             gammaline_nlines=self.gammaline_nlines,
@@ -499,6 +553,19 @@ class Simulation:
         self.prev_est = self.est
         self.gamma_dep_ts[nts] = float(jnp.sum(self.est.dep_gamma)) * self._e0
         self.cmf_lum_ts[nts] = float(self.est.cmf_lum) * self._e0
+        e = self.est
+        for k, v in (
+            ("electron", jnp.sum(e.dep_electron)), ("positron", jnp.sum(e.dep_positron)),
+            ("alpha", jnp.sum(e.dep_alpha)),
+            ("electron_discrete", e.electron_dep_discrete),
+            ("positron_discrete", e.positron_dep_discrete),
+            ("alpha_discrete", e.alpha_dep_discrete),
+            ("gamma_emission", getattr(e, "gamma_emission", 0.0)),
+            ("positron_emission", e.positron_emission),
+            ("electron_emission", e.electron_emission),
+            ("alpha_emission", e.alpha_emission),
+        ):
+            self.dep_ts[k][nts] = float(v) * self._e0
 
         # accumulate newly escaped rpackets into light curve + spectrum
         esc = (
@@ -521,6 +588,8 @@ class Simulation:
                 self.spec, pos, dirv, esct, nurf, erf, self.ts.start[:-1], p.tmin, p.tmax
             )
             self._escaped_counted |= esc
+        if self.opts.write_estimator_files:
+            self.write_estimators(nts)
         self.log(
             f"timestep {nts}: escaped rpkts so far {int(self._escaped_counted.sum())} "
             f"(cmf_lum {self.cmf_lum_ts[nts] / LSUN / max(float(self.ts.width[nts]), 1e-30):.3e} Lsun)"
@@ -607,8 +676,77 @@ class Simulation:
         )
         self.write_outputs(partial=False)
 
+    def write_deposition(self):
+        """deposition.out in the reference's 22-column layout (sn3d.cc:157-191)."""
+        p = self.params
+        path = os.path.join(self.rundir, "deposition.out")
+        mtot = max(self.mtot_input, 1e-30)
+        m_cell = self.model.rho_tmin * self._assoc_vol_model
+        with open(path + ".tmp", "w") as f:
+            f.write(
+                "#ts tmid_days tmid_s total_dep_Lsun gammadep_discrete_Lsun gammadep_Lsun "
+                "positrondep_Lsun eps_positron_ana_Lsun elecdep_Lsun eps_elec_Lsun "
+                "eps_elec_ana_Lsun alphadep_Lsun eps_alpha_Lsun eps_alpha_ana_Lsun "
+                "eps_gamma_Lsun Qdot_betaminus_ana_erg/s/g Qdotalpha_ana_erg/s/g "
+                "eps_erg/s/g Qdot_ana_erg/s/g positrondep_discrete_Lsun "
+                "elecdep_discrete_Lsun alphadep_discrete_Lsun\n"
+            )
+            for i in range(p.ntimesteps):
+                tmid = float(self.ts.mid[i])
+                tw = max(float(self.ts.width[i]), 1e-30)
+                d = self.dep_ts
+                total = (self.gamma_dep_ts[i] + d["positron"][i] + d["electron"][i]
+                         + d["alpha"][i])
+                eps_pos = float(np.sum(m_cell * decay_mod.get_particle_power_pergram(
+                    self.dec, self.initnucmassfrac, tmid, decay_mod.DECAYTYPE_BETAPLUS)))
+                eps_el = float(np.sum(m_cell * decay_mod.get_particle_power_pergram(
+                    self.dec, self.initnucmassfrac, tmid, decay_mod.DECAYTYPE_BETAMINUS)))
+                eps_al = float(np.sum(m_cell * decay_mod.get_particle_power_pergram(
+                    self.dec, self.initnucmassfrac, tmid, decay_mod.DECAYTYPE_ALPHA)))
+                qdot_bm = float(np.mean(decay_mod.get_qdot(
+                    self.dec, self.initnucmassfrac, tmid, decay_mod.DECAYTYPE_BETAMINUS)))
+                qdot_a = float(np.mean(decay_mod.get_qdot(
+                    self.dec, self.initnucmassfrac, tmid, decay_mod.DECAYTYPE_ALPHA)))
+                eps_per_g = (d["gamma_emission"][i] + d["positron_emission"][i]
+                             + d["electron_emission"][i] + d["alpha_emission"][i]) / mtot / tw
+                f.write(
+                    f"{i} {tmid / DAY:g} {tmid:g} {total / tw / LSUN:g} "
+                    f"{self.gamma_dep_ts[i] / tw / LSUN:g} {self.gamma_dep_ts[i] / tw / LSUN:g} "
+                    f"{d['positron'][i] / tw / LSUN:g} {eps_pos / LSUN:g} "
+                    f"{d['electron'][i] / tw / LSUN:g} {d['electron_emission'][i] / tw / LSUN:g} "
+                    f"{eps_el / LSUN:g} {d['alpha'][i] / tw / LSUN:g} "
+                    f"{d['alpha_emission'][i] / tw / LSUN:g} {eps_al / LSUN:g} "
+                    f"{d['gamma_emission'][i] / tw / LSUN:g} {qdot_bm:g} {qdot_a:g} "
+                    f"{eps_per_g:g} {qdot_bm + qdot_a:g} "
+                    f"{d['positron_discrete'][i] / tw / LSUN:g} "
+                    f"{d['electron_discrete'][i] / tw / LSUN:g} "
+                    f"{d['alpha_discrete'][i] / tw / LSUN:g}\n"
+                )
+        os.replace(path + ".tmp", path)
+
+    def write_estimators(self, nts: int):
+        """Per-cell estimator snapshot (reference: update_grid.cc:34-118,
+        estimators_XXXX.out); one block per non-empty cell."""
+        path = os.path.join(self.rundir, f"estimators_{nts:04d}.out")
+        te = np.asarray(self.cells.Te); tr = np.asarray(self.cells.TR)
+        tj = np.asarray(self.cells.TJ); w = np.asarray(self.cells.W)
+        nne = np.asarray(self.cells.nne); thick = np.asarray(self.cells.thick)
+        rho = np.asarray(self.cells.rho)
+        cool = np.asarray(self.cells.totalcooling)
+        with open(path, "w") as f:
+            for i in range(self.grid.nonempty_npts):
+                mgi = int(self.mgi_of_nonempty[i])
+                f.write(
+                    f"timestep {nts} modelgridindex {mgi} titeration 0 "
+                    f"TR {tr[i]:g} Te {te[i]:g} W {w[i]:g} TJ {tj[i]:g} "
+                    f"grey_depth {float(np.asarray(self.cells.grey_depth)[i]):g} "
+                    f"nne {nne[i]:g} rho {rho[i]:g} thick {int(thick[i])} "
+                    f"totalcooling {cool[i]:g}\n"
+                )
+
     def write_outputs(self, partial: bool):
         width = np.asarray(self.ts.width[:-1])
+        self.write_deposition()
         spectrum_mod.write_light_curve(
             os.path.join(self.rundir, "light_curve.out"), self.ts.mid[:-1],
             self.lc_lum, self.lc_lumcmf, self.gamma_dep_ts, self.cmf_lum_ts, width,

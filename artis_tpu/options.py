@@ -58,6 +58,10 @@ class Options:
     # NLTE level selection: (Z, ionstage) -> max level treated in NLTE
     # (None = pure LTE like LEVEL_IS_NLTE returning false everywhere)
     nlte_enabled: bool = False
+    # outer NLTE iterations per grid update (pops <-> nne feedback;
+    # reference iterates to 4% nne convergence, update_grid.cc:670-763)
+    nlte_outer_iters: int = 2
+    write_estimator_files: bool = True
     nlte_all_levels: bool = False
     nlte_maxlevel_fe: int = 80  # levels treated NLTE for Z>=26 group if enabled
 

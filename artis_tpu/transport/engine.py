@@ -48,7 +48,9 @@ from ..decay import (
     jax.tree_util.register_dataclass,
     data_fields=[
         "levelpops", "nnion", "chi_ff_nnionpart", "tau_sob_factor",
-        "bf_a", "bf_dep", "gammaline_energy",
+        "bf_a", "bf_dep", "barnes_t_ineff", "barnes_tau_ineff_lepton",
+        "barnes_tau_ineff_alpha", "rho_t_mgi", "rho_tmin_mgi",
+        "tmin", "gammaline_energy",
         "gammaline_cumfrac", "gammaline_nlines", "nuc_engamma",
         "ts", "t2", "t_mid", "is_first_timestep",
     ],
@@ -68,6 +70,12 @@ class StepContext:
     gammaline_cumfrac: jax.Array  # (nnuc, maxlines)
     gammaline_nlines: jax.Array  # (nnuc,)
     nuc_engamma: jax.Array  # (nnuc,)
+    barnes_t_ineff: jax.Array  # scalar [s] (Barnes gamma thermalisation)
+    barnes_tau_ineff_lepton: jax.Array  # scalar [s] (Barnes particle scheme)
+    barnes_tau_ineff_alpha: jax.Array  # scalar [s]
+    rho_t_mgi: jax.Array  # (npts_model+1,) density at t_mid (analytic schemes)
+    rho_tmin_mgi: jax.Array  # (npts_model+1,)
+    tmin: jax.Array  # scalar [s]
     ts: jax.Array  # scalar: timestep start [s]
     t2: jax.Array  # scalar: timestep end [s]
     t_mid: jax.Array  # scalar
@@ -256,6 +264,32 @@ def nonthermal_predeposit_step(
         newpos = jnp.where(mask[:, None], st.pos * (t_new / ts)[:, None], st.pos)
         newtime = jnp.where(mask, t_new, st.prop_time)
         deposited_now = absorbed
+    elif scheme == ThermalisationScheme.BARNES:
+        # Barnes et al. 2016 analytic particle thermalisation
+        # (update_packets.cc:42-57)
+        tau_ineff = jnp.where(is_alpha, ctx.barnes_tau_ineff_alpha,
+                              ctx.barnes_tau_ineff_lepton)
+        x = 2.0 * ts * ts / jnp.maximum(tau_ineff * tau_ineff, 1e-300)
+        f_p = jnp.log1p(x) / jnp.maximum(x, 1e-300)
+        absorbed = mask & (_uniform(key, 22, n, st.pos.dtype) < f_p)
+        en_deposited = jnp.where(absorbed, st.e_cmf, 0.0)
+        newtype = jnp.where(absorbed, deposit_type,
+                            jnp.where(mask, TYPE_ESCAPE, st.ptype))
+        newpos, newtime, new_nucmf = st.pos, st.prop_time, st.nu_cmf
+        deposited_now = absorbed
+    elif scheme == ThermalisationScheme.WOLLAEGER:
+        # Wollaeger+2018 local particle thermalisation
+        # (update_packets.cc:59-75)
+        rho = jnp.where(nonemptymgi >= 0, cells_rho[jnp.maximum(nonemptymgi, 0)], 1e-300)
+        a_const = jnp.where(is_alpha, 1.2e-11, 1.3e-11)
+        aux = 2.0 * a_const / jnp.maximum(ts * rho, 1e-300)
+        f_p = jnp.log1p(aux) / jnp.maximum(aux, 1e-300)
+        absorbed = mask & (_uniform(key, 22, n, st.pos.dtype) < f_p)
+        en_deposited = jnp.where(absorbed, st.e_cmf, 0.0)
+        newtype = jnp.where(absorbed, deposit_type,
+                            jnp.where(mask, TYPE_ESCAPE, st.ptype))
+        newpos, newtime, new_nucmf = st.pos, st.prop_time, st.nu_cmf
+        deposited_now = absorbed
     else:
         raise NotImplementedError(f"thermalisation scheme {scheme}")
 
@@ -395,11 +429,50 @@ def _meanf_sigma(x):
     return 3 * SIGMA_T * (term0 + term1 + term2 + term3 + term4) / (8 * x)
 
 
+def gamma_analytic_step(key, st: PacketState, est: Estimators, ctx: StepContext,
+                        grid: GridData, opts: Options):
+    """Analytic thermalisation: absorb-or-escape per gamma packet
+    (reference: gammapkt.cc:819-971 barnes/wollaeger/guttman)."""
+    from . import thermalisation as th
+
+    mask = (st.ptype == TYPE_GAMMA) & (st.prop_time < ctx.t2)
+    scheme = opts.gamma_thermalisation_scheme
+    if scheme == ThermalisationScheme.BARNES:
+        f = th.barnes_f_gamma(jnp.maximum(st.prop_time, 1.0), ctx.barnes_t_ineff)
+    elif scheme == ThermalisationScheme.WOLLAEGER:
+        f = th.wollaeger_f_gamma(grid, st.pos, st.prop_time, st.where, ctx.rho_t_mgi)
+    else:  # GUTTMAN
+        f = th.guttman_f_gamma(
+            jax.random.fold_in(key, 61), grid, st.pos, st.prop_time, st.where,
+            ctx.rho_tmin_mgi, ctx.tmin,
+        )
+    absorbed = mask & (_uniform(key, 62, st.npkts, st.pos.dtype) < f)
+    escaping = mask & ~absorbed
+    nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
+    est = est.replace(
+        dep_gamma=cell_add(est.dep_gamma, nonemptymgi, st.e_cmf, absorbed & (nonemptymgi >= 0)),
+        nesc=est.nesc + jnp.sum(escaping).astype(est.nesc.dtype),
+    )
+    st = st.replace(
+        ptype=jnp.where(absorbed, TYPE_KPKT,
+                        jnp.where(escaping, TYPE_ESCAPE, st.ptype)),
+        absorptiontype=jnp.where(absorbed, -4, st.absorptiontype),
+        escape_type=jnp.where(escaping, TYPE_GAMMA, st.escape_type),
+        escape_time=jnp.where(escaping, st.prop_time, st.escape_time),
+    )
+    return st, est
+
+
 def gamma_step(
     key, st: PacketState, est: Estimators, ctx: StepContext, grid: GridData,
     cells_rho, cells_nnetot, cells_ffegrp, gamma_kappagrey: float, opts: Options,
 ):
     """One flight step of all gamma packets (reference: gammapkt.cc:719-817)."""
+    if opts.gamma_thermalisation_scheme in (
+        ThermalisationScheme.BARNES, ThermalisationScheme.WOLLAEGER,
+        ThermalisationScheme.GUTTMAN,
+    ):
+        return gamma_analytic_step(key, st, est, ctx, grid, opts)
     n = st.npkts
     mask = (st.ptype == TYPE_GAMMA) & (st.prop_time < ctx.t2)
     nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
