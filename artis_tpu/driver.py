@@ -36,6 +36,7 @@ from .packets import TYPE_ESCAPE, TYPE_RPKT, PacketState
 from .plasma import cellstate as cellstate_mod
 from .plasma import ltepop as ltepop_mod
 from .plasma import nltepop as nltepop_mod
+from .plasma import nonthermal as nonthermal_mod
 from .plasma import radfield as radfield_mod
 from .plasma import ratecoeff as ratecoeff_mod
 from .plasma import thermalbalance as thermalbalance_mod
@@ -59,7 +60,7 @@ def printout(logfile, msg):
 
 def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                           ffheating_norm, dep_heating, mode: str,
-                          nlte_indices=None):
+                          nlte_indices=None, ntd=None):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
     populations, ff-opacity parts and the macro-atom/cooling rate tables
@@ -99,6 +100,33 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             W=jnp.where(thick1, jnp.ones_like(t_j), cells.W),
         )
     cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
+    # non-thermal Spencer-Fano solution (reference: nonthermal.cc:2391;
+    # solved before the NLTE populations in the outer loop,
+    # update_grid.cc:683-694)
+    ncells = cells.Te.shape[0]
+    nions = dad.nions_total
+    nt_frac_ion_by_ion = jnp.zeros((ncells, nions), cells.Te.dtype)
+    nt_frac_ionization = jnp.zeros((ncells,), cells.Te.dtype)
+    nt_frac_excitation = jnp.zeros((ncells,), cells.Te.dtype)
+    nt_ion_rate = None
+    if ntd is not None and mode == "nlte":
+        boltz0 = ltepop_mod.calculate_levelpops(dad, cells, opts)
+        nnion0 = ltepop_mod.get_nnion(dad, cells)
+        sf = nonthermal_mod.solve_spencerfano_cells(ntd, dad, boltz0, nnion0, cells.nne)
+        nniontot = jnp.maximum(jnp.sum(nnion0, axis=1), 1e-300)
+        nt_ion_rate = nonthermal_mod.nt_ionization_ratecoeff(
+            dep_heating, nniontot, sf["eff_ionpot"]
+        )
+        nt_frac_ion_by_ion = sf["frac_ion_by_ion"]
+        nt_frac_ionization = sf["frac_ionization"]
+        nt_frac_excitation = sf["frac_excitation"]
+        # only the heating fraction of the deposition heats the gas
+        # (thermalbalance.cc:135-241 via nonthermal heating fraction)
+        cells, _hc = thermalbalance_mod.call_t_e_finder(
+            dad, rc, cells, opts, t_mid, ffheating_norm,
+            dep_heating * sf["frac_heating"],
+        )
+        cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
     if mode == "nlte" and opts.nlte_enabled and nlte_indices:
         # NLTE statistical equilibrium with pops<->nne feedback (the outer
         # iteration of update_grid.cc:670-763; T_e is solved above from the
@@ -107,7 +135,8 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         for _ in range(max(opts.nlte_outer_iters, 1)):
             boltz = ltepop_mod.calculate_levelpops(dad, cells, opts)
             cells, levelpops = nltepop_mod.solve_all_elements(
-                nlte_indices, dad, rc, cells, opts, boltz, t_mid
+                nlte_indices, dad, rc, cells, opts, boltz, t_mid,
+                nt_ion_rate=nt_ion_rate,
             )
     else:
         levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
@@ -126,7 +155,8 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     bf_a, bf_dep = opacity_mod.build_bf_tables(
         dad, levelpops, nnion, cells.nne, cells.nnetot, cells.Te
     )
-    return cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep
+    return (cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep,
+            nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation)
 
 
 class Simulation:
@@ -337,9 +367,20 @@ class Simulation:
         self.nlte_indices = (
             nltepop_mod.build_indices(self.dad) if self.opts.nlte_enabled else None
         )
+        self.ntd = None
+        if self.opts.nt_on and self.opts.nt_solve_spencerfano:
+            self.ntd = nonthermal_mod.build_nonthermal_data(
+                self.ad, self.dad, self.datadir,
+                sf_points=self.opts.sf_points, sf_emin=self.opts.sf_emin,
+                sf_emax=self.opts.sf_emax,
+            )
+            if self._f32:
+                self.ntd = demote_to_f32(self.ntd)
         import functools as _ft
         self._plasma_jit = jax.jit(
-            _ft.partial(_plasma_update_device, nlte_indices=self.nlte_indices),
+            _ft.partial(
+                _plasma_update_device, nlte_indices=self.nlte_indices, ntd=self.ntd
+            ),
             static_argnames=("opts", "mode"),
         )
 
@@ -454,7 +495,7 @@ class Simulation:
             ffheating_norm = demote_to_f32(ffheating_norm)
             dep_heating = demote_to_f32(dep_heating)
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
-         tau_sob, bf_a, bf_dep) = self._plasma_jit(
+         tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
@@ -487,6 +528,9 @@ class Simulation:
             tau_sob_factor=tau_sob,
             bf_a=bf_a,
             bf_dep=bf_dep,
+            nt_frac_ion_by_ion=nt_fibi,
+            nt_frac_ionization=nt_fi,
+            nt_frac_excitation=nt_fe,
             barnes_t_ineff=jnp.asarray(self._barnes_t_ineff, dtype=fdtype),
             barnes_tau_ineff_lepton=jnp.asarray(self._barnes_tau_lepton, dtype=fdtype),
             barnes_tau_ineff_alpha=jnp.asarray(self._barnes_tau_alpha, dtype=fdtype),

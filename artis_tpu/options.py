@@ -62,6 +62,11 @@ class Options:
     # reference iterates to 4% nne convergence, update_grid.cc:670-763)
     nlte_outer_iters: int = 2
     write_estimator_files: bool = True
+    # Spencer-Fano energy grid (reference: SFPTS/SF_EMIN/SF_EMAX,
+    # artisoptions_nltenebular.h:104-108; fewer points by default on TPU)
+    sf_points: int = 256
+    sf_emin: float = 0.1
+    sf_emax: float = 16000.0
     nlte_all_levels: bool = False
     nlte_maxlevel_fe: int = 80  # levels treated NLTE for Z>=26 group if enabled
 

@@ -58,6 +58,7 @@ class ElementNlteIndex:
     ion_local_start: np.ndarray  # local level index of each ion's ground state
     ion_nlevels: np.ndarray
     nions: int
+    first_global_ion: int = 0  # global ion index of this element's first ion
 
 
 def build_indices(dad: DeviceAtomicData) -> list[ElementNlteIndex]:
@@ -105,6 +106,7 @@ def build_indices(dad: DeviceAtomicData) -> list[ElementNlteIndex]:
                 ion_local_start=(ion_level_start[ions] - lstart).astype(np.int32),
                 ion_nlevels=ion_nlevels[ions].astype(np.int32),
                 nions=len(ions),
+                first_global_ion=int(ions[0]),
             )
         )
     return out
@@ -119,6 +121,7 @@ def solve_element(
     levelpops_boltzmann: jax.Array,  # (ncells, nlevels_total) current LTE pops
     nnelement: jax.Array,  # (ncells,)
     t_mid,
+    nt_ion_rate=None,  # (ncells, nions_total) non-thermal ionisation [1/s]
 ):
     """Solve one element's statistical equilibrium for all cells.
 
@@ -207,6 +210,21 @@ def solve_element(
         m = m.at[:, ul, ul].add(-rec)
         m = m.at[:, ll, ul].add(rec)
 
+    # --- non-thermal ionisation (nltepop.cc:470-500 NT contribution): the
+    # same Gamma_NT applies to every level of an ion; the electron lands in
+    # the upper ion's ground state ---
+    if nt_ion_rate is not None:
+        ion_starts = [int(v) for v in idx.ion_local_start]
+        nlv = [int(v) for v in idx.ion_nlevels]
+        for k in range(idx.nions - 1):
+            lsl = ion_starts[k]
+            gnext = ion_starts[k + 1]
+            ionidx_global = int(idx.first_global_ion) + k
+            rate = nt_ion_rate[:, ionidx_global]  # (ncells,)
+            lv = jnp.arange(lsl, lsl + nlv[k])
+            m = m.at[:, lv, lv].add(-rate[:, None])
+            m = m.at[:, gnext, lv].add(rate[:, None])
+
     # --- constraint rows and column normalisation ---
     # The reference sets constraint rows to 1 BEFORE scaling every matrix
     # column by the Boltzmann norm factors (nltepop.cc:892-930), so the
@@ -252,6 +270,7 @@ def solve_all_elements(
     opts: Options,
     levelpops_boltzmann: jax.Array,
     t_mid,
+    nt_ion_rate=None,
 ):
     """Solve every element and return the merged (ncells, nlevels_total)
     population table plus updated ion ground pops / partition functions."""
@@ -260,7 +279,7 @@ def solve_all_elements(
     for idx in indices:
         pops = solve_element(
             idx, dad, rc, cells, opts, levelpops_boltzmann,
-            nnelement_all[:, idx.element], t_mid,
+            nnelement_all[:, idx.element], t_mid, nt_ion_rate=nt_ion_rate,
         )
         levelpops = jax.lax.dynamic_update_slice(
             levelpops, pops, (0, idx.lstart)

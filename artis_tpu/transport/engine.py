@@ -48,7 +48,8 @@ from ..decay import (
     jax.tree_util.register_dataclass,
     data_fields=[
         "levelpops", "nnion", "chi_ff_nnionpart", "tau_sob_factor",
-        "bf_a", "bf_dep", "barnes_t_ineff", "barnes_tau_ineff_lepton",
+        "bf_a", "bf_dep", "nt_frac_ion_by_ion", "nt_frac_ionization",
+        "nt_frac_excitation", "barnes_t_ineff", "barnes_tau_ineff_lepton",
         "barnes_tau_ineff_alpha", "rho_t_mgi", "rho_tmin_mgi",
         "tmin", "gammaline_energy",
         "gammaline_cumfrac", "gammaline_nlines", "nuc_engamma",
@@ -66,6 +67,9 @@ class StepContext:
     tau_sob_factor: jax.Array  # (ncells, nlines) linewalk.build_tau_factor
     bf_a: jax.Array  # (ncells, nbfcontinua) opacity.build_bf_tables
     bf_dep: jax.Array  # (ncells, nbfcontinua)
+    nt_frac_ion_by_ion: jax.Array  # (ncells, nions) Spencer-Fano split
+    nt_frac_ionization: jax.Array  # (ncells,)
+    nt_frac_excitation: jax.Array  # (ncells,)
     gammaline_energy: jax.Array  # (nnuc, maxlines) [erg]
     gammaline_cumfrac: jax.Array  # (nnuc, maxlines)
     gammaline_nlines: jax.Array  # (nnuc,)
@@ -941,7 +945,36 @@ def transport_timestep(
             )
             nt_dep = (st.ptype == TYPE_NTLEPTON_DEPOSITED) | (st.ptype == TYPE_NTALPHA_DEPOSITED)
             nt_dep = nt_dep & (st.prop_time < ctx.t2)
-            st = st.replace(ptype=jnp.where(nt_dep, TYPE_KPKT, st.ptype))
+            if opts.nt_on and opts.nt_solve_spencerfano:
+                # Spencer-Fano deposition split: ionisation -> macro-atom at
+                # the upper ion's ground state, else heating -> k-packet
+                # (reference: nonthermal.cc:2308-2387 do_ntlepton_deposit;
+                # NT excitation channel handled as heating while
+                # NT_EXCITATION_ON is off)
+                mgi_c = jnp.maximum(jnp.take(grid.nonemptymgi_of_cell, st.where), 0)
+                thick_c = cells.thick[mgi_c] == 1
+                u = _uniform(k, 121, st.npkts, st.pos.dtype)
+                frac_ion = ctx.nt_frac_ionization[mgi_c]
+                to_ion = nt_dep & ~thick_c & (u < frac_ion)
+                rows = ctx.nt_frac_ion_by_ion[mgi_c]  # (npkts, nions)
+                cum = jnp.cumsum(rows, axis=1)
+                tot = jnp.maximum(cum[:, -1], 1e-300)
+                u2 = _uniform(k, 122, st.npkts, st.pos.dtype) * tot
+                lowerion = jnp.sum((cum <= u2[:, None]).astype(jnp.int32), axis=1)
+                lowerion = jnp.minimum(lowerion, rows.shape[1] - 1)
+                upper_ground = dad.ion_level_start[
+                    jnp.minimum(lowerion + 1, rows.shape[1] - 1)
+                ].astype(jnp.int32)
+                st = st.replace(
+                    ptype=jnp.where(to_ion, TYPE_MA,
+                                    jnp.where(nt_dep, TYPE_KPKT, st.ptype)),
+                    ma_level=jnp.where(to_ion, upper_ground, st.ma_level),
+                    trueemissiontype=jnp.where(
+                        to_ion, EMTYPE_NOTSET, st.trueemissiontype
+                    ),
+                )
+            else:
+                st = st.replace(ptype=jnp.where(nt_dep, TYPE_KPKT, st.ptype))
             return st, est
 
         any_convertible = jnp.any(
