@@ -24,6 +24,7 @@ from . import decay as decay_mod
 from . import grid as grid_mod
 from . import packets as packets_mod
 from . import spectrum as spectrum_mod
+from . import stats as stats_mod
 from .atomic import to_device
 from .constants import CLIGHT, DAY, FOURPI, LSUN, MH, ONEOVER4PI, PI, SIGMA_T
 from .estimators import Estimators, zero_estimators
@@ -634,6 +635,9 @@ class Simulation:
             self._escaped_counted |= esc
         if self.opts.write_estimator_files:
             self.write_estimators(nts)
+        counter_txt = stats_mod.format_counters(self.est.counters)
+        if counter_txt:
+            self.log(f"timestep {nts} event counters:\n{counter_txt}")
         self.log(
             f"timestep {nts}: escaped rpkts so far {int(self._escaped_counted.sum())} "
             f"(cmf_lum {self.cmf_lum_ts[nts] / LSUN / max(float(self.ts.width[nts]), 1e-30):.3e} Lsun)"

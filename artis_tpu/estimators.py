@@ -26,6 +26,7 @@ import jax.numpy as jnp
         "dep_alpha", "gammaestimator", "bfheatingestimator",
         "cmf_lum", "pellet_decays", "nesc",
         "gamma_emission", "positron_emission", "electron_emission", "alpha_emission",
+        "counters",
         "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
         "alpha_dep_discrete",
     ],
@@ -49,6 +50,7 @@ class Estimators:
     pellet_decays: jax.Array
     nesc: jax.Array
     gamma_emission: jax.Array
+    counters: jax.Array  # (stats.N_COUNTERS,) event counters
     positron_emission: jax.Array
     electron_emission: jax.Array
     alpha_emission: jax.Array
@@ -77,6 +79,7 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64) -> 
         pellet_decays=jnp.zeros((), jnp.int32),
         nesc=jnp.zeros((), jnp.int32),
         gamma_emission=z,
+        counters=jnp.zeros((33,), dtype),
         positron_emission=z,
         electron_emission=z,
         alpha_emission=z,

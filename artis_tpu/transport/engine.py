@@ -27,6 +27,7 @@ from .. import geometry
 from ..atomic import DeviceAtomicData
 from ..constants import CLIGHT_PROP, H, ME_C2, MEV, PI, SIGMA_T, THOMSON_LIMIT
 from ..estimators import Estimators, cell_add
+from .. import stats
 from ..grid import BOUNDARY_ESCAPE, GridData, boundary_distance
 from ..options import Options, ThermalisationScheme
 from ..packets import (
@@ -782,6 +783,7 @@ def rpkt_step(
     est = est.replace(
         nesc=est.nesc + jnp.sum(escaping).astype(est.nesc.dtype),
         cmf_lum=est.cmf_lum + jnp.sum(jnp.where(escaping, st.e_cmf, 0.0)),
+        counters=stats.bump(est.counters, stats.CELLCROSSINGS, crossing),
     )
 
     # --- events ---
@@ -794,6 +796,12 @@ def rpkt_step(
     ev_escat = ev_cont & (chi_rnd < chi_escat)
     ev_ff = ev_cont & ~ev_escat & (chi_rnd < chi_escat + chi_ff)
     ev_bf = ev_cont & ~ev_escat & ~ev_ff
+
+    counters = stats.bump(est.counters, stats.INTERACTIONS, take_event)
+    counters = stats.bump(counters, stats.ESCOUNTER, ev_escat)
+    counters = stats.bump(counters, stats.K_STAT_FROM_FF, ev_ff)
+    counters = stats.bump(counters, stats.MA_STAT_ACTIVATION_BB, ev_bb)
+    est = est.replace(counters=counters)
 
     # thick-cell grey scatter + electron scatter: coherent isotropic re-emission
     scatter_mask = ev_thick | ev_escat
@@ -827,6 +835,8 @@ def rpkt_step(
         # macro-atom activation at the photoionisation target level
         ma_level = dad.cont_uniqueupper[contindex]
         st = st.replace(ptype=jnp.where(goes_macroatom, TYPE_MA, st.ptype))
+        cnt = stats.bump(est.counters, stats.K_STAT_FROM_BF, ev_bf & ~goes_macroatom)
+        est = est.replace(counters=stats.bump(cnt, stats.MA_STAT_ACTIVATION_BF, goes_macroatom))
         ma_from_bf = goes_macroatom
         ma_level_bf = ma_level
     else:
@@ -973,6 +983,10 @@ def transport_timestep(
                         to_ion, EMTYPE_NOTSET, st.trueemissiontype
                     ),
                 )
+                cnt = stats.bump(est.counters, stats.NT_STAT_TO_IONIZATION, to_ion)
+                cnt = stats.bump(cnt, stats.MA_STAT_ACTIVATION_NTCOLLION, to_ion)
+                cnt = stats.bump(cnt, stats.NT_STAT_TO_KPKT, nt_dep & ~to_ion)
+                est = est.replace(counters=cnt)
             else:
                 st = st.replace(ptype=jnp.where(nt_dep, TYPE_KPKT, st.ptype))
             return st, est
@@ -1014,6 +1028,9 @@ def transport_timestep(
                 em_time=jnp.where(kpkt_rad, st.prop_time, st.em_time),
                 nscatterings=jnp.where(kpkt_rad, 0, st.nscatterings),
             )
+            cnt = stats.bump(est.counters, stats.K_STAT_TO_R_FF, kpkt_rad)
+            cnt = stats.bump(cnt, stats.K_STAT_TO_MA_COLLEXC, ma_mask_k)
+            est = est.replace(counters=cnt)
             return st, est, ma_mask_k, ma_level_k
 
         st, est, ma_mask_k, ma_level_k = jax.lax.cond(
@@ -1096,7 +1113,7 @@ def transport_timestep(
             ma_mask_k, ma_level_k, jnp.where(ma_mask_r, ma_level_r, st.ma_level)
         )
 
-        def ma_phase(st):
+        def ma_phase(st, est):
             # compact the (usually sparse) macro-atom set into K lanes so the
             # jump loop's gathers scale with the macro-atom count
             npk = st.npkts
@@ -1127,18 +1144,26 @@ def transport_timestep(
             st2 = apply_macroatom_results(
                 jax.random.fold_in(k, 109), 110, st, ma_res, resolved_mask, opts
             )
+            kindf = jnp.where(resolved_mask, ma_res["kind"], 0)
+            cnt = stats.bump(est.counters, stats.MA_STAT_DEACTIVATION_BB, kindf == 1)
+            cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_FB, kindf == 2)
+            cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_COLLDEEXC, kindf == 3)
+            est = est.replace(counters=cnt)
             # unresolved (jump cap) and unselected (buffer overflow) macro
             # atoms persist in the packet state for the next iteration
             level_full = expand(ma_res_c["level"], jnp.int32(0))
             unresolved_full = expand(ma_res_c["unresolved"], False)
             pending = ma_mask & ((selected & unresolved_full) | ~selected)
             pend_level = jnp.where(selected, level_full, ma_level)
-            return st2.replace(
+            st2 = st2.replace(
                 ptype=jnp.where(pending, TYPE_MA, st2.ptype),
                 ma_level=jnp.where(pending, pend_level, st2.ma_level).astype(jnp.int32),
             )
+            return st2, est
 
-        st = jax.lax.cond(jnp.any(ma_mask), ma_phase, lambda st: st, st)
+        st, est = jax.lax.cond(
+            jnp.any(ma_mask), ma_phase, lambda st, est: (st, est), st, est
+        )
 
         return st, est, nsteps
 
