@@ -61,6 +61,7 @@ def printout(logfile, msg):
 
 def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                           ffheating_norm, dep_heating, mode: str,
+                          binj_norm=None, binnuj_norm=None, bincount=None,
                           nlte_indices=None, ntd=None):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
@@ -149,6 +150,17 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     cells = cells.replace(
         totalcooling=rates.totalcooling, ion_cooling_contribs=rates.ion_cooling
     )
+    # multibin radiation-field fits (reference: radfield.cc:834-911)
+    if opts.multibin_radfield and mode != "first" and binj_norm is not None:
+        tr_bins, w_bins = radfield_mod.fit_bin_params(
+            binj_norm, binnuj_norm, bincount, cells.Te, opts.radfieldbincount,
+            opts.mintemp, opts.maxtemp,
+        )
+    else:
+        nb = opts.radfieldbincount if opts.multibin_radfield else 1
+        tr_bins = jnp.zeros((cells.Te.shape[0], nb), cells.Te.dtype)
+        w_bins = jnp.zeros_like(tr_bins)
+
     # per-timestep transport tables (the cellcache equivalent): Sobolev tau
     # factors and bound-free factor tables, so the per-packet hot loop does
     # single row-gathers instead of recomputing per packet
@@ -157,7 +169,8 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         dad, levelpops, nnion, cells.nne, cells.nnetot, cells.Te
     )
     return (cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep,
-            nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation)
+            nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation,
+            tr_bins, w_bins)
 
 
 class Simulation:
@@ -315,7 +328,11 @@ class Simulation:
         self.log(f"packets {self.opts.npkts} etot {self.pellet_tables.norm:g} erg")
 
         # estimators & spectra
-        self.est = zero_estimators(ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype)
+        self._nradbins = self.opts.radfieldbincount if self.opts.multibin_radfield else 1
+        self.est = zero_estimators(
+            ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype,
+            nradfieldbins=self._nradbins,
+        )
         self.prev_est: Estimators | None = None
         self.lc_lum = np.zeros(p.ntimesteps)
         self.lc_lumcmf = np.zeros(p.ntimesteps)
@@ -495,11 +512,23 @@ class Simulation:
             nuj_norm = demote_to_f32(nuj_norm)
             ffheating_norm = demote_to_f32(ffheating_norm)
             dep_heating = demote_to_f32(dep_heating)
+        if self.opts.multibin_radfield and self.prev_est is not None:
+            normb = jnp.asarray(norm4pi)[:, None] if not first_ts else 0.0
+            binj_norm = self.prev_est.radfieldbin_j * normb
+            binnuj_norm = self.prev_est.radfieldbin_nuj * normb
+            bincount = self.prev_est.radfieldbin_count
+            if self._f32:
+                binj_norm = demote_to_f32(binj_norm)
+                binnuj_norm = demote_to_f32(binnuj_norm)
+        else:
+            binj_norm = binnuj_norm = bincount = None
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
-         tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe) = self._plasma_jit(
+         tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe,
+         self.radfieldbin_tr, self.radfieldbin_w) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
+            binj_norm=binj_norm, binnuj_norm=binnuj_norm, bincount=bincount,
         )
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)
@@ -561,7 +590,8 @@ class Simulation:
 
         dtype = jnp.float32 if self._f32 else jnp.float64
         self.est = zero_estimators(
-            self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1), dtype=dtype
+            self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1), dtype=dtype,
+            nradfieldbins=self._nradbins,
         )
 
         t0 = _time.time()
@@ -704,7 +734,10 @@ class Simulation:
             W=jnp.asarray(g["W"]), nne=jnp.asarray(g["nne"]),
             thick=jnp.asarray(g["thick"]), kappagrey=jnp.asarray(g["kappagrey"]),
         )
-        est = zero_estimators(self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1))
+        est = zero_estimators(
+            self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1),
+            nradfieldbins=self._nradbins,
+        )
         self.prev_est = est.replace(j=jnp.asarray(g["j"]), nuj=jnp.asarray(g["nuj"]))
         if self._f32:
             self.cells = demote_to_f32(self.cells)

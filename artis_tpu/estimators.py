@@ -26,7 +26,7 @@ import jax.numpy as jnp
         "dep_alpha", "gammaestimator", "bfheatingestimator",
         "cmf_lum", "pellet_decays", "nesc",
         "gamma_emission", "positron_emission", "electron_emission", "alpha_emission",
-        "counters",
+        "counters", "radfieldbin_j", "radfieldbin_nuj", "radfieldbin_count",
         "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
         "alpha_dep_discrete",
     ],
@@ -51,6 +51,9 @@ class Estimators:
     nesc: jax.Array
     gamma_emission: jax.Array
     counters: jax.Array  # (stats.N_COUNTERS,) event counters
+    radfieldbin_j: jax.Array  # (ncells, nbins) multibin radfield J
+    radfieldbin_nuj: jax.Array  # (ncells, nbins)
+    radfieldbin_count: jax.Array  # (ncells, nbins) contribution counts
     positron_emission: jax.Array
     electron_emission: jax.Array
     alpha_emission: jax.Array
@@ -63,7 +66,8 @@ class Estimators:
         return dataclasses.replace(self, **kw)
 
 
-def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64) -> Estimators:
+def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
+                    nradfieldbins: int = 1) -> Estimators:
     z = jnp.zeros((), dtype)
     return Estimators(
         j=jnp.zeros(ncells, dtype),
@@ -80,6 +84,9 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64) -> 
         nesc=jnp.zeros((), jnp.int32),
         gamma_emission=z,
         counters=jnp.zeros((33,), dtype),
+        radfieldbin_j=jnp.zeros((ncells, nradfieldbins), dtype),
+        radfieldbin_nuj=jnp.zeros((ncells, nradfieldbins), dtype),
+        radfieldbin_count=jnp.zeros((ncells, nradfieldbins), dtype),
         positron_emission=z,
         electron_emission=z,
         alpha_emission=z,

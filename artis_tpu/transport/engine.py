@@ -757,6 +757,21 @@ def rpkt_step(
             est.ffheating, nonemptymgi, contrib * chi_ff, mask & nonempty & ~thick
         ),
     )
+    if opts.multibin_radfield:
+        # per-bin J/nuJ estimators (reference: radfield.cc:731-759)
+        from ..plasma import radfield as radfield_mod
+        b = radfield_mod.select_bin(nucmf1, opts.radfieldbincount)
+        # out-of-range (high) indices are dropped; negative would wrap
+        b = jnp.where((mask & nonempty) & (b >= 0), b, opts.radfieldbincount)
+        est = est.replace(
+            radfieldbin_j=est.radfieldbin_j.at[nonemptymgi, b].add(contrib, mode="drop"),
+            radfieldbin_nuj=est.radfieldbin_nuj.at[nonemptymgi, b].add(
+                contrib * nucmf1, mode="drop"
+            ),
+            radfieldbin_count=est.radfieldbin_count.at[nonemptymgi, b].add(
+                1.0, mode="drop"
+            ),
+        )
     pos2, t2_, nucmf2, ecmf2, _ = geometry.move_pkt(
         pos1, st.dir, t1, st.nu_rf, nucmf1, st.e_rf, dist / 2.0,
         opts.use_relativistic_doppler_shift,
