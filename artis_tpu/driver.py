@@ -165,12 +165,18 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     # factors and bound-free factor tables, so the per-packet hot loop does
     # single row-gathers instead of recomputing per packet
     tau_sob = linewalk_mod.build_tau_factor(dad, levelpops)
+    if opts.vpkt_on:
+        from .transport import vpkt as vpkt_device_mod
+        vcum_tau, vcum_taunu = vpkt_device_mod.build_vpkt_tables(tau_sob, dad)
+    else:
+        vcum_tau = jnp.zeros((tau_sob.shape[0], 1), tau_sob.dtype)
+        vcum_taunu = vcum_tau
     bf_a, bf_dep = opacity_mod.build_bf_tables(
         dad, levelpops, nnion, cells.nne, cells.nnetot, cells.Te
     )
     return (cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep,
             nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation,
-            tr_bins, w_bins)
+            tr_bins, w_bins, vcum_tau, vcum_taunu)
 
 
 class Simulation:
@@ -329,9 +335,14 @@ class Simulation:
 
         # estimators & spectra
         self._nradbins = self.opts.radfieldbincount if self.opts.multibin_radfield else 1
+        self._vspec_shape = (
+            (self.opts.vpkt_nobs, 1, self.opts.vpkt_vmtbins,
+             self.opts.vpkt_vmnubins, 3)
+            if self.opts.vpkt_on else (1, 1, 1, 1, 3)
+        )
         self.est = zero_estimators(
             ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype,
-            nradfieldbins=self._nradbins,
+            nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
         )
         self.prev_est: Estimators | None = None
         self.lc_lum = np.zeros(p.ntimesteps)
@@ -394,6 +405,28 @@ class Simulation:
             )
             if self._f32:
                 self.ntd = demote_to_f32(self.ntd)
+        from .transport import vpkt as vpkt_mod
+        self.vpkt_cfg = None
+        if self.opts.vpkt_on:
+            vpkt_path = os.path.join(rundir, "vpkt.txt")
+            if os.path.exists(vpkt_path):
+                self.vpkt_cfg = vpkt_mod.read_vpkt_config(
+                    vpkt_path, p.tmin, p.tmax, self.opts.vpkt_vmtbins,
+                    self.opts.vpkt_vmnubins,
+                )
+            else:
+                self.vpkt_cfg = vpkt_mod.default_vpkt_config(
+                    p.tmin, p.tmax, self.opts.vpkt_nobs,
+                    self.opts.vpkt_vmtbins, self.opts.vpkt_vmnubins,
+                )
+            if self._f32:
+                self.vpkt_cfg = demote_to_f32(self.vpkt_cfg)
+            self.log(
+                f"vpkt: {self.vpkt_cfg.nobs} observers, "
+                f"{self.vpkt_cfg.nspectra} spectra each"
+            )
+        self._vspec_total = np.zeros(self._vspec_shape, dtype=np.float64)
+
         import functools as _ft
         self._plasma_jit = jax.jit(
             _ft.partial(
@@ -524,7 +557,8 @@ class Simulation:
             binj_norm = binnuj_norm = bincount = None
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
          tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe,
-         self.radfieldbin_tr, self.radfieldbin_w) = self._plasma_jit(
+         self.radfieldbin_tr, self.radfieldbin_w,
+         vcum_tau, vcum_taunu) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
@@ -558,6 +592,9 @@ class Simulation:
             tau_sob_factor=tau_sob,
             bf_a=bf_a,
             bf_dep=bf_dep,
+            vpkt_cum_tau=vcum_tau,
+            vpkt_cum_taunu=vcum_taunu,
+            vpkt_cfg=self.vpkt_cfg,
             nt_frac_ion_by_ion=nt_fibi,
             nt_frac_ionization=nt_fi,
             nt_frac_excitation=nt_fe,
@@ -591,7 +628,7 @@ class Simulation:
         dtype = jnp.float32 if self._f32 else jnp.float64
         self.est = zero_estimators(
             self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1), dtype=dtype,
-            nradfieldbins=self._nradbins,
+            nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
         )
 
         t0 = _time.time()
@@ -626,6 +663,10 @@ class Simulation:
         self.total_transport_seconds = getattr(self, "total_transport_seconds", 0.0) + dt_transport
 
         self.prev_est = self.est
+        if self.opts.vpkt_on:
+            self._vspec_total = self._vspec_total + np.asarray(
+                self.est.vspec, dtype=np.float64
+            )
         self.gamma_dep_ts[nts] = float(jnp.sum(self.est.dep_gamma)) * self._e0
         self.cmf_lum_ts[nts] = float(self.est.cmf_lum) * self._e0
         e = self.est
@@ -755,6 +796,12 @@ class Simulation:
         packets_mod.write_packets_text(
             os.path.join(self.rundir, "packets00_0000.out"), self.state, e_scale=self._e0
         )
+        if self.opts.vpkt_on and self.vpkt_cfg is not None:
+            from .transport import vpkt as vpkt_mod
+            vpkt_mod.write_vspecpol(
+                os.path.join(self.rundir, "specpol_virtual.out"), self.vpkt_cfg,
+                self._vspec_total * self._e0,
+            )
         self.write_outputs(partial=False)
 
     def write_deposition(self):

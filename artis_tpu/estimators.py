@@ -27,6 +27,7 @@ import jax.numpy as jnp
         "cmf_lum", "pellet_decays", "nesc",
         "gamma_emission", "positron_emission", "electron_emission", "alpha_emission",
         "counters", "radfieldbin_j", "radfieldbin_nuj", "radfieldbin_count",
+        "vspec",
         "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
         "alpha_dep_discrete",
     ],
@@ -54,6 +55,7 @@ class Estimators:
     radfieldbin_j: jax.Array  # (ncells, nbins) multibin radfield J
     radfieldbin_nuj: jax.Array  # (ncells, nbins)
     radfieldbin_count: jax.Array  # (ncells, nbins) contribution counts
+    vspec: jax.Array  # (nobs, nspec, vmtbins, vmnubins, 3) virtual-packet Stokes
     positron_emission: jax.Array
     electron_emission: jax.Array
     alpha_emission: jax.Array
@@ -67,7 +69,8 @@ class Estimators:
 
 
 def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
-                    nradfieldbins: int = 1) -> Estimators:
+                    nradfieldbins: int = 1,
+                    vspec_shape=(1, 1, 1, 1, 3)) -> Estimators:
     z = jnp.zeros((), dtype)
     return Estimators(
         j=jnp.zeros(ncells, dtype),
@@ -87,6 +90,7 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
         radfieldbin_j=jnp.zeros((ncells, nradfieldbins), dtype),
         radfieldbin_nuj=jnp.zeros((ncells, nradfieldbins), dtype),
         radfieldbin_count=jnp.zeros((ncells, nradfieldbins), dtype),
+        vspec=jnp.zeros(vspec_shape, dtype),
         positron_emission=z,
         electron_emission=z,
         alpha_emission=z,

@@ -90,6 +90,9 @@ class Options:
     dipole: bool = False
     pol_on: bool = False
     vpkt_on: bool = False
+    vpkt_nobs: int = 1
+    vpkt_vmtbins: int = 30
+    vpkt_vmnubins: int = 1000
 
     track_ion_stats: bool = False
     minpop: float = 1e-40
@@ -114,9 +117,6 @@ class Options:
     # non-thermal solver
     nt_on: bool = False
     nt_solve_spencerfano: bool = False
-    sfpts: int = 4096
-    sf_emax: float = 16000.0
-    sf_emin: float = 0.1
     sf_max_ts_between_solutions: int = 0
     nt_max_fracdiff_nneperion: float = 0.05
     ntexcitation_maxnlevels_lower: int = 5

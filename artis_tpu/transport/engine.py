@@ -40,6 +40,7 @@ from ..packets import (
 from ..plasma.radfield import sample_planck_montecarlo
 from . import opacity
 from .linewalk import get_event_batch
+from . import vpkt as vpkt_mod
 from ..decay import (
     DECAYTYPE_ALPHA, DECAYTYPE_BETAMINUS, DECAYTYPE_BETAPLUS,
 )
@@ -49,7 +50,8 @@ from ..decay import (
     jax.tree_util.register_dataclass,
     data_fields=[
         "levelpops", "nnion", "chi_ff_nnionpart", "tau_sob_factor",
-        "bf_a", "bf_dep", "nt_frac_ion_by_ion", "nt_frac_ionization",
+        "bf_a", "bf_dep", "vpkt_cum_tau", "vpkt_cum_taunu", "vpkt_cfg",
+        "nt_frac_ion_by_ion", "nt_frac_ionization",
         "nt_frac_excitation", "barnes_t_ineff", "barnes_tau_ineff_lepton",
         "barnes_tau_ineff_alpha", "rho_t_mgi", "rho_tmin_mgi",
         "tmin", "gammaline_energy",
@@ -68,6 +70,9 @@ class StepContext:
     tau_sob_factor: jax.Array  # (ncells, nlines) linewalk.build_tau_factor
     bf_a: jax.Array  # (ncells, nbfcontinua) opacity.build_bf_tables
     bf_dep: jax.Array  # (ncells, nbfcontinua)
+    vpkt_cum_tau: jax.Array  # (ncells, nlines+1) vpkt closed-form line tau
+    vpkt_cum_taunu: jax.Array
+    vpkt_cfg: object  # VpktConfig pytree or None
     nt_frac_ion_by_ion: jax.Array  # (ncells, nions) Spencer-Fano split
     nt_frac_ionization: jax.Array  # (ncells,)
     nt_frac_excitation: jax.Array  # (ncells,)
@@ -659,6 +664,26 @@ def gamma_step(
 # ---------------------------------------------------------------------------
 
 
+def _vpkt_spawn(key, st, est, ctx, grid, dad, cells, opts, mask, is_scatter,
+                nu_cmf, opacity_case: int):
+    """Launch virtual packets from interacting real packets
+    (reference: vpkt.cc:899-962 vpkt_call_estimators); gated to skip when the
+    iteration has no interactions."""
+    cfg = ctx.vpkt_cfg
+
+    def run(vspec):
+        return vpkt_mod.trace_vpkts(
+            cfg, vspec, dad, grid, cells, ctx, ctx.vpkt_cum_tau,
+            ctx.vpkt_cum_taunu, st.pos, st.dir, st.prop_time, st.where,
+            nu_cmf, st.e_cmf, st.stokes[:, 1:3],
+            jnp.broadcast_to(jnp.asarray(is_scatter), mask.shape), mask,
+            opacity_case,
+        )
+
+    vspec = jax.lax.cond(jnp.any(mask), run, lambda v: v, est.vspec)
+    return est.replace(vspec=vspec)
+
+
 def rpkt_step(
     key, st: PacketState, est: Estimators, ctx: StepContext, grid: GridData,
     dad: DeviceAtomicData, cells, opts: Options, opacity_case: int,
@@ -812,6 +837,11 @@ def rpkt_step(
     ev_ff = ev_cont & ~ev_escat & (chi_rnd < chi_escat + chi_ff)
     ev_bf = ev_cont & ~ev_escat & ~ev_ff
 
+    if opts.vpkt_on:
+        est = _vpkt_spawn(
+            jax.random.fold_in(key, 58), st, est, ctx, grid, dad, cells, opts,
+            ev_escat, True, st.nu_cmf, opacity_case,
+        )
     counters = stats.bump(est.counters, stats.INTERACTIONS, take_event)
     counters = stats.bump(counters, stats.ESCOUNTER, ev_escat)
     counters = stats.bump(counters, stats.K_STAT_FROM_FF, ev_ff)
@@ -1037,6 +1067,11 @@ def transport_timestep(
                 kpkt_mask, safe_mgi, cells.Te, cells.nne, ctx.t2, ctx.t2 - ctx.ts,
                 kpktdiffusion_timescale, apply_kpkt_diffusion,
             )
+            if opts.vpkt_on:
+                est = _vpkt_spawn(
+                    jax.random.fold_in(k, 112), st, est, ctx, grid, dad, cells,
+                    opts, kpkt_rad, False, st.nu_cmf, opacity_case,
+                )
             st = emit_rpkt_batch(jax.random.fold_in(k, 105), 0, st, kpkt_rad, opts)
             st = st.replace(
                 em_pos=jnp.where(kpkt_rad[:, None], st.pos, st.em_pos),
@@ -1160,6 +1195,12 @@ def transport_timestep(
                 jax.random.fold_in(k, 109), 110, st, ma_res, resolved_mask, opts
             )
             kindf = jnp.where(resolved_mask, ma_res["kind"], 0)
+            if opts.vpkt_on:
+                rad_m = (kindf == 1) | (kindf == 2)
+                est = _vpkt_spawn(
+                    jax.random.fold_in(k, 111), st, est, ctx, grid, dad, cells,
+                    opts, rad_m, False, ma_res["nu_cmf"], opacity_case,
+                )
             cnt = stats.bump(est.counters, stats.MA_STAT_DEACTIVATION_BB, kindf == 1)
             cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_FB, kindf == 2)
             cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_COLLDEEXC, kindf == 3)

@@ -1,0 +1,109 @@
+"""Virtual-packet tests (reference: vpkt.cc:162-420, 899-962)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from artis_tpu import atomic
+from artis_tpu.io import atomicdata
+from artis_tpu.options import GridType, kilonova_lte
+from artis_tpu.transport import vpkt
+from artis_tpu.constants import PI
+
+
+def test_config_parsing(tmp_path):
+    p = tmp_path / "vpkt.txt"
+    p.write_text("2\n0.5 -0.5\n0.0 90.0\n1\n2\n0 -1\n1 1.0 3.0\n0\n8.0\n")
+    cfg = vpkt.read_vpkt_config(str(p), 1e5, 1e6)
+    assert cfg.nobs == 2 and cfg.nspectra == 2
+    assert cfg.exclude == (0, -1)
+    assert cfg.tmin == pytest.approx(86400.0)
+    assert cfg.tmax == pytest.approx(3 * 86400.0)
+    assert cfg.tau_max == 8.0
+    dirs = np.asarray(cfg.obsdirs)
+    np.testing.assert_allclose(dirs[0], [np.sqrt(0.75), 0, 0.5], atol=1e-12)
+    np.testing.assert_allclose(np.linalg.norm(dirs, axis=1), 1.0, atol=1e-12)
+
+
+def test_segment_bb_tau_closed_form(tmp_path):
+    """The cumulative-table segment tau must equal the explicit per-line sum
+    tau_l * (t + D_l / c) over lines crossed (vpkt.cc:293-346)."""
+    from artis_tpu.synthdata import write_synthetic_atomicdata
+
+    write_synthetic_atomicdata(tmp_path, elements=((26, 2),), nlevels_per_ion=6)
+    ad = atomicdata.read_atomicdata(str(tmp_path))
+    dad = atomic.to_device(ad)
+    rng = np.random.default_rng(1)
+    ncells = 2
+    tau_factor = jnp.asarray(10.0 ** rng.uniform(-22, -18, (ncells, ad.nlines)))
+    cum_tau, cum_taunu = vpkt.build_vpkt_tables(tau_factor, dad)
+
+    line_nu = np.asarray(dad.line_nu)
+    nu_start = np.array([line_nu[2] * 1.0001, line_nu[0] * 1.1])
+    nu_end = np.array([line_nu[-2] * 1.0001, line_nu[5] * 0.9999])
+    t0 = np.array([2e5, 3e5])
+    dndl = np.array([-1e-3, -2e-3])
+    cellidx = jnp.asarray([0, 1])
+    got = np.asarray(vpkt._segment_bb_tau(
+        dad, cum_tau, cum_taunu, cellidx, jnp.asarray(nu_start),
+        jnp.asarray(nu_end), jnp.asarray(t0), jnp.asarray(dndl),
+    ))
+    tf = np.asarray(tau_factor)
+    c = 2.99792458e10
+    for i in range(2):
+        sel = (line_nu <= nu_start[i]) & (line_nu > nu_end[i])
+        d_l = (line_nu[sel] - nu_start[i]) / dndl[i]
+        expected = np.sum(tf[i, sel] * (t0[i] + d_l / c))
+        assert got[i] == pytest.approx(expected, rel=1e-10)
+
+
+def test_vpkt_isotropic_contribution_thin(tmp_path):
+    """An isotropic emission in a transparent medium contributes e/(4 pi) per
+    observer with zero Q/U."""
+    from artis_tpu.driver import Simulation
+    from artis_tpu.synthdata import make_run
+
+    make_run(str(tmp_path), ncells=4, ntimesteps=4, tmax_days=2.0, ngreyts=1)
+    opts = kilonova_lte(
+        npkts=128, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=12, vpkt_on=True, vpkt_nobs=1,
+        vpkt_vmnubins=100, vpkt_vmtbins=8,
+    )
+    sim = Simulation(str(tmp_path), opts, datadir="/root/reference/data")
+    ctx = sim.update_grid(0)
+    cfg = sim.vpkt_cfg
+    vspec = vpkt.zero_vspectra(cfg, jnp.float64)
+    n = 4
+    pos = jnp.tile(jnp.asarray([[1e13, 0.0, 0.0]]), (n, 1))
+    dirv = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    t = jnp.full(n, float(sim.ts.mid[1]))
+    where = jnp.zeros(n, jnp.int32)
+    nu = jnp.full(n, 5e14)
+    e = jnp.ones(n)
+    qu = jnp.zeros((n, 2))
+    # zero out all opacity so exp(-tau) = 1
+    import dataclasses as _dc
+    ctx0 = _dc.replace(
+        ctx,
+        chi_ff_nnionpart=jnp.zeros_like(ctx.chi_ff_nnionpart),
+        bf_a=jnp.zeros_like(ctx.bf_a),
+        vpkt_cum_tau=jnp.zeros_like(ctx.vpkt_cum_tau),
+        vpkt_cum_taunu=jnp.zeros_like(ctx.vpkt_cum_taunu),
+    )
+    vspec = vpkt.trace_vpkts(
+        cfg, vspec, sim.dad, sim.grid, sim.cells.replace(
+            nne=jnp.zeros_like(sim.cells.nne),
+            thick=jnp.zeros_like(sim.cells.thick),
+        ),
+        ctx0,
+        jnp.zeros_like(ctx.vpkt_cum_tau), jnp.zeros_like(ctx.vpkt_cum_taunu),
+        pos, dirv, t, where, nu, e, qu,
+        jnp.zeros(n, bool), jnp.ones(n, bool), opacity_case=4,
+    )
+    v = np.asarray(vspec)
+    total_i = v[..., 0].sum()
+    # 4 packets x e=1 x 1/(4 pi), up to the O(v/c ~ 0.005) Doppler factor
+    assert total_i == pytest.approx(n / (4 * PI), rel=1e-2)
+    assert abs(v[..., 1].sum()) < 1e-12
+    assert abs(v[..., 2].sum()) < 1e-12
