@@ -35,7 +35,7 @@ from .io.atomicdata import AtomicData
         "cont_nu_edge", "cont_element", "cont_ion", "cont_uniquelower",
         "cont_uniqueupper", "cont_probability", "cont_phixsrow",
         "cont_groundindex", "cont_uniqueion", "cont_level", "cont_upperlevel",
-        "groundcont_nu_edge", "groundcont_uniqueion",
+        "groundcont_nu_edge", "groundcont_uniqueion", "groundcont_contindex",
         "allphixs",
     ],
     meta_fields=[
@@ -103,6 +103,7 @@ class DeviceAtomicData:
     # ground continua (nu_edge ascending)
     groundcont_nu_edge: jax.Array
     groundcont_uniqueion: jax.Array
+    groundcont_contindex: jax.Array  # (ngroundcont,) index into the allcont arrays
     # phixs cross sections (nbftables, nphixspoints), float32
     allphixs: jax.Array
 
@@ -118,6 +119,20 @@ class DeviceAtomicData:
     nphixsnuincrement: float
     last_phixs_nuovernuedge: float
     max_nions: int
+
+
+def _groundcont_to_cont(ad) -> "np.ndarray":
+    """(nbfcontinua_ground,) allcont index of each ground continuum: the
+    ground-level first-target continuum carrying that groundphixslist index
+    (reference: globals.h groundcont / elements.groundcontindex)."""
+    ngc = ad.nbfcontinua_ground
+    out = np.full(max(ngc, 1), -1, np.int32)
+    gidx = np.asarray(ad.cont_index_in_groundphixslist)
+    for ci in range(ad.nbfcontinua):
+        g = int(gidx[ci])
+        if 0 <= g < ngc and out[g] < 0:
+            out[g] = ci
+    return np.maximum(out, 0)
 
 
 def to_device(ad: AtomicData) -> DeviceAtomicData:
@@ -212,6 +227,7 @@ def to_device(ad: AtomicData) -> DeviceAtomicData:
         cont_upperlevel=jnp.asarray(ad.cont_upperlevel),
         groundcont_nu_edge=jnp.asarray(ad.groundcont_nu_edge),
         groundcont_uniqueion=jnp.asarray(groundcont_uii),
+        groundcont_contindex=jnp.asarray(_groundcont_to_cont(ad)),
         allphixs=jnp.asarray(ad.allphixs, dtype=jnp.float32),
         nelements=ad.nelements,
         nions_total=ad.nions_total,

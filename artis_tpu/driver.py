@@ -62,7 +62,7 @@ def printout(logfile, msg):
 def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                           ffheating_norm, dep_heating, mode: str,
                           binj_norm=None, binnuj_norm=None, bincount=None,
-                          nlte_indices=None, ntd=None):
+                          gammaest_norm=None, nlte_indices=None, ntd=None):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
     populations, ff-opacity parts and the macro-atom/cooling rate tables
@@ -101,7 +101,27 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             Te=jnp.where(thick1 & validj, t_j, cells.Te),
             W=jnp.where(thick1, jnp.ones_like(t_j), cells.W),
         )
-    cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
+    # LUT gamma estimators -> per-ion Gamma + corrphotoionrenorm
+    # (reference: update_grid.cc:765-830)
+    gamma_ion = None
+    corrphotoionrenorm = None
+    if gammaest_norm is not None and mode == "nlte" and opts.use_lut_photoion:
+        ngc = gammaest_norm.shape[1]
+        gci = dad.groundcont_contindex
+        from .plasma.ratecoeff import interpolate_lut
+        corr_lut = interpolate_lut(
+            rc.corrphotoion, rc, gci[None, :], jnp.maximum(cells.TR, rc.mintemp)[:, None]
+        )  # (ncells, ngc)
+        corr_ana = cells.W[:, None] * corr_lut
+        corrphotoionrenorm = jnp.where(
+            corr_ana > 0, gammaest_norm / jnp.maximum(corr_ana, 1e-300), 1.0
+        )
+        gamma_ion = jnp.zeros((cells.Te.shape[0], dad.nions_total), cells.Te.dtype)
+        gamma_ion = gamma_ion.at[:, dad.groundcont_uniqueion].add(gammaest_norm)
+
+    cells = ltepop_mod.calculate_ion_balance_nne(
+        dad, cells, opts, gamma_ion=gamma_ion, rc=rc
+    )
     # non-thermal Spencer-Fano solution (reference: nonthermal.cc:2391;
     # solved before the NLTE populations in the outer loop,
     # update_grid.cc:683-694)
@@ -145,7 +165,8 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     nnion = ltepop_mod.get_nnion(dad, cells)
     chi_ff_part = opacity_mod.chi_ff_nnionpart_cells(dad, nnion, cells.Te)
     rates = transitionrates_mod.compute_process_rates(
-        dad, rc, levelpops, nnion, cells.Te, cells.TR, cells.W, cells.nne, t_mid
+        dad, rc, levelpops, nnion, cells.Te, cells.TR, cells.W, cells.nne, t_mid,
+        corrphotoionrenorm=corrphotoionrenorm,
     )
     cells = cells.replace(
         totalcooling=rates.totalcooling, ion_cooling_contribs=rates.ion_cooling
@@ -555,6 +576,15 @@ class Simulation:
                 binnuj_norm = demote_to_f32(binnuj_norm)
         else:
             binj_norm = binnuj_norm = bincount = None
+        gammaest_norm = None
+        if (self.opts.use_lut_photoion and self.prev_est is not None
+                and not first_ts):
+            from .constants import H as _H
+            gammaest_norm = self.prev_est.gammaestimator * jnp.asarray(
+                norm4pi * FOURPI / _H
+            )[:, None]
+            if self._f32:
+                gammaest_norm = demote_to_f32(gammaest_norm)
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
          tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe,
          self.radfieldbin_tr, self.radfieldbin_w,
@@ -563,6 +593,7 @@ class Simulation:
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
             binj_norm=binj_norm, binnuj_norm=binnuj_norm, bincount=bincount,
+            gammaest_norm=gammaest_norm,
         )
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)

@@ -178,18 +178,34 @@ def set_groundlevelpops(
 
 
 def calculate_ion_balance_nne(
-    dad: DeviceAtomicData, cells: CellState, opts: Options, force_lte: bool | jax.Array = True
+    dad: DeviceAtomicData, cells: CellState, opts: Options, force_lte: bool | jax.Array = True,
+    gamma_ion=None, nt_ion_rate=None, rc=None,
 ) -> CellState:
     """Full LTE/Saha nne + ground-pop solve for all cells at once
     (reference: ltepop.cc:607-640 calculate_ion_balance_nne).
 
-    Currently implements the Saha path (force_saha / FORCE_SAHA_ION_BALANCE);
-    the rate-balance phi path plugs in via logphi once the photoionisation
-    estimators exist.
+    When gamma_ion (photoionisation rate per ground-level pop, from the LUT
+    gamma estimators) is given and force_saha is off, non-thick cells use the
+    nebular rate-balance phi = alpha_sp / (Gamma_ion + Gamma_NT)
+    (reference: ltepop.cc:64-120 phi_rate_balance).
     """
     t_exc = cells.TJ if opts.ltepop_excitation_use_tj else cells.Te
     partfuncts = calculate_partfuncts(dad, t_exc)
     logphi = log_phi_saha(dad, partfuncts, cells.Te)
+    if gamma_ion is not None and not opts.force_saha_ion_balance and rc is not None:
+        from .ratecoeff import interpolate_lut
+
+        ionidx = jnp.arange(dad.nions_total)
+        alpha_sp = interpolate_lut(
+            rc.ion_alpha_sp, rc, ionidx[None, :], cells.Te[:, None]
+        )  # (ncells, nions)
+        gamma_per_ion = gamma_ion * dad.ion_g0[None, :] / jnp.maximum(partfuncts, 1e-300)
+        gtot = gamma_per_ion + (nt_ion_rate if nt_ion_rate is not None else 0.0)
+        logphi_rate = jnp.log(jnp.maximum(alpha_sp, 1e-300)) - jnp.log(
+            jnp.maximum(gtot, 1e-300)
+        )
+        use_rate = (gtot > 0) & (cells.thick[:, None] != 1)
+        logphi = jnp.where(use_rate, logphi_rate, logphi)
 
     nne_hi = cells.rho / MH
     nnelement = cells.elem_numberdens()

@@ -720,11 +720,22 @@ def rpkt_step(
     # timesteps (reference: rpkt.cc:647-654 takes the grey branch per packet)
     need_chi = mask & nonempty & ~thick
 
+    want_gc = opts.use_lut_photoion or opts.use_lut_bfheating
+    ngc = max(dad.nbfcontinua_ground, 1)
+
     def nongrey_machinery(st_nu_cmf, st_next_trans):
-        chi_escat, chi_ff, chi_bf, select_continuum = opacity.calculate_chi_rpkt_cont(
-            dad, jnp.where(need_chi, st_nu_cmf, 1e15), safe_mgi, need_chi,
-            ctx.bf_a, ctx.bf_dep, ctx.chi_ff_nnionpart, cells.nne,
-            cells.Te, opacity_case,
+        (chi_escat, chi_ff, chi_bf, select_continuum, gamma_contr) = (
+            opacity.calculate_chi_rpkt_cont(
+                dad, jnp.where(need_chi, st_nu_cmf, 1e15), safe_mgi, need_chi,
+                ctx.bf_a, ctx.bf_dep, ctx.chi_ff_nnionpart, cells.nne,
+                cells.Te, opacity_case, want_gamma_contr=True,
+            )
+            if want_gc else
+            opacity.calculate_chi_rpkt_cont(
+                dad, jnp.where(need_chi, st_nu_cmf, 1e15), safe_mgi, need_chi,
+                ctx.bf_a, ctx.bf_dep, ctx.chi_ff_nnionpart, cells.nne,
+                cells.Te, opacity_case,
+            ) + (jnp.zeros((n, ngc), st_nu_cmf.dtype),)
         )
         chi_cont_cmf = chi_escat + chi_ff + chi_bf
         chi_cont = chi_cont_cmf * doppler
@@ -738,16 +749,18 @@ def rpkt_step(
         else:
             contindex = jnp.zeros_like(st.ptype)
         return (chi_escat, chi_ff, chi_bf, chi_cont_cmf, ev.edist,
-                ev.next_trans, ev.is_boundbound, ev.activating_line, contindex)
+                ev.next_trans, ev.is_boundbound, ev.activating_line, contindex,
+                gamma_contr)
 
     def grey_only(st_nu_cmf, st_next_trans):
         z = jnp.zeros_like(st_nu_cmf)
         zi = jnp.zeros_like(st.ptype)
         return (z, z, z, z, z + jnp.inf, st_next_trans.astype(jnp.int32),
-                jnp.zeros_like(mask), zi - 99, zi)
+                jnp.zeros_like(mask), zi - 99, zi,
+                jnp.zeros((n, ngc), st_nu_cmf.dtype))
 
     (chi_escat, chi_ff, chi_bf, chi_cont_cmf, ev_edist, ev_next_trans,
-     ev_is_bb, ev_act_line, bf_contindex) = jax.lax.cond(
+     ev_is_bb, ev_act_line, bf_contindex, gamma_contr) = jax.lax.cond(
         jnp.any(need_chi), nongrey_machinery, grey_only, st.nu_cmf, st.next_trans
     )
 
@@ -782,6 +795,24 @@ def rpkt_step(
             est.ffheating, nonemptymgi, contrib * chi_ff, mask & nonempty & ~thick
         ),
     )
+    if opts.use_lut_photoion or opts.use_lut_bfheating:
+        # LUT photoionisation/bf-heating estimators (reference: rpkt.cc:580-599)
+        nu_edge_g = dad.groundcont_nu_edge[None, :].astype(st.pos.dtype)
+        seg_ok = mask & nonempty & ~thick
+        # negative mgi would wrap: route invalid rows out of bounds instead
+        mgi_safe_scatter = jnp.where(seg_ok, nonemptymgi, est.gammaestimator.shape[0])
+        de = contrib[:, None] * gamma_contr
+        if opts.use_lut_photoion:
+            gadd = de / jnp.maximum(nucmf1, 1e-30)[:, None]
+            est = est.replace(
+                gammaestimator=est.gammaestimator.at[mgi_safe_scatter, :].add(gadd, mode="drop")
+            )
+        if opts.use_lut_bfheating:
+            badd = de * jnp.maximum(1.0 - nu_edge_g / jnp.maximum(nucmf1, 1e-30)[:, None], 0.0)
+            est = est.replace(
+                bfheatingestimator=est.bfheatingestimator.at[mgi_safe_scatter, :].add(badd, mode="drop")
+            )
+
     if opts.multibin_radfield:
         # per-bin J/nuJ estimators (reference: radfield.cc:731-759)
         from ..plasma import radfield as radfield_mod

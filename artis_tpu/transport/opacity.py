@@ -87,6 +87,7 @@ def calculate_chi_bf(
     bf_dep: jax.Array,  # (ncells, ncont)
     t_e: jax.Array,  # (ncells,)
     chunk: int = 512,
+    want_gamma_contr: bool = False,
 ):
     """Total bound-free opacity chi_bf (npkts,) (reference: rpkt.cc:783-898).
 
@@ -95,6 +96,8 @@ def calculate_chi_bf(
     """
     ncont = dad.nbfcontinua
     if ncont == 0:
+        if want_gamma_contr:
+            return jnp.zeros_like(nu), None, jnp.zeros((nu.shape[0], 1), nu.dtype)
         return jnp.zeros_like(nu), None
 
     chunk = min(chunk, ncont)  # never pad a short continuum list up to chunk
@@ -140,6 +143,36 @@ def calculate_chi_bf(
 
     chi_bf, _ = jax.lax.scan(body, jnp.zeros_like(nu), jnp.arange(nchunks))
 
+    gamma_contr = None
+    if want_gamma_contr:
+        # per-packet per-GROUND-continuum sigma*prob*corrfactor (no level pop)
+        # used by the LUT photoionisation/bfheating estimators
+        # (reference: rpkt.cc:870-880 groundcont_gamma_contr)
+        ngc = max(dad.nbfcontinua_ground, 1)
+        cont_prob = padk(dad.cont_probability)
+        cont_gidx = padk(dad.cont_groundindex, -1)
+
+        def gbody(carry, c):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk)
+            slc = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk, axis=1)
+            nu_edge = sl(cont_nu_edge)[None, :]
+            in_window = (nu[:, None] >= nu_edge) & (
+                nu_edge * dad.last_phixs_nuovernuedge >= nu[:, None]
+            ) & active[:, None]
+            dep_g = slc(bf_dep)[cellidx]
+            sigma_bf = photoionization_crosssection(
+                dad, sl(cont_row)[None, :], nu_edge, jnp.maximum(nu[:, None], 1e-30)
+            )
+            corrfactor = jnp.maximum(0.0, 1.0 - dep_g * exp_nu[:, None])
+            contr = jnp.where(in_window, sigma_bf * sl(cont_prob)[None, :] * corrfactor, 0.0)
+            gidx = sl(cont_gidx)
+            gidx_s = jnp.where(gidx >= 0, gidx, ngc)  # invalid -> dropped
+            return carry.at[:, gidx_s].add(contr, mode="drop"), None
+
+        gamma_contr, _ = jax.lax.scan(
+            gbody, jnp.zeros((nu.shape[0], ngc), nu.dtype), jnp.arange(nchunks)
+        )
+
     def select_continuum(key):
         """Sample the absorbing continuum: first i with cumulative > target
         (reference: rpkt.cc:469-474). Second pass, same chunking."""
@@ -163,6 +196,8 @@ def calculate_chi_bf(
         )
         return jnp.clip(chosen, 0, ncont - 1)
 
+    if want_gamma_contr:
+        return chi_bf, select_continuum, gamma_contr
     return chi_bf, select_continuum
 
 
@@ -178,21 +213,32 @@ def calculate_chi_rpkt_cont(
     t_e,
     opacity_case: int,
     chunk: int = 512,
+    want_gamma_contr: bool = False,
 ):
     """es + ff + bf continuum opacities (reference: rpkt.cc:972-1032).
 
-    Returns (chi_escat, chi_ff, chi_bf, select_continuum_fn), all (npkts,) cmf.
+    Returns (chi_escat, chi_ff, chi_bf, select_continuum_fn[, gamma_contr]).
     bf_a/bf_dep are the per-timestep tables from build_bf_tables.
     """
     nne_p = nne[cellidx]
     chi_ff = calculate_chi_ffheating(chi_ff_nnionpart[cellidx], nne_p, t_e[cellidx], jnp.maximum(nu_cmf, 1e-30))
+    gamma_contr = None
     if opacity_case >= 4:
         chi_escat = SIGMA_T * nne_p
-        chi_bf, select_continuum = calculate_chi_bf(
-            dad, nu_cmf, cellidx, active, bf_a, bf_dep, t_e, chunk
+        out = calculate_chi_bf(
+            dad, nu_cmf, cellidx, active, bf_a, bf_dep, t_e, chunk,
+            want_gamma_contr=want_gamma_contr,
         )
+        if want_gamma_contr:
+            chi_bf, select_continuum, gamma_contr = out
+        else:
+            chi_bf, select_continuum = out
     else:
         chi_escat = jnp.zeros_like(chi_ff)
         chi_bf = jnp.zeros_like(chi_ff)
         select_continuum = None
+        if want_gamma_contr:
+            gamma_contr = jnp.zeros((nu_cmf.shape[0], max(dad.nbfcontinua_ground, 1)), nu_cmf.dtype)
+    if want_gamma_contr:
+        return chi_escat, chi_ff, chi_bf, select_continuum, gamma_contr
     return chi_escat, chi_ff, chi_bf, select_continuum

@@ -130,3 +130,53 @@ def test_chi_ff(dad):
     chi2 = opacity.calculate_chi_ffheating(part, jnp.array([1e6]), t_e, jnp.array([2e15]))
     # in Wien regime chi ~ nu^-3 * (1 - exp(-hnu/kT)) ~ nu^-3
     assert float(chi1[0]) / float(chi2[0]) == pytest.approx(8.0, rel=0.05)
+
+
+def test_gamma_contr_ground_continua(dad):
+    """groundcont gamma contributions: sigma*prob*corrfactor per ground
+    continuum, no level population factor (reference: rpkt.cc:580-599,
+    870-880)."""
+    import jax
+    from artis_tpu.atomic import photoionization_crosssection
+
+    rng = np.random.default_rng(7)
+    ncells = 2
+    levelpops = 10.0 ** rng.uniform(-2, 4, (ncells, dad.nlevels_total))
+    nnion = 10.0 ** rng.uniform(2, 6, (ncells, dad.nions_total))
+    nne = np.full(ncells, 1e6)
+    nnetot = nne * 1.1
+    t_e = np.full(ncells, 8000.0)
+    bf_a, bf_dep = opacity.build_bf_tables(
+        dad, jnp.asarray(levelpops), jnp.asarray(nnion), jnp.asarray(nne),
+        jnp.asarray(nnetot), jnp.asarray(t_e),
+    )
+    n = 8
+    nu = rng.uniform(float(dad.cont_nu_edge[0]), float(dad.cont_nu_edge[-1]) * 1.5, n)
+    cells_idx = rng.integers(0, ncells, n)
+    chi_bf, sel, gc = opacity.calculate_chi_bf(
+        dad, jnp.asarray(nu), jnp.asarray(cells_idx), jnp.ones(n, bool),
+        bf_a, bf_dep, jnp.asarray(t_e), chunk=4, want_gamma_contr=True,
+    )
+    gc = np.asarray(gc)
+    assert gc.shape == (n, dad.nbfcontinua_ground)
+    # dense check for one packet: sum over ground continua in window
+    gidx = np.asarray(dad.cont_groundindex)
+    edges = np.asarray(dad.cont_nu_edge)
+    prob = np.asarray(dad.cont_probability)
+    dep = np.asarray(bf_dep)
+    from artis_tpu.constants import HOVERKB
+    for p in range(n):
+        c = cells_idx[p]
+        expected = np.zeros(dad.nbfcontinua_ground)
+        for ci in range(dad.nbfcontinua):
+            g = gidx[ci]
+            if g < 0:
+                continue
+            if not (edges[ci] <= nu[p] <= edges[ci] * dad.last_phixs_nuovernuedge):
+                continue
+            sig = float(photoionization_crosssection(
+                dad, jnp.asarray([ci]).astype(int)[0] * 0 + np.asarray(dad.cont_phixsrow)[ci],
+                edges[ci], nu[p]))
+            corr = max(0.0, 1.0 - dep[c, ci] * np.exp(-HOVERKB * nu[p] / t_e[c]))
+            expected[g] += sig * prob[ci] * corr
+        np.testing.assert_allclose(gc[p], expected, rtol=1e-5, atol=1e-40)
