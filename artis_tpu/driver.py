@@ -186,6 +186,14 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     # factors and bound-free factor tables, so the per-packet hot loop does
     # single row-gathers instead of recomputing per packet
     tau_sob = linewalk_mod.build_tau_factor(dad, levelpops)
+    if opts.expansionopacities_on:
+        from .transport import expansionopacity as expo_mod
+        expo_kappa, expo_pc = expo_mod.build_expansion_opacities(
+            tau_sob, dad, cells.rho, cells.TR, t_mid
+        )
+    else:
+        expo_kappa = jnp.zeros((tau_sob.shape[0], 1), tau_sob.dtype)
+        expo_pc = expo_kappa
     if opts.vpkt_on:
         from .transport import vpkt as vpkt_device_mod
         vcum_tau, vcum_taunu = vpkt_device_mod.build_vpkt_tables(tau_sob, dad)
@@ -197,7 +205,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     )
     return (cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep,
             nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation,
-            tr_bins, w_bins, vcum_tau, vcum_taunu)
+            tr_bins, w_bins, vcum_tau, vcum_taunu, expo_kappa, expo_pc)
 
 
 class Simulation:
@@ -306,6 +314,7 @@ class Simulation:
         self.rc = ratecoeff_mod.build_tables(
             self.dad, self.opts.tablesize, self.opts.mintemp, self.opts.maxtemp,
             self.opts.use_lut_photoion, self.opts.use_lut_bfheating,
+            cache_dir=rundir,
         )
         self.aux = macroatom_mod.build_aux(self.dad)
         if self._f32:
@@ -378,6 +387,18 @@ class Simulation:
         )}
         self.spec = spectrum_mod.init_spectra(self.opts.nu_min_r, self.opts.nu_max_r, p.ntimesteps)
         self._escaped_counted = np.zeros(self.opts.npkts, dtype=bool)
+
+        # XCOM gamma photoionisation tables (reference: gammapkt.cc:209-256)
+        if self.opts.use_xcom_gammaphotoion:
+            xe, xs, _xl = gammadata_io.read_xcom_photoion(
+                os.path.join(self.datadir, "xcom_photoion_data.txt"),
+                list(self.ad.elem_z),
+            )
+            self._xcom_energy = jnp.asarray(xe, dtype=fdtype)
+            self._xcom_sigma = jnp.asarray(xs, dtype=fdtype)
+        else:
+            self._xcom_energy = jnp.ones((1, 1), dtype=fdtype)
+            self._xcom_sigma = jnp.ones((1, 1), dtype=fdtype)
 
         # analytic-thermalisation scalars (reference: grid.h:131-142
         # get_ejecta_kinetic_energy; gammapkt.cc:832-837; update_packets.cc:44)
@@ -588,7 +609,7 @@ class Simulation:
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
          tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe,
          self.radfieldbin_tr, self.radfieldbin_w,
-         vcum_tau, vcum_taunu) = self._plasma_jit(
+         vcum_tau, vcum_taunu, expo_kappa, expo_pc) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
@@ -623,6 +644,15 @@ class Simulation:
             tau_sob_factor=tau_sob,
             bf_a=bf_a,
             bf_dep=bf_dep,
+            expopac_kappa=expo_kappa,
+            expopac_planck_cum=expo_pc,
+            elem_numberdens=(
+                self.cells.elem_numberdens()
+                if self.opts.use_xcom_gammaphotoion
+                else jnp.zeros((self.grid.nonempty_npts, 1), fdtype)
+            ),
+            xcom_energy=self._xcom_energy,
+            xcom_sigma=self._xcom_sigma,
             vpkt_cum_tau=vcum_tau,
             vpkt_cum_taunu=vcum_taunu,
             vpkt_cfg=self.vpkt_cfg,

@@ -121,3 +121,34 @@ def init_gamma_data(decdata, folder: str = ".", datadir: str | None = None) -> G
         sorted_nucindex=np.array(all_nuc, np.int32)[order] if all_e else np.zeros(0, np.int32),
         sorted_nucgammaindex=np.array(all_idx, np.int32)[order] if all_e else np.zeros(0, np.int32),
     )
+
+
+def read_xcom_photoion(path: str, elem_z) -> tuple:
+    """Padded per-element XCOM photoionisation tables for the run's elements
+    (reference: gammapkt.cc:209-256 init_xcom_photoion_data).
+
+    Returns (energies, sigmas, lengths): (nelem, L) arrays; energy in MeV,
+    sigma in barns/atom. Missing elements get length 0.
+    """
+    import numpy as np
+
+    byz: dict = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            z = int(parts[0])
+            byz.setdefault(z, []).append((float(parts[1]), float(parts[2])))
+    maxlen = max((len(byz.get(int(z), [])) for z in elem_z), default=1) or 1
+    nelem = len(elem_z)
+    energies = np.full((nelem, maxlen), 1e99)
+    sigmas = np.full((nelem, maxlen), 1e-99)
+    lengths = np.zeros(nelem, np.int32)
+    for i, z in enumerate(elem_z):
+        rows = byz.get(int(z), [])
+        lengths[i] = len(rows)
+        for j, (e, sg) in enumerate(rows):
+            energies[i, j] = e
+            sigmas[i, j] = max(sg, 1e-99)
+    return energies, sigmas, lengths

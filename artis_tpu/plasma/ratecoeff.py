@@ -68,8 +68,45 @@ def _simpson_weights(n: int) -> np.ndarray:
 
 
 def build_tables(dad: DeviceAtomicData, tablesize: int, mintemp: float, maxtemp: float,
-                 use_lut_photoion: bool = True, use_lut_bfheating: bool = True) -> RateCoeffTables:
-    """Precompute all four LUTs for every bf continuum."""
+                 use_lut_photoion: bool = True, use_lut_bfheating: bool = True,
+                 cache_dir: str | None = None) -> RateCoeffTables:
+    """Precompute all four LUTs for every bf continuum.
+
+    With cache_dir set, tables are loaded from / saved to
+    ratecoeff.dat.npz, validated by an MD5 of the atomic inputs and table
+    parameters — the counterpart of the reference's md5-gated ratecoeff.dat
+    (ratecoeff.cc:58-266, 1077-1126; md5.cc)."""
+    import hashlib
+    import os
+
+    cache_path = None
+    if cache_dir is not None:
+        h = hashlib.md5()
+        for arr in (dad.cont_nu_edge, dad.cont_probability, dad.cont_phixsrow,
+                    dad.cont_uniquelower, dad.cont_uniqueupper, dad.allphixs,
+                    dad.level_g):
+            h.update(np.asarray(arr).tobytes())
+        h.update(np.asarray([tablesize, mintemp, maxtemp,
+                             int(use_lut_photoion), int(use_lut_bfheating)]).tobytes())
+        cache_path = os.path.join(cache_dir, "ratecoeff.dat.npz")
+        if os.path.exists(cache_path):
+            try:
+                data = np.load(cache_path)
+                if data["md5"].item() == h.hexdigest():
+                    return RateCoeffTables(
+                        t_grid=jnp.asarray(data["t_grid"]),
+                        spontrecomb=jnp.asarray(data["spontrecomb"]),
+                        corrphotoion=jnp.asarray(data["corrphotoion"]),
+                        bfheating=jnp.asarray(data["bfheating"]),
+                        bfcooling=jnp.asarray(data["bfcooling"]),
+                        ion_alpha_sp=jnp.asarray(data["ion_alpha_sp"]),
+                        tablesize=tablesize, mintemp=mintemp, maxtemp=maxtemp,
+                        t_step_log=float(np.log(maxtemp / mintemp) / (tablesize - 1)),
+                    )
+            except Exception:
+                pass
+        cache_md5 = h.hexdigest()
+
     t_step_log = float(np.log(maxtemp / mintemp) / (tablesize - 1))
     t_grid = mintemp * np.exp(np.arange(tablesize) * t_step_log)
 
@@ -148,6 +185,16 @@ def build_tables(dad: DeviceAtomicData, tablesize: int, mintemp: float, maxtemp:
         # approximated as all targets (full scientific treatment comes with the
         # NLTE stack); weight by target probability is already in spontrecomb
         ion_alpha[uii] += spont[i]
+
+    if cache_path is not None:
+        try:
+            np.savez_compressed(
+                cache_path, md5=cache_md5, t_grid=t_grid, spontrecomb=spont,
+                corrphotoion=corr, bfheating=bfheat, bfcooling=bfcool,
+                ion_alpha_sp=ion_alpha,
+            )
+        except OSError:
+            pass
 
     return RateCoeffTables(
         t_grid=jnp.asarray(t_grid),

@@ -50,7 +50,9 @@ from ..decay import (
     jax.tree_util.register_dataclass,
     data_fields=[
         "levelpops", "nnion", "chi_ff_nnionpart", "tau_sob_factor",
-        "bf_a", "bf_dep", "vpkt_cum_tau", "vpkt_cum_taunu", "vpkt_cfg",
+        "bf_a", "bf_dep", "expopac_kappa", "expopac_planck_cum",
+        "elem_numberdens", "xcom_energy", "xcom_sigma",
+        "vpkt_cum_tau", "vpkt_cum_taunu", "vpkt_cfg",
         "nt_frac_ion_by_ion", "nt_frac_ionization",
         "nt_frac_excitation", "barnes_t_ineff", "barnes_tau_ineff_lepton",
         "barnes_tau_ineff_alpha", "rho_t_mgi", "rho_tmin_mgi",
@@ -70,6 +72,11 @@ class StepContext:
     tau_sob_factor: jax.Array  # (ncells, nlines) linewalk.build_tau_factor
     bf_a: jax.Array  # (ncells, nbfcontinua) opacity.build_bf_tables
     bf_dep: jax.Array  # (ncells, nbfcontinua)
+    expopac_kappa: jax.Array  # (ncells, NBINS) expansion opacities [cm2/g]
+    expopac_planck_cum: jax.Array  # (ncells, NBINS) Planck-weighted cumulative
+    elem_numberdens: jax.Array  # (ncells, nelements) for XCOM gamma photoion
+    xcom_energy: jax.Array  # (nelements, L) [MeV]
+    xcom_sigma: jax.Array  # (nelements, L) [barn]
     vpkt_cum_tau: jax.Array  # (ncells, nlines+1) vpkt closed-form line tau
     vpkt_cum_taunu: jax.Array
     vpkt_cfg: object  # VpktConfig pytree or None
@@ -505,11 +512,39 @@ def gamma_step(
         chi_compton = sigma_c * nnetot * doppler
         # photoelectric: Si/Fe fits (gammapkt.cc:474-498)
         hnu_over_100kev = st.nu_cmf / 2.41326e19
-        sigma_si = 1.16e-24 * hnu_over_100kev**-3.13
-        sigma_fe = 25.7e-24 * hnu_over_100kev**-3.0
-        chi_pe_cmf = sigma_fe * (rho / (56 * 1.67352e-24)) * ffegrp + sigma_si * (
-            rho / (28 * 1.67352e-24)
-        ) * (1.0 - ffegrp)
+        if opts.use_xcom_gammaphotoion:
+            # XCOM tabulated photoionisation, log-log interpolated per element
+            # (reference: gammapkt.cc:499-545; the interpolation here uses
+            # log sigma endpoints — the snapshot's log10_E_smaller anchor
+            # appears to be a typo)
+            hnu_mev = st.nu_cmf / 2.41326e20
+            loge = jnp.log10(jnp.maximum(hnu_mev, 1e-30))[:, None]  # (n,1)
+            nelem_x = ctx.xcom_energy.shape[0]
+            loge_tab = jnp.log10(ctx.xcom_energy)  # (nelem, L)
+            logsig_tab = jnp.log10(ctx.xcom_sigma)
+            nd = ctx.elem_numberdens[safe_mgi]  # (n, nelem)
+            chi_pe_cmf = jnp.zeros_like(st.nu_cmf)
+            for el in range(nelem_x):
+                idx = jnp.searchsorted(ctx.xcom_energy[el], hnu_mev).astype(jnp.int32)
+                llen = ctx.xcom_energy.shape[1]
+                hi = jnp.clip(idx, 1, llen - 1)
+                lo = hi - 1
+                x0 = loge_tab[el, lo]
+                x1 = loge_tab[el, hi]
+                y0 = logsig_tab[el, lo]
+                y1 = logsig_tab[el, hi]
+                logsig = y0 + (y1 - y0) / jnp.maximum(x1 - x0, 1e-30) * (loge[:, 0] - x0)
+                # clamp outside the table to the end values (gammapkt.cc:522-529)
+                logsig = jnp.where(idx <= 0, logsig_tab[el, 0], logsig)
+                logsig = jnp.where(idx >= llen, logsig_tab[el, llen - 1], logsig)
+                sigma = 10.0 ** logsig * 1e-24
+                chi_pe_cmf = chi_pe_cmf + sigma * nd[:, el]
+        else:
+            sigma_si = 1.16e-24 * hnu_over_100kev**-3.13
+            sigma_fe = 25.7e-24 * hnu_over_100kev**-3.0
+            chi_pe_cmf = sigma_fe * (rho / (56 * 1.67352e-24)) * ffegrp + sigma_si * (
+                rho / (28 * 1.67352e-24)
+            ) * (1.0 - ffegrp)
         chi_pe = chi_pe_cmf * doppler
         # pair production (gammapkt.cc:557-622)
         hnu_over_mev = st.nu_cmf / 2.41326e20
@@ -739,11 +774,32 @@ def rpkt_step(
         )
         chi_cont_cmf = chi_escat + chi_ff + chi_bf
         chi_cont = chi_cont_cmf * doppler
-        ev = get_event_batch(
-            dad, ctx.tau_sob_factor, safe_mgi, st_nu_cmf, st.prop_time, st_next_trans,
-            chi_cont, tau_next, abort_dist, nu_cmf_abort, d_nu_on_d_l,
-            need_chi, opts.use_relativistic_doppler_shift, chunk=opts.linewalk_chunk,
-        )
+        if opts.expansionopacities_on:
+            # binned expansion opacities instead of the per-line walk
+            # (reference: rpkt.cc:199-290)
+            from . import expansionopacity as expo
+            from .linewalk import EventResult
+
+            rho_p = jnp.where(nonempty, cells.rho[safe_mgi], 0.0)
+            krd = ctx.expopac_kappa[safe_mgi] * (rho_p * doppler)[:, None]
+            edist_x, bb_frac = expo.get_event_expansion_batch(
+                krd, st_nu_cmf, st.prop_time, chi_cont, tau_next, abort_dist,
+                nu_cmf_abort, d_nu_on_d_l, need_chi,
+                opts.use_relativistic_doppler_shift,
+            )
+            is_bb_x = _uniform(key, 59, n, st_nu_cmf.dtype) <= bb_frac
+            ev = EventResult(
+                edist=edist_x,
+                next_trans=jnp.zeros_like(st.ptype) - 1,
+                is_boundbound=is_bb_x & jnp.isfinite(edist_x),
+                activating_line=jnp.zeros_like(st.ptype) - 99,
+            )
+        else:
+            ev = get_event_batch(
+                dad, ctx.tau_sob_factor, safe_mgi, st_nu_cmf, st.prop_time, st_next_trans,
+                chi_cont, tau_next, abort_dist, nu_cmf_abort, d_nu_on_d_l,
+                need_chi, opts.use_relativistic_doppler_shift, chunk=opts.linewalk_chunk,
+            )
         if select_continuum is not None:
             contindex = select_continuum(jax.random.fold_in(key, 54)).astype(jnp.int32)
         else:
@@ -880,7 +936,26 @@ def rpkt_step(
     est = est.replace(counters=counters)
 
     # thick-cell grey scatter + electron scatter: coherent isotropic re-emission
-    scatter_mask = ev_thick | ev_escat
+    if opts.expansionopacities_on:
+        # bound-bound interactions scatter coherently or thermalise with a
+        # fixed probability (reference: rpkt.cc:700-713)
+        p_therm = opts.rpkt_boundbound_thermalisation_probability
+        thermalise = ev_bb & (
+            _uniform(key, 56, n, dtype) < jnp.asarray(max(p_therm, 0.0), dtype)
+        )
+        from . import expansionopacity as expo
+        nu_resample = expo.sample_planck_times_expansion_opacity(
+            jax.random.fold_in(key, 57), ctx.expopac_planck_cum,
+            jnp.maximum(nonemptymgi, 0), thermalise,
+        )
+        st = st.replace(
+            nu_cmf=jnp.where(thermalise, nu_resample, st.nu_cmf),
+            emissiontype=jnp.where(thermalise, EMTYPE_FREEFREE, st.emissiontype),
+        )
+        scatter_mask = ev_thick | ev_escat | ev_bb
+        ev_bb = jnp.zeros_like(ev_bb)  # no macro-atom activations in this mode
+    else:
+        scatter_mask = ev_thick | ev_escat
     st_scattered = emit_rpkt_batch(key, 53, st, scatter_mask, opts)
     st = st_scattered.replace(
         nscatterings=jnp.where(scatter_mask, st.nscatterings + 1, st.nscatterings),
