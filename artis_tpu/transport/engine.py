@@ -770,7 +770,7 @@ def rpkt_step(
                 dad, jnp.where(need_chi, st_nu_cmf, 1e15), safe_mgi, need_chi,
                 ctx.bf_a, ctx.bf_dep, ctx.chi_ff_nnionpart, cells.nne,
                 cells.Te, opacity_case,
-            ) + (jnp.zeros((n, ngc), st_nu_cmf.dtype),)
+            ) + (jnp.zeros_like(st_nu_cmf)[:, None] + jnp.zeros((ngc,), st_nu_cmf.dtype),)
         )
         chi_cont_cmf = chi_escat + chi_ff + chi_bf
         chi_cont = chi_cont_cmf * doppler
@@ -813,7 +813,7 @@ def rpkt_step(
         zi = jnp.zeros_like(st.ptype)
         return (z, z, z, z, z + jnp.inf, st_next_trans.astype(jnp.int32),
                 jnp.zeros_like(mask), zi - 99, zi,
-                jnp.zeros((n, ngc), st_nu_cmf.dtype))
+                z[:, None] + jnp.zeros((ngc,), st_nu_cmf.dtype))
 
     (chi_escat, chi_ff, chi_bf, chi_cont_cmf, ev_edist, ev_next_trans,
      ev_is_bb, ev_act_line, bf_contindex, gamma_contr) = jax.lax.cond(

@@ -169,9 +169,10 @@ def calculate_chi_bf(
             gidx_s = jnp.where(gidx >= 0, gidx, ngc)  # invalid -> dropped
             return carry.at[:, gidx_s].add(contr, mode="drop"), None
 
-        gamma_contr, _ = jax.lax.scan(
-            gbody, jnp.zeros((nu.shape[0], ngc), nu.dtype), jnp.arange(nchunks)
-        )
+        # carry derived from the varying input so shard_map's varying-axis
+        # tracking stays consistent
+        gc0 = jnp.zeros_like(nu)[:, None] + jnp.zeros((ngc,), nu.dtype)
+        gamma_contr, _ = jax.lax.scan(gbody, gc0, jnp.arange(nchunks))
 
     def select_continuum(key):
         """Sample the absorbing continuum: first i with cumulative > target
