@@ -280,6 +280,20 @@ def read_abundances(path: str, npts_model: int, first_cellindex: int = 1) -> np.
     (reference: grid.cc:528-597). Returns (npts_model, 150) raw values
     (normalisation is applied later per the 3D/1D rules)."""
     out = np.zeros((npts_model, 150))
+    # abundances.txt is a pure numeric table: use the native parser
+    # (native/fasttable.c) and fall back to Python parsing on ragged rows
+    from .fasttable import loadtxt_fast
+
+    flat = loadtxt_fast(path)
+    if flat.size % npts_model == 0 and flat.size >= npts_model * 2:
+        ncols = flat.size // npts_model
+        table = flat.reshape(npts_model, ncols)
+        cellnums = table[:, 0].astype(np.int64)
+        if np.array_equal(cellnums, np.arange(npts_model) + first_cellindex):
+            vals = table[:, 1:]
+            vals[vals < np.finfo(np.float32).tiny] = 0.0
+            out[:, : vals.shape[1]] = vals
+            return out
     mgi = 0
     with open(path) as f:
         for line in f:
