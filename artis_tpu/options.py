@@ -220,6 +220,7 @@ def classic(**overrides) -> Options:
         initial_packets_on=False,
         use_model_initial_energy=False,
         uniform_pellet_energies=True,
+        dipole=True,
         nt_on=True,  # classic: NT_ON with work-function approx, no SF solve
         nt_solve_spencerfano=False,
         use_relativistic_doppler_shift=False,

@@ -132,6 +132,109 @@ def emit_rpkt_batch(key, tag, st: PacketState, mask, opts: Options) -> PacketSta
     )
 
 
+def electron_scatter_batch(key, tag, st: PacketState, mask, opts: Options) -> PacketState:
+    """Thomson scattering with optional dipole angular sampling and full
+    Stokes-vector transport (reference: rpkt.cc:292-409 electron_scatter_rpkt).
+
+    The scattering angles are drawn in the comoving frame; Stokes Q,U ride
+    along through RF->CMF transform, rotation into the scattering plane (i1),
+    the Rayleigh scattering matrix, rotation back to the meridian frame (i2),
+    and the CMF->RF transform.
+    """
+    n = st.npkts
+    dtype = st.pos.dtype
+    vel = st.pos / st.prop_time[:, None]
+    qi, ui = st.stokes[:, 1], st.stokes[:, 2]
+    old_dir_cmf, qi, ui = geometry.frame_transform(st.dir, qi, ui, vel)
+
+    k = jax.random.fold_in(key, tag)
+    z0 = jax.random.uniform(jax.random.fold_in(k, 0), (2, n), dtype)
+    m_ang = 2.0 * z0[0] - 1.0
+    phisc = 2.0 * PI * z0[1]
+    if opts.dipole:
+        # batched rejection sampling of the dipole phase function
+        # p(mu,phi) = (mu^2+1) + (mu^2-1)(Q cos2phi + U sin2phi), max 2
+        # (Code & Whitney 1995).  Mean acceptance is 2/3, so 48 fixed
+        # trials leave < 1e-8 unconverged lanes (which keep the last draw).
+        def body(i, carry):
+            accepted, m_acc, ph_acc = carry
+            z = jax.random.uniform(jax.random.fold_in(k, i + 1), (3, n), dtype)
+            m_try = 2.0 * z[0] - 1.0
+            mu2 = m_try * m_try
+            ph_try = 2.0 * PI * z[1]
+            p = (mu2 + 1.0) + (mu2 - 1.0) * (
+                jnp.cos(2.0 * ph_try) * qi + jnp.sin(2.0 * ph_try) * ui
+            )
+            take = ~accepted & (2.0 * z[2] <= p)
+            return (
+                accepted | take,
+                jnp.where(take, m_try, m_acc),
+                jnp.where(take, ph_try, ph_acc),
+            )
+
+        _, m_ang, phisc = jax.lax.fori_loop(
+            0, 48, body, (jnp.zeros(n, bool), m_ang, phisc)
+        )
+
+    # rotate old_dir_cmf by (theta_sc, phi_sc) (rpkt.cc:343-357)
+    cos_t = m_ang
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - m_ang * m_ang, 0.0))
+    odx, ody, odz = old_dir_cmf[:, 0], old_dir_cmf[:, 1], old_dir_cmf[:, 2]
+    general = jnp.abs(odz) < 0.99999
+    root = jnp.sqrt(jnp.maximum(1.0 - odz * odz, 1e-30))
+    cphi, sphi = jnp.cos(phisc), jnp.sin(phisc)
+    gx = sin_t / root * (ody * sphi - odx * odz * cphi) + odx * cos_t
+    gy = sin_t / root * (-odx * sphi - ody * odz * cphi) + ody * cos_t
+    gz = sin_t * cphi * root + odz * cos_t
+    px = sin_t * cphi
+    py = sin_t * sphi
+    pz = jnp.where(odz > 0, cos_t, -cos_t)
+    new_dir_cmf = jnp.where(
+        general[:, None],
+        jnp.stack([gx, gy, gz], axis=-1),
+        jnp.stack([px, py, pz], axis=-1),
+    )
+
+    # rotate Stokes into the scattering plane (angle i1, Bulla+2015)
+    ref1_o, ref2_o = geometry.meridian(old_dir_cmf)
+    i1 = geometry.get_rot_angle(old_dir_cmf, new_dir_cmf, ref1_o, ref2_o)
+    cos2i1, sin2i1 = jnp.cos(2.0 * i1), jnp.sin(2.0 * i1)
+    q_old = qi * cos2i1 - ui * sin2i1
+    u_old = qi * sin2i1 + ui * cos2i1
+
+    # Rayleigh scattering matrix
+    mu = geometry.dot(old_dir_cmf, new_dir_cmf)
+    i_new = 0.75 * ((mu * mu + 1.0) + q_old * (mu * mu - 1.0))
+    q_new = 0.75 * ((mu * mu - 1.0) + q_old * (mu * mu + 1.0)) / i_new
+    u_new = 1.5 * mu * u_old / i_new
+
+    # rotate back to the meridian frame of the new direction (angle i2)
+    ref1_n, ref2_n = geometry.meridian(new_dir_cmf)
+    i2 = PI + geometry.get_rot_angle(new_dir_cmf, old_dir_cmf, ref1_n, ref2_n)
+    cos2i2, sin2i2 = jnp.cos(2.0 * i2), jnp.sin(2.0 * i2)
+    q_f = q_new * cos2i2 + u_new * sin2i2
+    u_f = -q_new * sin2i2 + u_new * cos2i2
+
+    new_dir_rf, q_f, u_f = geometry.frame_transform(new_dir_cmf, q_f, u_f, -vel)
+    # degenerate geometry (dir ~ polar axis / zero-length scattering plane)
+    # can NaN the rotation angles; fall back to unpolarised there
+    bad = ~(jnp.isfinite(q_f) & jnp.isfinite(u_f))
+    q_f = jnp.where(bad, 0.0, q_f)
+    u_f = jnp.where(bad, 0.0, u_f)
+    doppler = geometry.doppler_nucmf_on_nurf(
+        st.pos, new_dir_rf, st.prop_time, opts.use_relativistic_doppler_shift
+    )
+    stokes_new = jnp.stack([jnp.ones(n, dtype), q_f, u_f], axis=-1)
+    m = mask
+    return st.replace(
+        ptype=jnp.where(m, TYPE_RPKT, st.ptype),
+        dir=jnp.where(m[:, None], new_dir_rf, st.dir),
+        nu_rf=jnp.where(m, st.nu_cmf / doppler, st.nu_rf),
+        e_rf=jnp.where(m, st.e_cmf / doppler, st.e_rf),
+        stokes=jnp.where(m[:, None], stokes_new, st.stokes),
+    )
+
+
 # ---------------------------------------------------------------------------
 # pellets (reference: update_packets.cc:149-211 update_pellet)
 # ---------------------------------------------------------------------------
@@ -952,11 +1055,15 @@ def rpkt_step(
             nu_cmf=jnp.where(thermalise, nu_resample, st.nu_cmf),
             emissiontype=jnp.where(thermalise, EMTYPE_FREEFREE, st.emissiontype),
         )
-        scatter_mask = ev_thick | ev_escat | ev_bb
+        iso_mask = ev_thick | ev_bb
         ev_bb = jnp.zeros_like(ev_bb)  # no macro-atom activations in this mode
     else:
-        scatter_mask = ev_thick | ev_escat
-    st_scattered = emit_rpkt_batch(key, 53, st, scatter_mask, opts)
+        iso_mask = ev_thick
+    scatter_mask = iso_mask | ev_escat
+    st_scattered = emit_rpkt_batch(key, 53, st, iso_mask, opts)
+    # electron scattering keeps coherence but redirects by the (dipole or
+    # isotropic) Thomson phase function with Stokes transport (rpkt.cc:292-409)
+    st_scattered = electron_scatter_batch(key, 59, st_scattered, ev_escat, opts)
     st = st_scattered.replace(
         nscatterings=jnp.where(scatter_mask, st.nscatterings + 1, st.nscatterings),
         em_pos=jnp.where(scatter_mask[:, None], st.pos, st.em_pos),
