@@ -221,6 +221,7 @@ def classic(**overrides) -> Options:
         use_model_initial_energy=False,
         uniform_pellet_energies=True,
         dipole=True,
+        pol_on=True,
         nt_on=True,  # classic: NT_ON with work-function approx, no SF solve
         nt_solve_spencerfano=False,
         use_relativistic_doppler_shift=False,

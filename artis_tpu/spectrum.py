@@ -72,9 +72,13 @@ def add_packets_to_spectra(
     anglefactor: float = 1.0,
     emissiontype=None, trueemissiontype=None,
     emission_column=None,
+    absorptiontype=None, absorptionfreq=None, absorption_column=None,
+    weight=None,
 ):
-    """Bin escaped r-packets into the flux grid (reference:
-    spectrum_lightcurve.cc:186-246 add_to_spec)."""
+    """Bin escaped r-packets into the flux grid with optional per-process
+    emission / per-ion absorption attribution and an optional per-packet
+    weight (a Stokes component) (reference: spectrum_lightcurve.cc:186-303
+    add_to_spec)."""
     t_arr = arrive_time(pos, dirvec, escape_time)
     keep = (t_arr > tmin) & (t_arr < tmax) & (nu_rf > spec.nu_min) & (nu_rf < spec.nu_max)
     if not np.any(keep):
@@ -82,11 +86,14 @@ def add_packets_to_spectra(
     t_arr = t_arr[keep]
     nu = nu_rf[keep]
     e = e_rf[keep]
+    w = weight[keep] if weight is not None else 1.0
     nts = get_timestep_index(t_arr, ts_start, tmax)
     dlognu = (math.log(spec.nu_max) - math.log(spec.nu_min)) / MNUBINS
     nnu = np.minimum(((np.log(nu) - math.log(spec.nu_min)) / dlognu).astype(np.int64), MNUBINS - 1)
-    width = np.concatenate([np.diff(ts_start), [tmax - ts_start[-1]]])[nts]
-    delta_e = e / width / spec.delta_freq[nnu] / 4.0e12 / PI / PARSEC / PARSEC / nprocs * anglefactor
+    width_all = np.concatenate([np.diff(ts_start), [tmax - ts_start[-1]]])
+    width = width_all[nts]
+    norm = e / width / 4.0e12 / PI / PARSEC / PARSEC / nprocs * anglefactor * w
+    delta_e = norm / spec.delta_freq[nnu]
     np.add.at(spec.flux, (nts, nnu), delta_e)
     if spec.do_emission_res and emission_column is not None:
         if emissiontype is not None:
@@ -97,6 +104,20 @@ def add_packets_to_spectra(
             col = emission_column(trueemissiontype[keep])
             ok = col >= 0
             np.add.at(spec.trueemission, (nts[ok], nnu[ok], col[ok]), delta_e[ok])
+        if absorptiontype is not None and absorptionfreq is not None:
+            # absorption binned at the last-absorption frequency
+            # (spectrum_lightcurve.cc:262-303)
+            afreq = absorptionfreq[keep]
+            at = absorptiontype[keep]
+            good = (afreq > 0) & np.isfinite(afreq) & (at >= 0)
+            nnu_abs = np.floor(
+                (np.log(np.where(good, afreq, spec.nu_min)) - math.log(spec.nu_min)) / dlognu
+            ).astype(np.int64)
+            good &= (nnu_abs >= 0) & (nnu_abs < MNUBINS)
+            if np.any(good):
+                ioncol = absorption_column(at[good])
+                de_abs = norm[good] / spec.delta_freq[nnu_abs[good]]
+                np.add.at(spec.absorption, (nts[good], nnu_abs[good], ioncol), de_abs)
 
 
 def add_packets_to_lightcurve(
@@ -130,12 +151,51 @@ def write_light_curve(path, ts_mid, lum, lumcmf, gamma_dep=None, cmf_lum_ts=None
                 )
 
 
-def write_spectrum(path, spec: Spectra, ts_mid, numtimesteps=None):
+def write_spectrum(path, spec: Spectra, ts_mid, numtimesteps=None,
+                   emission_path=None, trueemission_path=None, absorption_path=None):
     """(reference: spectrum_lightcurve.cc:345-418)"""
     numtimesteps = numtimesteps if numtimesteps is not None else spec.ntimesteps
+    em_f = open(emission_path, "w") if (emission_path and spec.do_emission_res) else None
+    tem_f = open(trueemission_path, "w") if (trueemission_path and spec.do_emission_res) else None
+    ab_f = open(absorption_path, "w") if (absorption_path and spec.do_emission_res) else None
     with open(path, "w") as f:
         f.write("0 " + " ".join(f"{t / DAY:g}" for t in ts_mid[:numtimesteps]) + " \n")
         for nnu in range(MNUBINS):
             nu_mid = spec.lower_freq[nnu] + spec.delta_freq[nnu] / 2
             row = " ".join(f"{spec.flux[nts, nnu]:g}" for nts in range(numtimesteps))
             f.write(f"{nu_mid:g} {row} \n")
+            if em_f is not None:
+                for nts in range(numtimesteps):
+                    em_f.write(" ".join(f"{v:g}" for v in spec.emission[nts, nnu]) + " \n")
+                    tem_f.write(" ".join(f"{v:g}" for v in spec.trueemission[nts, nnu]) + " \n")
+                    ab_f.write(" ".join(f"{v:g}" for v in spec.absorption[nts, nnu]) + " \n")
+    for fh in (em_f, tem_f, ab_f):
+        if fh is not None:
+            fh.close()
+
+
+def write_specpol(path, stokes_i: Spectra, stokes_q: Spectra, stokes_u: Spectra,
+                  ts_mid, emission_path=None, absorption_path=None):
+    """specpol.out layout: header row of timestep mid-days repeated for I,Q,U;
+    then per frequency bin the three Stokes flux rows concatenated
+    (reference: spectrum_lightcurve.cc:419-478 write_specpol)."""
+    ntimesteps = stokes_i.ntimesteps
+    do_em = stokes_i.do_emission_res and emission_path is not None
+    em_f = open(emission_path, "w") if do_em else None
+    ab_f = open(absorption_path, "w") if do_em else None
+    with open(path, "w") as f:
+        header = " ".join(f"{t / DAY:g}" for t in ts_mid[:ntimesteps])
+        f.write(f"0 {header} {header} {header} \n")
+        for nnu in range(MNUBINS):
+            nu_mid = stokes_i.lower_freq[nnu] + stokes_i.delta_freq[nnu] / 2
+            f.write(f"{nu_mid:g} ")
+            for sp in (stokes_i, stokes_q, stokes_u):
+                f.write(" ".join(f"{sp.flux[nts, nnu]:g}" for nts in range(ntimesteps)) + " ")
+                if do_em:
+                    for nts in range(ntimesteps):
+                        em_f.write(" ".join(f"{v:g}" for v in sp.emission[nts, nnu]) + " \n")
+                        ab_f.write(" ".join(f"{v:g}" for v in sp.absorption[nts, nnu]) + " \n")
+            f.write("\n")
+    for fh in (em_f, ab_f):
+        if fh is not None:
+            fh.close()

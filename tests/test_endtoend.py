@@ -79,11 +79,32 @@ def test_exspec_runs(simrun):
     d, sim, opts = simrun
     from artis_tpu.exspec import run_exspec
 
-    run_exspec(d, opts)
+    run_exspec(d, opts.replace(pol_on=True))
     assert os.path.exists(os.path.join(d, "gamma_spec.out"))
     assert os.path.exists(os.path.join(d, "gamma_light_curve.out"))
     glc = np.loadtxt(os.path.join(d, "gamma_light_curve.out"))
     assert glc[:, 1].max() > 0  # gamma packets escaped
+
+
+def test_exspec_emission_absorption_breakdown(simrun):
+    """The per-process emission columns must sum to the total spectrum
+    (every escaped r-packet carries an emission type); absorption is
+    non-negative; Stokes-I specpol equals spec
+    (reference: spectrum_lightcurve.cc:186-303, 345-478)."""
+    d, sim, opts = simrun
+    spec = np.loadtxt(os.path.join(d, "spec.out"))
+    nts = spec.shape[1] - 1
+    flux = spec[1:, 1:]
+    em = np.loadtxt(os.path.join(d, "emission.out")).reshape(1000, nts, -1)
+    assert em.shape[2] % 2 == 1  # 2*nelements*max_nions + 1
+    np.testing.assert_allclose(em.sum(axis=2), flux, rtol=1e-5, atol=1e-30)
+    tem = np.loadtxt(os.path.join(d, "emissiontrue.out")).reshape(1000, nts, -1)
+    np.testing.assert_allclose(tem.sum(axis=2), flux, rtol=1e-5, atol=1e-30)
+    ab = np.loadtxt(os.path.join(d, "absorption.out"))
+    assert ab.min() >= 0.0
+    sp = np.loadtxt(os.path.join(d, "specpol.out"))
+    assert sp.shape[1] == 1 + 3 * nts
+    np.testing.assert_allclose(sp[1:, 1:1 + nts], flux, rtol=1e-5, atol=1e-30)
 
 
 def test_estimators_sane(simrun):
