@@ -130,11 +130,21 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     nt_frac_ion_by_ion = jnp.zeros((ncells, nions), cells.Te.dtype)
     nt_frac_ionization = jnp.zeros((ncells,), cells.Te.dtype)
     nt_frac_excitation = jnp.zeros((ncells,), cells.Te.dtype)
+    naug = opts.nt_max_auger_electrons + 1
+    nt_ionenfrac = jnp.broadcast_to(
+        jnp.zeros((naug,), cells.Te.dtype).at[0].set(1.0), (ncells, nions, naug)
+    )
     nt_ion_rate = None
+    nt_prob_auger = None
+    nt_exc_perdep = None
     if ntd is not None and mode == "nlte":
         boltz0 = ltepop_mod.calculate_levelpops(dad, cells, opts)
         nnion0 = ltepop_mod.get_nnion(dad, cells)
-        sf = nonthermal_mod.solve_spencerfano_cells(ntd, dad, boltz0, nnion0, cells.nne)
+        sf = nonthermal_mod.solve_spencerfano_cells(
+            ntd, dad, boltz0, nnion0, cells.nne,
+            sf_auger_contribution_on=opts.sf_auger_contribution_on,
+            nt_use_valence_ionpotential=opts.nt_use_valence_ionpotential,
+        )
         nniontot = jnp.maximum(jnp.sum(nnion0, axis=1), 1e-300)
         nt_ion_rate = nonthermal_mod.nt_ionization_ratecoeff(
             dep_heating, nniontot, sf["eff_ionpot"]
@@ -142,6 +152,10 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         nt_frac_ion_by_ion = sf["frac_ion_by_ion"]
         nt_frac_ionization = sf["frac_ionization"]
         nt_frac_excitation = sf["frac_excitation"]
+        nt_ionenfrac = sf["ionenfrac_num_auger"]
+        nt_prob_auger = sf["prob_num_auger"]
+        if opts.nt_excitation_on:
+            nt_exc_perdep = sf["exc_ratecoeff_perdep"]
         # only the heating fraction of the deposition heats the gas
         # (thermalbalance.cc:135-241 via nonthermal heating fraction)
         cells, _hc = thermalbalance_mod.call_t_e_finder(
@@ -159,6 +173,9 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             cells, levelpops = nltepop_mod.solve_all_elements(
                 nlte_indices, dad, rc, cells, opts, boltz, t_mid,
                 nt_ion_rate=nt_ion_rate,
+                nt_prob_auger=nt_prob_auger,
+                ntd=ntd, nt_exc_perdep=nt_exc_perdep,
+                nt_dep_rate_density=dep_heating,
             )
     else:
         levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
@@ -205,6 +222,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     )
     return (cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep,
             nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation,
+            nt_ionenfrac,
             tr_bins, w_bins, vcum_tau, vcum_taunu, expo_kappa, expo_pc)
 
 
@@ -444,6 +462,9 @@ class Simulation:
                 self.ad, self.dad, self.datadir,
                 sf_points=self.opts.sf_points, sf_emin=self.opts.sf_emin,
                 sf_emax=self.opts.sf_emax,
+                nt_max_auger=self.opts.nt_max_auger_electrons,
+                maxnlevels_lower=self.opts.ntexcitation_maxnlevels_lower,
+                maxnlevels_upper=self.opts.ntexcitation_maxnlevels_upper,
             )
             if self._f32:
                 self.ntd = demote_to_f32(self.ntd)
@@ -607,7 +628,7 @@ class Simulation:
             if self._f32:
                 gammaest_norm = demote_to_f32(gammaest_norm)
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
-         tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe,
+         tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe, nt_ionenfrac,
          self.radfieldbin_tr, self.radfieldbin_w,
          vcum_tau, vcum_taunu, expo_kappa, expo_pc) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
@@ -659,6 +680,7 @@ class Simulation:
             nt_frac_ion_by_ion=nt_fibi,
             nt_frac_ionization=nt_fi,
             nt_frac_excitation=nt_fe,
+            nt_ionenfrac_auger=nt_ionenfrac,
             barnes_t_ineff=jnp.asarray(self._barnes_t_ineff, dtype=fdtype),
             barnes_tau_ineff_lepton=jnp.asarray(self._barnes_tau_lepton, dtype=fdtype),
             barnes_tau_ineff_alpha=jnp.asarray(self._barnes_tau_alpha, dtype=fdtype),

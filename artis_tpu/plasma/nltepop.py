@@ -122,6 +122,10 @@ def solve_element(
     nnelement: jax.Array,  # (ncells,)
     t_mid,
     nt_ion_rate=None,  # (ncells, nions_total) non-thermal ionisation [1/s]
+    nt_prob_auger=None,  # (ncells, nions_total, naug) upper-ion probabilities
+    ntd=None,  # NonthermalData (for the NT excitation transition table)
+    nt_exc_perdep=None,  # (ncells, nexc) excitation ratecoeff per deposition
+    nt_dep_rate_density=None,  # (ncells,) [erg/cm3/s]
 ):
     """Solve one element's statistical equilibrium for all cells.
 
@@ -210,20 +214,45 @@ def solve_element(
         m = m.at[:, ul, ul].add(-rec)
         m = m.at[:, ll, ul].add(rec)
 
-    # --- non-thermal ionisation (nltepop.cc:470-500 NT contribution): the
+    # --- non-thermal ionisation (nltepop.cc:525-554 NT contribution): the
     # same Gamma_NT applies to every level of an ion; the electron lands in
-    # the upper ion's ground state ---
+    # the ground state of ion+1+a with the Auger-electron probability
+    # P(a) (nonthermal.cc:2157-2203 nt_ionization_upperion_probability) ---
     if nt_ion_rate is not None:
         ion_starts = [int(v) for v in idx.ion_local_start]
         nlv = [int(v) for v in idx.ion_nlevels]
+        naug = nt_prob_auger.shape[2] if nt_prob_auger is not None else 1
         for k in range(idx.nions - 1):
             lsl = ion_starts[k]
-            gnext = ion_starts[k + 1]
             ionidx_global = int(idx.first_global_ion) + k
             rate = nt_ion_rate[:, ionidx_global]  # (ncells,)
             lv = jnp.arange(lsl, lsl + nlv[k])
             m = m.at[:, lv, lv].add(-rate[:, None])
-            m = m.at[:, gnext, lv].add(rate[:, None])
+            maxa = min(naug, idx.nions - 1 - k)
+            for a in range(maxa):
+                gup = ion_starts[k + 1 + a]
+                if nt_prob_auger is not None:
+                    p = nt_prob_auger[:, ionidx_global, a]
+                    if a == maxa - 1:
+                        # remaining probability folds into the top reachable
+                        # ion (nonthermal.cc:2174-2196)
+                        p = 1.0 - jnp.sum(nt_prob_auger[:, ionidx_global, :a], axis=1)
+                else:
+                    p = jnp.ones_like(rate) if a == 0 else jnp.zeros_like(rate)
+                m = m.at[:, gup, lv].add((rate * p)[:, None])
+
+    # --- non-thermal excitation (nltepop.cc:445-449 NTC term;
+    # nonthermal.cc:2272-2297 nt_excitation_ratecoeff) ---
+    if nt_exc_perdep is not None and ntd is not None and nt_dep_rate_density is not None:
+        exc_lower = np.asarray(ntd.exc_lower)
+        in_elem = (exc_lower >= lstart) & (exc_lower < lstart + dim)
+        if np.any(in_elem):
+            tsel = jnp.asarray(np.nonzero(in_elem)[0])
+            lo_l = jnp.asarray(exc_lower[in_elem] - lstart)
+            up_l = ntd.exc_upper[tsel] - lstart
+            ntc = nt_exc_perdep[:, tsel] * nt_dep_rate_density[:, None]  # (ncells, t)
+            m = m.at[:, lo_l, lo_l].add(-ntc)
+            m = m.at[:, up_l, lo_l].add(ntc)
 
     # --- constraint rows and column normalisation ---
     # The reference sets constraint rows to 1 BEFORE scaling every matrix
@@ -271,6 +300,10 @@ def solve_all_elements(
     levelpops_boltzmann: jax.Array,
     t_mid,
     nt_ion_rate=None,
+    nt_prob_auger=None,
+    ntd=None,
+    nt_exc_perdep=None,
+    nt_dep_rate_density=None,
 ):
     """Solve every element and return the merged (ncells, nlevels_total)
     population table plus updated ion ground pops / partition functions."""
@@ -280,6 +313,8 @@ def solve_all_elements(
         pops = solve_element(
             idx, dad, rc, cells, opts, levelpops_boltzmann,
             nnelement_all[:, idx.element], t_mid, nt_ion_rate=nt_ion_rate,
+            nt_prob_auger=nt_prob_auger, ntd=ntd, nt_exc_perdep=nt_exc_perdep,
+            nt_dep_rate_density=nt_dep_rate_density,
         )
         levelpops = jax.lax.dynamic_update_slice(
             levelpops, pops, (0, idx.lstart)

@@ -19,9 +19,15 @@ system per cell with GSL. Here the system is built for ALL cells at once:
   (S, S) updates;
 - the solve is one batched triangular solve over the cell axis.
 
-Differences from the reference (documented): the Lotz cross-section fallback
-for A<0 shells and multi-Auger-electron emission are not yet implemented
-(prob_num_auger[0] = 1 equivalent); the third (E < SF_EMIN) term of
+Also covered: the Lotz cross-section fallback (synthesised per-shell rows for
+ions without collion.txt data and A<0 rows, nonthermal.cc:640-700, 788-835),
+Kaastra & Mewe 1993 Auger-electron probabilities per shell with the
+SF-matrix Auger energy sink (nonthermal.cc:345-470 read_auger_data,
+1905-1940), per-ion Auger upper-ion probability tables (nonthermal.cc:
+1225-1330), and the per-transition NT excitation rate coefficients used by
+the NLTE matrix (nonthermal.cc:1412-1428, 2272-2297).
+
+Difference from the reference (documented): the third (E < SF_EMIN) term of
 calculate_frac_heating is omitted and frac_heating is clamped so the three
 fractions sum to one.
 """
@@ -45,33 +51,41 @@ H_IONPOT = 13.5979996 * EV
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "shell_ion", "shell_ionpot_ev", "shell_a", "shell_b", "shell_c", "shell_d",
-        "exc_lower", "exc_eps_ev", "exc_collstr", "exc_osc", "exc_forbidden",
-        "exc_glower",
+        "shell_ion", "shell_ionpot_ev", "shell_xs", "shell_prob_auger",
+        "shell_en_auger_ev", "shell_valence_ionpot_ev", "shell_is_top_ion",
+        "exc_lower", "exc_upper", "exc_ion", "exc_eps_ev", "exc_collstr",
+        "exc_osc", "exc_forbidden", "exc_glower", "exc_lineindex",
     ],
-    meta_fields=["sf_points", "sf_emin", "sf_emax", "nshells", "nexc"],
+    meta_fields=["sf_points", "sf_emin", "sf_emax", "nshells", "nexc",
+                 "nt_max_auger"],
 )
 @dataclasses.dataclass(frozen=True)
 class NonthermalData:
-    # impact-ionisation shells from collion.txt matched to included ions
+    # impact-ionisation shells: collion.txt rows matched to included ions
+    # plus synthesised Lotz rows for ions without data (nonthermal.cc:598-700)
     shell_ion: jax.Array  # (nshells,) ion index into dad arrays
     shell_ionpot_ev: jax.Array  # (nshells,)
-    shell_a: jax.Array
-    shell_b: jax.Array
-    shell_c: jax.Array
-    shell_d: jax.Array
-    # excitation transitions (the frequency-sorted linelist re-used)
+    shell_xs: jax.Array  # (nshells, S) precomputed Younger/Lotz xs [cm^2]
+    shell_prob_auger: jax.Array  # (nshells, nt_max_auger+1) K&M 1993
+    shell_en_auger_ev: jax.Array  # (nshells,)
+    shell_valence_ionpot_ev: jax.Array  # (nshells,) first shell of the ion
+    shell_is_top_ion: jax.Array  # (nshells,) bool: ion has no higher stage
+    # excitation transitions (level-capped, reference NTEXCITATION_MAXNLEVELS)
     exc_lower: jax.Array  # (nexc,) unique lower level
+    exc_upper: jax.Array  # (nexc,) unique upper level
+    exc_ion: jax.Array  # (nexc,) ion index
     exc_eps_ev: jax.Array  # (nexc,) transition energy [eV]
     exc_collstr: jax.Array
     exc_osc: jax.Array
     exc_forbidden: jax.Array
     exc_glower: jax.Array
+    exc_lineindex: jax.Array  # (nexc,) index into the global linelist
     sf_points: int
     sf_emin: float
     sf_emax: float
     nshells: int
     nexc: int
+    nt_max_auger: int
 
     @property
     def delta_e(self) -> float:
@@ -98,57 +112,288 @@ def read_collion(path: str):
     return rows
 
 
+def approx_shell_occupancies(nbound: int, ioncharge: int) -> np.ndarray:
+    """Aufbau-filling shell occupancies K L1 L2 L3 M1 M2 M3 M4 M5 N1
+    (reference: nonthermal.cc:474-531 get_approx_shell_occupancies)."""
+    caps = [2, 2, 2, 4, 2, 2, 4]
+    q = np.zeros(10, np.int64)
+    for _ in range(nbound):
+        placed = False
+        for s, cap in enumerate(caps):
+            if q[s] < cap:
+                q[s] += 1
+                placed = True
+                break
+        if placed:
+            continue
+        # 4s/3d filling order depends on the ion charge
+        # (reference: nonthermal.cc:496-527)
+        cap_4s = 2 if ioncharge == 0 else (1 if ioncharge == 1 else 0)
+        if q[9] < cap_4s:
+            q[9] += 1  # N1 4s
+        elif q[7] < 4:
+            q[7] += 1  # M4 3d[3/2]
+        elif q[8] < 6:
+            q[8] += 1  # M5 3d[5/2]
+        else:
+            raise ValueError("beyond the 4s shell in NT occupancies")
+    return q
+
+
+def read_binding_energies(datadir: str) -> np.ndarray:
+    """(n_z, nshells) electron binding energies [eV]
+    (reference: nonthermal.cc:240-285 read_binding_energies)."""
+    import os
+
+    newf = os.path.join(datadir, "binding_energies_lotz_tab1and2.txt")
+    oldf = os.path.join(datadir, "binding_energies.txt")
+    newformat = os.path.exists(newf)
+    path = newf if newformat else oldf
+    with open(path) as f:
+        lines = [ln for ln in f if ln.strip() and not ln.lstrip().startswith("#")]
+    nshells, n_z = (int(x) for x in lines[0].split()[:2])
+    out = np.zeros((n_z, nshells))
+    for zm1 in range(n_z):
+        vals = lines[1 + zm1].split()
+        if newformat:
+            assert int(vals[0]) == zm1 + 1
+            vals = vals[1:]
+        out[zm1, :] = [float(v) for v in vals[:nshells]]
+    return out
+
+
+# x-ray-notation shells K L1 L2 L3 M1 M2 M3 -> (n, l, g=2j+1)
+_XRAY_NLG = [(1, 0, 2), (2, 0, 2), (2, 1, 2), (2, 1, 4), (3, 0, 2), (3, 1, 2), (3, 1, 4)]
+
+
+def read_auger_data(path: str, nt_max_auger: int):
+    """Parse the fixed-width Kaastra & Mewe 1993 table 2
+    (reference: nonthermal.cc:345-470 read_auger_data).
+
+    Returns list of (Z, ionstage, n, l, g, en_auger_ev, prob[nt_max_auger+1])."""
+    out = []
+    with open(path) as f:
+        for line in f:
+            if len(line) < 70:
+                continue
+            try:
+                z = int(line[0:2])
+                ionstage = int(line[2:5])
+                shellnum = int(line[5:8])
+                ionpot_ev = float(line[8:15])
+                en_auger_total = float(line[15:22])
+                epsilon_e3 = int(line[22:25])
+            except ValueError:
+                continue
+            prob = np.zeros(nt_max_auger + 1)
+            n_avg = 0.0
+            ok = True
+            for a in range(9):
+                s = line[26 + a * 5 : 31 + a * 5]
+                try:
+                    p = int(s) / 10000.0
+                except ValueError:
+                    ok = False
+                    break
+                n_avg += a * p
+                if a <= nt_max_auger:
+                    prob[min(a, nt_max_auger)] += p
+                else:
+                    prob[nt_max_auger] += p
+            if not ok or shellnum < 1 or shellnum > len(_XRAY_NLG):
+                continue
+            en_auger_ev = en_auger_total - (epsilon_e3 / 1000.0 * ionpot_ev)
+            if not np.isfinite(en_auger_ev) or en_auger_ev < 0:
+                en_auger_ev = 0.0
+            n, l, g = _XRAY_NLG[shellnum - 1]
+            out.append((z, ionstage, n, l, g, en_auger_ev, prob, n_avg))
+    return out
+
+
+def xs_ionization_lotz(engrid_ev: np.ndarray, ionpot_ev: float, qshell: int) -> np.ndarray:
+    """Lotz 1967 ionisation cross section, reproducing the reference's exact
+    expression including its log10 term (reference: nonthermal.cc:788-822)."""
+    from ..constants import CLIGHT, ME
+
+    en_erg = engrid_ev * EV
+    p = ionpot_ev * EV
+    beta2 = np.maximum(2.0 * en_erg / ME, 0.0) / CLIGHT**2
+    mec2 = ME * CLIGHT**2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        part = qshell / p * (
+            np.log(np.maximum(beta2 * mec2 / 2.0 / p, 1e-300))
+            - np.log10(np.maximum(1.0 - beta2, 1e-300))
+            - beta2
+        )
+        aconst = 1.33e-14 * EV * EV
+        sigma = 2.0 * aconst / np.maximum(beta2, 1e-300) / mec2 * part
+    return np.where((en_erg > p) & (part > 0), sigma, 0.0)
+
+
 def build_nonthermal_data(
     ad, dad: DeviceAtomicData, datadir: str,
     sf_points: int = 256, sf_emin: float = 0.1, sf_emax: float = 16000.0,
+    nt_max_auger: int = 2,
+    maxnlevels_lower: int = 5, maxnlevels_upper: int = 250,
 ) -> NonthermalData:
-    """Match collion shells to the included ions and collect the excitation
-    transition table (host, once per run)."""
+    """Assemble the impact-ionisation shell table (collion.txt rows +
+    synthesised Lotz rows + Auger probabilities) and the level-capped
+    excitation transition table (host, once per run)."""
+    import os
+
     rows = read_collion(f"{datadir}/collion.txt")
     ion_z = np.asarray(dad.ion_element)  # element index per ion
     elem_z = np.asarray(ad.elem_z)
     ion_stage = np.asarray(dad.ion_stage)
+    ion_ionpot = np.asarray(ad.ion_ionpot)  # [erg]
     ion_by_zstage = {}
     for i in range(dad.nions_total):
         ion_by_zstage[(int(elem_z[ion_z[i]]), int(ion_stage[i]))] = i
 
-    sh = [r for r in rows
-          if (r[0], r[1]) in ion_by_zstage and r[4] >= sf_emin and r[5] >= 0]
-    nshells = len(sh)
-    shell_ion = np.array([ion_by_zstage[(r[0], r[1])] for r in sh], np.int32)
-    arr = np.array([[r[4], r[5], r[6], r[7], r[8]] for r in sh], np.float64) \
-        if sh else np.zeros((0, 5))
+    # shell rows: [ion, n, l, ionpot_ev, A, B, C, D, lotz_q]
+    shells = []
+    for z, stage, n, l, ionpot, a, b, c, d in rows:
+        if (z, stage) not in ion_by_zstage or ionpot < sf_emin:
+            continue
+        shells.append([ion_by_zstage[(z, stage)], n, l, ionpot, a, b, c, d, 0])
 
-    # excitation transitions: the up entries of the flat transition list
+    # synthesise Lotz rows for ions without any collion data
+    # (reference: nonthermal.cc:640-700)
+    binding_ev = read_binding_energies(datadir)
+    ions_with_data = {int(s[0]) for s in shells}
+    for i in range(dad.nions_total):
+        if i in ions_with_data:
+            continue
+        z = int(elem_z[ion_z[i]])
+        stage = int(ion_stage[i])
+        ioncharge = stage - 1
+        nbound = z - ioncharge
+        if nbound <= 0 or z > binding_ev.shape[0]:
+            continue
+        q = approx_shell_occupancies(nbound, ioncharge)
+        electron_count = 0
+        for shellindex in range(len(q)):
+            qs = int(q[shellindex])
+            electron_count += qs
+            if qs <= 0:
+                continue
+            enb = binding_ev[z - 1, shellindex] if shellindex < binding_ev.shape[1] else 0.0
+            if enb <= 0 and shellindex > 0:
+                enb = binding_ev[z - 1, shellindex - 1]
+            p_ev = max(ion_ionpot[i] / EV, enb)
+            shells.append([i, -1, -shellindex, p_ev, -1.0, -1.0, -1.0, -1.0, qs])
+            if electron_count >= nbound:
+                break
+
+    # stable sort by (Z, ionstage, ionpot, n, l) -> valence shell first per
+    # ion (reference: nonthermal.cc:698-700)
+    shells.sort(key=lambda s: (
+        int(elem_z[ion_z[int(s[0])]]), int(ion_stage[int(s[0])]), s[3], s[1], s[2]
+    ))
+    nshells = len(shells)
+    shell_ion = np.array([int(s[0]) for s in shells], np.int32)
+    shell_ionpot_ev = np.array([s[3] for s in shells])
+
+    # valence (lowest) ionpot per ion: first row of each ion after the sort
+    valence = shell_ionpot_ev.copy()
+    for k in range(1, nshells):
+        if shell_ion[k] == shell_ion[k - 1]:
+            valence[k] = valence[k - 1]
+
+    # Auger probabilities per shell, g-weight averaged over matching x-ray
+    # shells (reference: nonthermal.cc:345-470)
+    prob_auger = np.zeros((max(nshells, 1), nt_max_auger + 1))
+    prob_auger[:, 0] = 1.0
+    en_auger_ev = np.zeros(max(nshells, 1))
+    auger_g_acc = np.zeros(max(nshells, 1))
+    auger_path = os.path.join(datadir, "auger-km1993-table2.txt")
+    if nt_max_auger > 0 and os.path.exists(auger_path):
+        for z, stage, n, l, g, en_a, prob, _n_avg in read_auger_data(auger_path, nt_max_auger):
+            if (z, stage) not in ion_by_zstage:
+                continue
+            for k in range(nshells):
+                s = shells[k]
+                if (int(elem_z[ion_z[shell_ion[k]]]) == z and int(ion_stage[shell_ion[k]]) == stage
+                        and s[1] == n and s[2] == l):
+                    oldw = auger_g_acc[k] / (g + auger_g_acc[k])
+                    neww = g / (g + auger_g_acc[k])
+                    auger_g_acc[k] += g
+                    en_auger_ev[k] = oldw * en_auger_ev[k] + neww * en_a
+                    prob_auger[k] = oldw * prob_auger[k] + neww * prob
+    if nshells == 0:
+        prob_auger = np.zeros((0, nt_max_auger + 1))
+        en_auger_ev = np.zeros(0)
+
+    # precompute the (nshells, S) ionisation cross sections: Younger 1981
+    # fit for A>=0 rows, Lotz for A<0 rows (reference: nonthermal.cc:955-973)
+    de = (sf_emax - sf_emin) / (sf_points - 1)
+    engrid_ev = sf_emin + np.arange(sf_points) * de
+    shell_xs = np.zeros((nshells, sf_points))
+    for k, s in enumerate(shells):
+        _, n, l, ionpot, a, b, c, d, qs = s
+        if a < 0:
+            shell_xs[k] = xs_ionization_lotz(engrid_ev, ionpot, int(qs))
+        else:
+            u = engrid_ev / ionpot
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xs = 1e-14 * (
+                    a * (1 - 1 / u) + b * (1 - 1 / u) ** 2
+                    + c * np.log(u) + d * np.log(u) / u
+                ) / (u * ionpot**2)
+            shell_xs[k] = np.where(u > 1.0, np.maximum(xs, 0.0), 0.0)
+
+    # top ion of each element cannot be ionised further: exclude from the SF
+    # matrix and ionisation analysis (nonthermal.cc:2514 ion < nions - 1)
+    ion_elem = ion_z
+    is_top_ion = np.ones(dad.nions_total, bool)
+    is_top_ion[:-1] = ion_elem[:-1] != ion_elem[1:]
+    shell_is_top = is_top_ion[shell_ion] if nshells else np.zeros(0, bool)
+
+    # excitation transitions: the up entries of the flat transition list,
+    # capped at NTEXCITATION_MAXNLEVELS_LOWER/_UPPER within-ion level indices
+    # (reference: nonthermal.cc:1785-1806)
     is_up = ~np.asarray(dad.trans_is_down)
     owner = np.asarray(dad.trans_owner)[is_up]
     target_inion = np.asarray(dad.trans_target)[is_up]
+    lineindex = np.asarray(dad.trans_lineindex)[is_up]
     level_ion = np.asarray(dad.level_ion)
     ion_level_start = np.asarray(dad.ion_level_start)
     level_energy = np.asarray(dad.level_energy)
     target = ion_level_start[level_ion[owner]] + target_inion
+    lower_inion = owner - ion_level_start[level_ion[owner]]
     eps_ev = (level_energy[target] - level_energy[owner]) / EV
     coll_str = np.asarray(dad.trans_coll_str)[is_up]
     forbidden = np.asarray(dad.trans_forbidden)[is_up].astype(bool)
     osc = np.asarray(dad.trans_osc_strength)[is_up]
-    keep = eps_ev >= sf_emin
+    keep = (
+        (eps_ev >= sf_emin)
+        & (lower_inion < maxnlevels_lower)
+        & (target_inion < maxnlevels_upper)
+    )
     lower = owner[keep]
     g_lower = np.asarray(dad.level_g)[lower]
     f64 = lambda x: jnp.asarray(np.asarray(x, np.float64))
 
     return NonthermalData(
         shell_ion=jnp.asarray(shell_ion),
-        shell_ionpot_ev=f64(arr[:, 0]),
-        shell_a=f64(arr[:, 1]), shell_b=f64(arr[:, 2]),
-        shell_c=f64(arr[:, 3]), shell_d=f64(arr[:, 4]),
+        shell_ionpot_ev=f64(shell_ionpot_ev),
+        shell_xs=f64(shell_xs),
+        shell_prob_auger=f64(prob_auger),
+        shell_en_auger_ev=f64(en_auger_ev),
+        shell_valence_ionpot_ev=f64(valence),
+        shell_is_top_ion=jnp.asarray(shell_is_top),
         exc_lower=jnp.asarray(lower.astype(np.int32)),
+        exc_upper=jnp.asarray(target[keep].astype(np.int32)),
+        exc_ion=jnp.asarray(level_ion[lower].astype(np.int32)),
         exc_eps_ev=f64(eps_ev[keep]),
         exc_collstr=f64(coll_str[keep]),
         exc_osc=f64(osc[keep]),
         exc_forbidden=jnp.asarray(forbidden[keep]),
         exc_glower=f64(g_lower),
+        exc_lineindex=jnp.asarray(lineindex[keep].astype(np.int32)),
         sf_points=sf_points, sf_emin=sf_emin, sf_emax=sf_emax,
         nshells=nshells, nexc=int(keep.sum()),
+        nt_max_auger=nt_max_auger,
     )
 
 
@@ -206,12 +451,16 @@ def solve_spencerfano_cells(
     levelpops: jax.Array,  # (ncells, nlevels)
     nnion_cells: jax.Array,  # (ncells, nions)
     nne: jax.Array,  # (ncells,)
+    sf_auger_contribution_on: bool = True,
+    nt_use_valence_ionpotential: bool = False,
 ):
     """Solve the Spencer-Fano equation for every cell.
 
     Returns dict with y (ncells, S) [the degradation spectrum], frac_heating,
     frac_ionization, frac_excitation (ncells,), frac_ion_by_ion and
-    eff_ionpot (ncells, nions) [erg]."""
+    eff_ionpot (ncells, nions) [erg], prob_num_auger / ionenfrac_num_auger
+    (ncells, nions, nt_max_auger+1), and exc_ratecoeff_perdep
+    (ncells, nexc) [excitations per deposited erg per lower-level ion]."""
     S = ntd.sf_points
     dtype = nne.dtype
     de = jnp.asarray(ntd.delta_e, dtype)
@@ -235,9 +484,15 @@ def solve_spencerfano_cells(
     # --- loss term (diagonal) ---
     loss = electron_loss_rate_ev(en[None, :], nne[:, None])  # (ncells, S)
 
+    # negligible ions are skipped entirely in the reference's matrix assembly
+    # (nonthermal.cc:2496 minionfraction)
+    minionfraction = 1.0e-8
+    ion_included = nnion_cells >= minionfraction * nniontot[:, None]  # (ncells, nions)
+
     # --- excitation: banded contraction on the MXU ---
     xs_exc = xs_excitation_batch(ntd).astype(dtype)  # (nexc, S)
     nnlower = levelpops[:, ntd.exc_lower]  # (ncells, nexc)
+    nnlower = jnp.where(ion_included[:, ntd.exc_ion], nnlower, 0.0)
     widths = ntd.exc_eps_ev.astype(dtype) / de  # (nexc,) band width (fractional)
     dgrid = jnp.arange(S, dtype=dtype)
     wmat = jnp.clip(widths[:, None] - dgrid[None, :], 0.0, 1.0)  # (nexc, S)
@@ -251,17 +506,15 @@ def solve_spencerfano_cells(
     m_exc = cmat[:, jidx, dmap]  # (ncells, S, S)
     m_exc = jnp.where((ii[None, :] >= ii[:, None])[None, :, :], m_exc, 0.0)
 
-    # --- ionisation shells (nonthermal.cc:1835-1900) ---
+    # --- ionisation shells (nonthermal.cc:1835-1940) ---
     def shell_term(carry, s):
         m_ion = carry
         ion = ntd.shell_ion[s]
         ionpot = ntd.shell_ionpot_ev[s].astype(dtype)
         jconst = 0.6 * ionpot  # get_J (Opal et al. exceptions are H/He/Ne/Ar)
-        xs = xs_impactionization(
-            en, ionpot, ntd.shell_a[s].astype(dtype), ntd.shell_b[s].astype(dtype),
-            ntd.shell_c[s].astype(dtype), ntd.shell_d[s].astype(dtype),
-        )  # (S,)
-        nnion_s = nnion_cells[:, ion]  # (ncells,)
+        xs = ntd.shell_xs[s].astype(dtype)  # (S,)
+        include = ion_included[:, ion] & ~ntd.shell_is_top_ion[s]
+        nnion_s = jnp.where(include, nnion_cells[:, ion], 0.0)  # (ncells,)
         eps_upper = jnp.minimum((en + ionpot) / 2, en)  # (S,) at E' = en[j]
         int_upper = jnp.arctan((eps_upper - ionpot) / jconst)
         pref = xs / jnp.maximum(jnp.arctan((en - ionpot) / 2 / jconst), 1e-300)
@@ -280,7 +533,19 @@ def solve_spencerfano_cells(
             (e_j >= 2 * e_i + ionpot) & (int_low2 <= upper_j) & (xs[None, :] > 0),
             pref[None, :] * (upper_j - int_low2) * de, 0.0,
         )
-        contrib = (t1 - t2)[None, :, :] * nnion_s[:, None, None]
+        terms = t1 - t2
+        # Auger energy sink: rows with E below the mean Auger-electron energy
+        # lose electrons promoted by Auger emission
+        # (nonthermal.cc:1905-1940, SF_AUGER_CONTRIBUTION_ON, not
+        # DISTRIBUTE_EN)
+        if sf_auger_contribution_on and ntd.nt_max_auger > 0:
+            en_aug = ntd.shell_en_auger_ev[s].astype(dtype)
+            t_aug = jnp.where(
+                (e_i < en_aug) & (e_j >= e_i) & (xs[None, :] > 0),
+                xs[None, :], 0.0,
+            )
+            terms = terms - t_aug
+        contrib = terms[None, :, :] * nnion_s[:, None, None]
         return m_ion + contrib, None
 
     if ntd.nshells > 0:
@@ -298,20 +563,22 @@ def solve_spencerfano_cells(
 
     # --- analysis (nonthermal.cc:1060-1330) ---
     # per-shell ionisation fractions
+    naug = ntd.nt_max_auger + 1
     if ntd.nshells > 0:
-        xs_all = jax.vmap(
-            lambda s: xs_impactionization(
-                en, ntd.shell_ionpot_ev[s].astype(dtype),
-                ntd.shell_a[s].astype(dtype), ntd.shell_b[s].astype(dtype),
-                ntd.shell_c[s].astype(dtype), ntd.shell_d[s].astype(dtype),
-            )
-        )(jnp.arange(ntd.nshells))  # (nshells, S)
+        xs_all = ntd.shell_xs.astype(dtype)  # (nshells, S)
         ydotxs = jnp.einsum("cs,ks->ck", y, xs_all) * de  # (ncells, nshells)
         nnion_sh = nnion_cells[:, ntd.shell_ion]  # (ncells, nshells)
         frac_sh = nnion_sh * ntd.shell_ionpot_ev[None, :].astype(dtype) * ydotxs / e_init_ev
+        # eta/ionpot uses the valence potential when
+        # NT_USE_VALENCE_IONPOTENTIAL (nonthermal.cc:1265-1270)
+        pot_for_rate = (
+            ntd.shell_valence_ionpot_ev if nt_use_valence_ionpotential
+            else ntd.shell_ionpot_ev
+        )[None, :].astype(dtype) * EV
+        eta_over_pot_sh = frac_sh / pot_for_rate  # (ncells, nshells)
         frac_ion_by_ion = jnp.zeros((ncells, nions), dtype).at[:, ntd.shell_ion].add(frac_sh)
         eta_over_pot = jnp.zeros((ncells, nions), dtype).at[:, ntd.shell_ion].add(
-            frac_sh / (ntd.shell_ionpot_ev[None, :].astype(dtype) * EV)
+            eta_over_pot_sh
         )
         x_ion = nnion_cells / nniontot[:, None]
         eff_ionpot = jnp.where(eta_over_pot > 0, x_ion / jnp.maximum(eta_over_pot, 1e-300), 0.0)
@@ -325,16 +592,71 @@ def solve_spencerfano_cells(
             top_mask = jnp.ones((nions,), bool)
         frac_ion_by_ion = jnp.where(top_mask[None, :], 0.0, frac_ion_by_ion)
         frac_ionization = jnp.sum(frac_ion_by_ion, axis=1)
+
+        # per-ion Auger upper-ion probabilities, eta-over-ionpot weighted
+        # across shells (nonthermal.cc:1245-1315); energy-weighted variant
+        # uses plain eta weights
+        pa = ntd.shell_prob_auger.astype(dtype)  # (nshells, naug)
+        num_prob = jnp.zeros((ncells, nions, naug), dtype).at[:, ntd.shell_ion, :].add(
+            eta_over_pot_sh[:, :, None] * pa[None, :, :]
+        )
+        num_enfrac = jnp.zeros((ncells, nions, naug), dtype).at[:, ntd.shell_ion, :].add(
+            frac_sh[:, :, None] * pa[None, :, :]
+        )
+        eta_sum = jnp.zeros((ncells, nions), dtype).at[:, ntd.shell_ion].add(frac_sh)
+        prob_num_auger = num_prob / jnp.maximum(eta_over_pot, 1e-300)[:, :, None]
+        ionenfrac_num_auger = num_enfrac / jnp.maximum(eta_sum, 1e-300)[:, :, None]
+
+        # fold probabilities that would exceed the element's top ion into the
+        # highest reachable stage (nonthermal.cc:1288-1307)
+        ion_idx = jnp.arange(nions)
+        # per-ion topion index: the nearest top-of-element ion at or after i
+        # (rightmost-valid associative prefix over the reversed index array)
+        topion = jax.lax.associative_scan(
+            lambda a, b: jnp.where(b >= 0, b, a),
+            jnp.where(top_mask, ion_idx, -1)[::-1],
+        )[::-1]
+        amax = topion[None, :] - ion_idx[None, :] - 1  # (1, nions) max num auger
+        a_arange = jnp.arange(naug)
+        overflow = a_arange[None, None, :] > amax[:, :, None]  # (1, nions, naug)
+        a_replace = jnp.clip(amax, 0, naug - 1)  # (1, nions)
+        over_prob = jnp.sum(jnp.where(overflow, prob_num_auger, 0.0), axis=2)
+        over_enfrac = jnp.sum(jnp.where(overflow, ionenfrac_num_auger, 0.0), axis=2)
+        prob_num_auger = jnp.where(overflow, 0.0, prob_num_auger)
+        ionenfrac_num_auger = jnp.where(overflow, 0.0, ionenfrac_num_auger)
+        cell_ar = jnp.broadcast_to(a_replace, (ncells, nions))
+        prob_num_auger = prob_num_auger.at[
+            jnp.arange(ncells)[:, None], ion_idx[None, :], cell_ar
+        ].add(over_prob)
+        ionenfrac_num_auger = ionenfrac_num_auger.at[
+            jnp.arange(ncells)[:, None], ion_idx[None, :], cell_ar
+        ].add(over_enfrac)
+        # ions with no shell data: single ionisation only
+        no_shells = eta_over_pot <= 0
+        base = jnp.zeros((naug,), dtype).at[0].set(1.0)
+        prob_num_auger = jnp.where(
+            no_shells[:, :, None], base[None, None, :], prob_num_auger
+        )
+        ionenfrac_num_auger = jnp.where(
+            no_shells[:, :, None], base[None, None, :], ionenfrac_num_auger
+        )
     else:
         frac_ion_by_ion = jnp.zeros((ncells, nions), dtype)
         eff_ionpot = jnp.zeros((ncells, nions), dtype)
         frac_ionization = jnp.zeros((ncells,), dtype)
+        base = jnp.zeros((naug,), dtype).at[0].set(1.0)
+        prob_num_auger = jnp.broadcast_to(base, (ncells, nions, naug))
+        ionenfrac_num_auger = prob_num_auger
 
     # excitation fraction: sum_t n_t eps_t integral(xs_t y) / E_init
     ydotxs_exc = jnp.einsum("cs,ts->ct", y, xs_exc) * de  # (ncells, nexc)
     frac_excitation = jnp.sum(
         nnlower * ntd.exc_eps_ev[None, :].astype(dtype) * ydotxs_exc, axis=1
     ) / e_init_ev
+    # per-transition NT excitation rate coefficient per deposited energy
+    # [excitations * cm3 / erg]: multiply by deposition rate density / nnlevel
+    # for the rate per lower-level ion (nonthermal.cc:1412-1428, 2272-2297)
+    exc_ratecoeff_perdep = ydotxs_exc / e_init_ev / EV
 
     frac_heating = jnp.clip(1.0 - frac_ionization - frac_excitation, 0.0, 1.0)
 
@@ -345,6 +667,9 @@ def solve_spencerfano_cells(
         frac_excitation=jnp.clip(frac_excitation, 0.0, 1.0),
         frac_ion_by_ion=frac_ion_by_ion,
         eff_ionpot=eff_ionpot,
+        prob_num_auger=prob_num_auger,
+        ionenfrac_num_auger=ionenfrac_num_auger,
+        exc_ratecoeff_perdep=exc_ratecoeff_perdep,
     )
 
 

@@ -53,7 +53,7 @@ from ..decay import (
         "bf_a", "bf_dep", "expopac_kappa", "expopac_planck_cum",
         "elem_numberdens", "xcom_energy", "xcom_sigma",
         "vpkt_cum_tau", "vpkt_cum_taunu", "vpkt_cfg",
-        "nt_frac_ion_by_ion", "nt_frac_ionization",
+        "nt_frac_ion_by_ion", "nt_frac_ionization", "nt_ionenfrac_auger",
         "nt_frac_excitation", "barnes_t_ineff", "barnes_tau_ineff_lepton",
         "barnes_tau_ineff_alpha", "rho_t_mgi", "rho_tmin_mgi",
         "tmin", "gammaline_energy",
@@ -82,6 +82,8 @@ class StepContext:
     vpkt_cfg: object  # VpktConfig pytree or None
     nt_frac_ion_by_ion: jax.Array  # (ncells, nions) Spencer-Fano split
     nt_frac_ionization: jax.Array  # (ncells,)
+    nt_ionenfrac_auger: jax.Array  # (ncells, nions, naug) energy-weighted
+    # Auger upper-ion probabilities (nonthermal.cc:2157-2203)
     nt_frac_excitation: jax.Array  # (ncells,)
     gammaline_energy: jax.Array  # (nnuc, maxlines) [erg]
     gammaline_cumfrac: jax.Array  # (nnuc, maxlines)
@@ -1229,10 +1231,32 @@ def transport_timestep(
                 tot = jnp.maximum(cum[:, -1], 1e-300)
                 u2 = _uniform(k, 122, st.npkts, st.pos.dtype) * tot
                 lowerion = jnp.sum((cum <= u2[:, None]).astype(jnp.int32), axis=1)
-                lowerion = jnp.minimum(lowerion, rows.shape[1] - 1)
-                upper_ground = dad.ion_level_start[
-                    jnp.minimum(lowerion + 1, rows.shape[1] - 1)
-                ].astype(jnp.int32)
+                nions = rows.shape[1]
+                lowerion = jnp.minimum(lowerion, nions - 1)
+                # Auger electrons can skip ion stages: sample the upper ion
+                # with the energy-weighted probabilities
+                # (nonthermal.cc:2218-2243 nt_random_upperion energyweighted)
+                enfrac = ctx.nt_ionenfrac_auger[mgi_c, lowerion, :]  # (npkts, naug)
+                cum_a = jnp.cumsum(enfrac, axis=1)
+                u3 = _uniform(k, 123, st.npkts, st.pos.dtype) * jnp.maximum(
+                    cum_a[:, -1], 1e-300
+                )
+                n_auger = jnp.sum((cum_a <= u3[:, None]).astype(jnp.int32), axis=1)
+                n_auger = jnp.minimum(n_auger, enfrac.shape[1] - 1)
+                # clamp to the element's top ion (nt_ionisation_maxupperion)
+                ion_idx_arr = jnp.arange(nions, dtype=jnp.int32)
+                elem_arr = dad.ion_element[:nions]
+                is_top = jnp.concatenate(
+                    [elem_arr[:-1] != elem_arr[1:], jnp.ones((1,), bool)]
+                )
+                topion = jax.lax.associative_scan(
+                    lambda a, b: jnp.where(b >= 0, b, a),
+                    jnp.where(is_top, ion_idx_arr, -1)[::-1],
+                )[::-1]
+                upperion = jnp.minimum(
+                    lowerion + 1 + n_auger.astype(jnp.int32), topion[lowerion]
+                )
+                upper_ground = dad.ion_level_start[upperion].astype(jnp.int32)
                 st = st.replace(
                     ptype=jnp.where(to_ion, TYPE_MA,
                                     jnp.where(nt_dep, TYPE_KPKT, st.ptype)),

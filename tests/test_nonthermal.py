@@ -82,3 +82,77 @@ def test_eff_ionpot_positive_for_included_ions(setup):
         jnp.full(ncells, 1e-10), jnp.sum(nnion, axis=1), out["eff_ionpot"]
     )
     assert np.all(np.asarray(rate)[:, shells] > 0)
+
+
+def test_lotz_rows_synthesised_for_missing_ions(setup):
+    """Ions without collion.txt data get per-shell Lotz rows with the
+    approximate shell occupancies (reference: nonthermal.cc:640-700)."""
+    ad, dad, ntd = setup
+    ions_with_rows = set(np.unique(np.asarray(ntd.shell_ion)).tolist())
+    # every included ion must have at least one shell (Younger or Lotz)
+    assert ions_with_rows == set(range(dad.nions_total))
+    # Lotz xs vectors are finite and non-negative
+    xs = np.asarray(ntd.shell_xs)
+    assert np.all(np.isfinite(xs)) and np.all(xs >= 0)
+    assert xs.shape == (ntd.nshells, ntd.sf_points)
+
+
+def test_shell_occupancies():
+    from artis_tpu.plasma.nonthermal import approx_shell_occupancies
+
+    # neutral Fe: 1s2 2s2 2p6 3s2 3p6 3d6 4s2
+    q = approx_shell_occupancies(26, 0)
+    assert q.sum() == 26
+    assert q[0] == 2 and q[1] == 2 and q[2] + q[3] == 6
+    assert q[9] == 2  # 4s filled for neutrals
+    assert q[7] + q[8] == 6  # 3d6
+    # Fe II (charge 1): 3d7 4s1 per the reference's filling rule
+    q1 = approx_shell_occupancies(25, 1)
+    assert q1.sum() == 25 and q1[9] == 1 and q1[7] + q1[8] == 6
+    # Fe III (charge 2): no 4s
+    q2 = approx_shell_occupancies(24, 2)
+    assert q2.sum() == 24 and q2[9] == 0
+
+
+def test_auger_probabilities_sum_to_one(setup):
+    ad, dad, ntd = setup
+    pa = np.asarray(ntd.shell_prob_auger)
+    # the K&M table rows carry 10 probability columns; the reference
+    # reads 9 (nonthermal.cc:386-410), so sums can be ~0.9958
+    np.testing.assert_allclose(pa.sum(axis=1), 1.0, atol=5e-3)
+    assert np.all(pa >= 0)
+    # K-shell rows of Fe/Ni should have Auger data (non-trivial distribution)
+    assert np.any(pa[:, 1:] > 0.5)
+    en = np.asarray(ntd.shell_en_auger_ev)
+    assert np.all(np.isfinite(en)) and np.all(en >= 0)
+
+
+def test_solver_auger_outputs(setup):
+    ad, dad, ntd = setup
+    nions = dad.nions_total
+    ncells = 2
+    nnion = jnp.full((ncells, nions), 1e7)
+    pops = jnp.zeros((ncells, dad.nlevels_total)).at[:, dad.ion_level_start].set(1e7)
+    out = nonthermal.solve_spencerfano_cells(
+        ntd, dad, pops, nnion, jnp.full(ncells, 1e7)
+    )
+    for key in ("prob_num_auger", "ionenfrac_num_auger"):
+        p = np.asarray(out[key])
+        assert p.shape == (ncells, nions, ntd.nt_max_auger + 1)
+        assert np.all(p >= -1e-9)
+        np.testing.assert_allclose(p.sum(axis=2), 1.0, atol=5e-3)
+    # exc ratecoeff per deposition: finite, non-negative
+    ex = np.asarray(out["exc_ratecoeff_perdep"])
+    assert ex.shape == (ncells, ntd.nexc)
+    assert np.all(np.isfinite(ex)) and np.all(ex >= 0)
+
+
+def test_excitation_level_caps(setup):
+    """The excitation table honours NTEXCITATION_MAXNLEVELS_LOWER/_UPPER
+    (reference: nonthermal.cc:1785-1806)."""
+    ad, dad, ntd = setup
+    lower = np.asarray(ntd.exc_lower)
+    upper = np.asarray(ntd.exc_upper)
+    starts = np.asarray(dad.ion_level_start)[np.asarray(dad.level_ion)[lower]]
+    assert np.all(lower - starts < 5)
+    assert np.all(upper - starts < 250)
