@@ -169,6 +169,10 @@ class Options:
     # walk, moves) runs on the compacted buffer — the wavefront-tail answer to
     # the reference's sort-escaped-packets-to-the-end (update_packets.cc:281)
     rpkt_compact_divisor: int = 8
+    # r-packets advance through up to this many boundary crossings inside one
+    # rpkt dispatch before the (much heavier) event-application and
+    # kpkt/macro-atom phases run; crossings outnumber events ~10:1
+    rpkt_crossings_per_dispatch: int = 8
     # whole-body compaction: when the total active packet count fits in
     # npkts//wavefront_compact_divisor lanes, the entire wavefront iteration
     # runs on a compacted buffer (one gather/scatter for all phases)

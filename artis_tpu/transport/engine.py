@@ -828,9 +828,78 @@ def rpkt_step(
     key, st: PacketState, est: Estimators, ctx: StepContext, grid: GridData,
     dad: DeviceAtomicData, cells, opts: Options, opacity_case: int,
 ):
+    """One full r-packet advance: an inner while_loop of cheap
+    propagation-only steps (boundary crossings dominate, reference
+    rpkt.cc:604-737 loops the same way) followed by ONE event-application
+    pass for the lanes whose optical-depth target was reached.
+
+    Cell crossings outnumber physical events ~10:1, so deferring the event
+    machinery (Stokes scattering, macro-atom dispatch, vpkt spawning) out of
+    the crossing loop removes it from ~90% of the iterations."""
+    n = st.npkts
+
+    evctx0 = dict(
+        take_event=jnp.zeros(n, bool),
+        thick=jnp.zeros(n, bool),
+        is_bb=jnp.zeros(n, bool),
+        chi_escat=jnp.zeros(n, st.pos.dtype),
+        chi_ff=jnp.zeros(n, st.pos.dtype),
+        chi_bf=jnp.zeros(n, st.pos.dtype),
+        chi_cont_cmf=jnp.zeros(n, st.pos.dtype),
+        bf_contindex=jnp.zeros(n, jnp.int32),
+        act_line=jnp.zeros(n, jnp.int32) - 99,
+        nonemptymgi=jnp.zeros(n, jnp.int32),
+    )
+    max_cross = max(opts.rpkt_crossings_per_dispatch, 1)
+
+    nadv0 = jnp.zeros((), jnp.int32)
+
+    def cond(c):
+        st, est, ev, it, nadv = c
+        moving = (st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2) & ~ev["take_event"]
+        return jnp.logical_and(it < max_cross, jnp.any(moving))
+
+    def body(c):
+        st, est, ev, it, nadv = c
+        moving = (st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2) & ~ev["take_event"]
+        nadv = nadv + jnp.sum(moving.astype(jnp.int32), dtype=jnp.int32)
+        st, est, ev = _rpkt_propagate_once(
+            jax.random.fold_in(key, 7300 + it), st, est, ev, ctx, grid, dad,
+            cells, opts, opacity_case,
+        )
+        return st, est, ev, it + 1, nadv
+
+    st, est, ev, _, nadv = jax.lax.while_loop(
+        cond, body, (st, est, evctx0, jnp.int32(0), nadv0)
+    )
+
+    def _apply(st, est):
+        return _rpkt_apply_events(
+            key, st, est, ctx, grid, dad, cells, opts, opacity_case,
+            ev["take_event"], ev["thick"], ev["is_bb"], ev["chi_escat"],
+            ev["chi_ff"], ev["chi_bf"], ev["chi_cont_cmf"],
+            ev["bf_contindex"], ev["act_line"], ev["nonemptymgi"],
+        )
+
+    def _none(st, est):
+        return (st, est, jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, jnp.int32) - 99)
+
+    out = jax.lax.cond(jnp.any(ev["take_event"]), _apply, _none, st, est)
+    return out + (nadv,)
+
+
+def _rpkt_propagate_once(
+    key, st: PacketState, est: Estimators, evctx, ctx: StepContext,
+    grid: GridData, dad: DeviceAtomicData, cells, opts: Options,
+    opacity_case: int,
+):
     n = st.npkts
     dtype = st.pos.dtype
-    mask = (st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2)
+    mask = (
+        (st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2)
+        & ~evctx["take_event"]
+    )
     nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
     nonempty = nonemptymgi >= 0
     safe_mgi = jnp.maximum(nonemptymgi, 0)
@@ -1018,7 +1087,33 @@ def rpkt_step(
         counters=stats.bump(est.counters, stats.CELLCROSSINGS, crossing),
     )
 
-    # --- events ---
+    # record the event context for the deferred application pass; evented
+    # lanes freeze (mask excludes them from further crossing iterations)
+    upd = lambda name, val: jnp.where(take_event, val, evctx[name])
+    evctx = dict(
+        take_event=evctx["take_event"] | take_event,
+        thick=upd("thick", thick),
+        is_bb=upd("is_bb", is_bb),
+        chi_escat=upd("chi_escat", chi_escat),
+        chi_ff=upd("chi_ff", chi_ff),
+        chi_bf=upd("chi_bf", chi_bf),
+        chi_cont_cmf=upd("chi_cont_cmf", chi_cont_cmf),
+        bf_contindex=upd("bf_contindex", bf_contindex.astype(jnp.int32)),
+        act_line=upd("act_line", ev_act_line.astype(jnp.int32)),
+        nonemptymgi=upd("nonemptymgi", nonemptymgi.astype(jnp.int32)),
+    )
+    return st, est, evctx
+
+
+def _rpkt_apply_events(
+    key, st, est, ctx, grid, dad, cells, opts, opacity_case,
+    take_event, thick, is_bb, chi_escat, chi_ff, chi_bf, chi_cont_cmf,
+    bf_contindex, ev_act_line, nonemptymgi,
+):
+    """Apply the physical-event outcomes to the packets that had one this
+    iteration (reference: rpkt.cc:411-557 rpkt_event_*)."""
+    n = st.npkts
+    dtype = st.pos.dtype
     ev_thick = take_event & thick
     ev_bb = take_event & ~thick & is_bb
     ev_cont = take_event & ~thick & ~is_bb
@@ -1194,10 +1289,6 @@ def transport_timestep(
         return jnp.logical_and(jnp.any(is_active(st)), it < max_iters)
 
     def body_inner(st, est, k, nsteps):
-        # rpkt event-step counter (the headline throughput metric)
-        nsteps = nsteps + jnp.sum(
-            ((st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2)).astype(nsteps.dtype)
-        )
         active = st.prop_time < ctx.t2
 
         # Each phase is gated by lax.cond on whether any packet needs it, so
@@ -1359,7 +1450,7 @@ def transport_timestep(
             sub = jax.tree_util.tree_map(lambda x: x[idxc], st)
             # deactivate the padding lanes so they take no step
             sub = sub.replace(ptype=jnp.where(sel_valid, sub.ptype, TYPE_ESCAPE))
-            sub2, est2, ma_m, ma_l, ma_a = rpkt_step(
+            sub2, est2, ma_m, ma_l, ma_a, nadv = rpkt_step(
                 jax.random.fold_in(k, 107), sub, est, ctx, grid, dad, cells, opts,
                 opacity_case,
             )
@@ -1374,20 +1465,23 @@ def transport_timestep(
                 return jnp.full((npk,), fill, x.dtype).at[scatter_idx].set(x, mode="drop")
 
             return (st2, est2, expand(ma_m, False), expand(ma_l, jnp.int32(0)),
-                    expand(ma_a, jnp.int32(-99)))
+                    expand(ma_a, jnp.int32(-99)), nadv)
 
         def rpkt_phase(st, est):
             return jax.lax.cond(
                 n_rpkt <= K_r, rpkt_phase_compact, rpkt_phase_full, st, est
             )
 
-        st, est, ma_mask_r, ma_level_r, ma_act_line = jax.lax.cond(
+        st, est, ma_mask_r, ma_level_r, ma_act_line, nadv_r = jax.lax.cond(
             n_rpkt > 0, rpkt_phase,
             lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
                              jnp.zeros_like(st.ptype, dtype=jnp.int32),
-                             jnp.zeros_like(st.ptype, dtype=jnp.int32) - 99),
+                             jnp.zeros_like(st.ptype, dtype=jnp.int32) - 99,
+                             jnp.zeros((), jnp.int32)),
             st, est,
         )
+        # rpkt crossing-step counter (the headline throughput metric)
+        nsteps = nsteps + nadv_r.astype(nsteps.dtype)
 
         # 7. macro-atoms (from kpkt collisions, rpkt bb/bf absorptions, and
         # unresolved macro atoms carried from previous iterations). At most
