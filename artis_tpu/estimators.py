@@ -29,7 +29,7 @@ import jax.numpy as jnp
         "counters", "radfieldbin_j", "radfieldbin_nuj", "radfieldbin_count",
         "vspec",
         "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
-        "alpha_dep_discrete",
+        "alpha_dep_discrete", "bfrate",
     ],
     meta_fields=[],
 )
@@ -63,6 +63,9 @@ class Estimators:
     positron_dep_discrete: jax.Array
     electron_dep_discrete: jax.Array
     alpha_dep_discrete: jax.Array
+    # detailed per-continuum photoionisation-rate estimators
+    # (reference: radfield.cc:70-71, 204-233; (1,1) placeholder when off)
+    bfrate: jax.Array  # (ncells, nbfcontinua)
 
     def replace(self, **kw) -> "Estimators":
         return dataclasses.replace(self, **kw)
@@ -70,7 +73,8 @@ class Estimators:
 
 def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
                     nradfieldbins: int = 1,
-                    vspec_shape=(1, 1, 1, 1, 3)) -> Estimators:
+                    vspec_shape=(1, 1, 1, 1, 3),
+                    nbfrate: int = 1, nbfrate_cells: int = 1) -> Estimators:
     z = jnp.zeros((), dtype)
     return Estimators(
         j=jnp.zeros(ncells, dtype),
@@ -98,6 +102,7 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
         positron_dep_discrete=z,
         electron_dep_discrete=z,
         alpha_dep_discrete=z,
+        bfrate=jnp.zeros((nbfrate_cells, nbfrate), dtype),
     )
 
 

@@ -173,6 +173,12 @@ class Options:
     # rpkt dispatch before the (much heavier) event-application and
     # kpkt/macro-atom phases run; crossings outnumber events ~10:1
     rpkt_crossings_per_dispatch: int = 8
+    # fuse the whole multi-crossing propagation into one Pallas TPU kernel
+    # (transport/pallas_rpkt.py); falls back to the XLA path off-TPU or for
+    # unsupported configurations (non-spherical grids, expansion opacities,
+    # multibin radfield, VMEM-oversized tables, float64 transport)
+    use_pallas_rpkt: bool = False
+    pallas_block: int = 1024
     # whole-body compaction: when the total active packet count fits in
     # npkts//wavefront_compact_divisor lanes, the entire wavefront iteration
     # runs on a compacted buffer (one gather/scatter for all phases)

@@ -889,6 +889,177 @@ def rpkt_step(
     return out + (nadv,)
 
 
+# test hook: (tau_minuslogu, sel_u) arrays injected into the Pallas kernel
+_PALLAS_TEST_INJECT = None
+
+
+def rpkt_step_pallas(
+    key, st: PacketState, est: Estimators, ctx: StepContext, grid: GridData,
+    dad: DeviceAtomicData, cells, opts: Options, opacity_case: int,
+):
+    """rpkt_step via the fused Pallas multi-crossing kernel
+    (transport/pallas_rpkt.py); same contract as rpkt_step."""
+    from . import pallas_rpkt as pk
+
+    n = st.npkts
+    block = min(opts.pallas_block, max(n, 8))
+    npad = -(-n // block) * block
+    f32 = jnp.float32
+
+    def padf(x, fill=0.0):
+        x = x.astype(f32)
+        return jnp.concatenate([x, jnp.full((npad - n,), fill, f32)]) if npad > n else x
+
+    def padi(x, fill=0):
+        x = x.astype(jnp.int32)
+        return (jnp.concatenate([x, jnp.full((npad - n,), fill, jnp.int32)])
+                if npad > n else x)
+
+    moving0 = (st.ptype == TYPE_RPKT) & (st.prop_time < ctx.t2)
+    lane_f32 = dict(
+        posx=padf(st.pos[:, 0]), posy=padf(st.pos[:, 1]), posz=padf(st.pos[:, 2]),
+        dirx=padf(st.dir[:, 0]), diry=padf(st.dir[:, 1]), dirz=padf(st.dir[:, 2]),
+        nu_rf=padf(st.nu_rf, 1.0), nu_cmf=padf(st.nu_cmf, 1.0),
+        e_rf=padf(st.e_rf), e_cmf=padf(st.e_cmf),
+        prop_time=padf(st.prop_time, 1.0),
+    )
+    lane_i32 = dict(
+        where=padi(st.where), next_trans=padi(st.next_trans),
+        moving=padi(moving0.astype(jnp.int32)),
+    )
+
+    # static table geometry
+    ncells = cells.Te.shape[0]
+    nprop = int(grid.ncoordgrid[0])
+    nlines = dad.nlines
+    ncont = max(dad.nbfcontinua, 1)
+    ngc = max(dad.nbfcontinua_ground, 1)
+    nphixs = dad.nphixspoints
+    line_chunk = min(max(opts.linewalk_chunk, 128), max(nlines, 128))
+    lpad = -(-max(nlines, 1) // line_chunk) * line_chunk
+
+    def padL(x, fill=0.0):
+        x = x.astype(f32)
+        if x.shape[-1] < lpad:
+            padw = [(0, 0)] * (x.ndim - 1) + [(0, lpad - x.shape[-1])]
+            return jnp.pad(x, padw, constant_values=fill)
+        return x
+
+    cont_phixs = dad.allphixs[jnp.clip(dad.cont_phixsrow, 0, dad.allphixs.shape[0] - 1)]
+    gidx = dad.cont_groundindex
+    cont_gmap = (
+        (gidx[:, None] == jnp.arange(ngc)[None, :]) & (gidx[:, None] >= 0)
+    ).astype(f32)
+    tables = dict(
+        mgi_of_cell=grid.nonemptymgi_of_cell[:nprop].astype(f32),
+        cellmin0=grid.cell_pos_min[:nprop, 0].astype(f32),
+        cellmax0=grid.cell_pos_max[:nprop, 0].astype(f32),
+        nne=cells.nne.astype(f32), Te=cells.Te.astype(f32),
+        kappagrey=cells.kappagrey.astype(f32), rho=cells.rho.astype(f32),
+        thick=cells.thick.astype(f32),
+        chiffpart=ctx.chi_ff_nnionpart.astype(f32),
+        line_nu=padL(dad.line_nu),
+        tau_factor=padL(ctx.tau_sob_factor),
+        cont_nu_edge=dad.cont_nu_edge.astype(f32) if dad.nbfcontinua
+        else jnp.full((1,), jnp.inf, f32),
+        bf_a=ctx.bf_a.astype(f32) if dad.nbfcontinua
+        else jnp.zeros((ncells, 1), f32),
+        bf_dep=ctx.bf_dep.astype(f32) if dad.nbfcontinua
+        else jnp.zeros((ncells, 1), f32),
+        cont_phixs=cont_phixs.astype(f32) if dad.nbfcontinua
+        else jnp.zeros((1, nphixs), f32),
+        cont_gmap=cont_gmap if dad.nbfcontinua else jnp.zeros((1, ngc), f32),
+        gc_nu_edge=dad.groundcont_nu_edge.astype(f32)
+        if dad.nbfcontinua_ground else jnp.zeros((1,), f32),
+    )
+
+    seed = jax.random.randint(jax.random.fold_in(key, 7777), (), 0, 2**31 - 1,
+                              dtype=jnp.int32)
+    test_mode = _PALLAS_TEST_INJECT is not None
+    if test_mode:
+        tt, ts_ = _PALLAS_TEST_INJECT
+        test_tau = padf(tt, 1.0)
+        test_sel = padf(ts_, 0.5)
+    else:
+        test_tau = test_sel = jnp.zeros((npad,), f32)
+    outs = pk.propagate_blocked(
+        seed, lane_f32, lane_i32, tables, test_tau, test_sel,
+        ctx.t2.astype(f32), jnp.asarray(ctx.tmin, f32),
+        jnp.asarray(grid.max_path_step, f32),
+        nlines=nlines, ncont=ncont, nprop=nprop, ncells=ncells, ngc=ngc,
+        nphixs=nphixs, line_chunk=line_chunk,
+        max_inner=max(opts.rpkt_crossings_per_dispatch, 1),
+        relativistic=opts.use_relativistic_doppler_shift,
+        phixs_dnu=float(dad.nphixsnuincrement),
+        last_nuovernuedge=float(dad.last_phixs_nuovernuedge),
+        want_gamma=opts.use_lut_photoion, want_bfheat=opts.use_lut_bfheating,
+        test_mode=test_mode, block=block,
+    )
+    (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
+     owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,
+     ochiesc, ochiff, ochibf, ochicont, omgi, oest, ogamma, obfheat,
+     omisc) = outs
+
+    sl = lambda x: x[:n]
+    dtype = st.pos.dtype
+    touched = sl(oevented) > 0
+    escaped = sl(oescaped) > 0
+    moved = moving0  # every initially-moving lane may have advanced
+
+    pos_new = jnp.stack([sl(opx), sl(opy), sl(opz)], axis=-1).astype(dtype)
+    st = st.replace(
+        pos=jnp.where(moved[:, None], pos_new, st.pos),
+        prop_time=jnp.where(moved, sl(otime).astype(dtype), st.prop_time),
+        nu_cmf=jnp.where(moved, sl(onucmf).astype(dtype), st.nu_cmf),
+        e_cmf=jnp.where(moved, sl(oecmf).astype(dtype), st.e_cmf),
+        where=jnp.where(moved, sl(owhere), st.where),
+        next_trans=jnp.where(moved, sl(ontr), st.next_trans),
+        escape_type=jnp.where(escaped, st.ptype, st.escape_type),
+        escape_time=jnp.where(escaped, sl(otime).astype(dtype), st.escape_time),
+        ptype=jnp.where(escaped, TYPE_ESCAPE, st.ptype),
+    )
+
+    est_sum = jnp.sum(oest, axis=0)  # (ncells, 8)
+    misc = jnp.sum(omisc, axis=0)  # (8,)
+    cnt = est.counters.at[stats.CELLCROSSINGS].add(
+        est_sum[:, 3].sum().astype(est.counters.dtype))
+    est = est.replace(
+        j=est.j + est_sum[:, 0].astype(est.j.dtype),
+        nuj=est.nuj + est_sum[:, 1].astype(est.nuj.dtype),
+        ffheating=est.ffheating + est_sum[:, 2].astype(est.ffheating.dtype),
+        nesc=est.nesc + misc[1].astype(est.nesc.dtype),
+        cmf_lum=est.cmf_lum + misc[2].astype(est.cmf_lum.dtype),
+        counters=cnt,
+    )
+    if opts.use_lut_photoion:
+        gsum = jnp.sum(ogamma, axis=0)[:, : dad.nbfcontinua_ground]
+        est = est.replace(
+            gammaestimator=est.gammaestimator + gsum.astype(est.gammaestimator.dtype))
+    if opts.use_lut_bfheating:
+        bsum = jnp.sum(obfheat, axis=0)[:, : dad.nbfcontinua_ground]
+        est = est.replace(
+            bfheatingestimator=est.bfheatingestimator
+            + bsum.astype(est.bfheatingestimator.dtype))
+
+    nadv = misc[0].astype(jnp.int32)
+
+    def _apply(st, est):
+        return _rpkt_apply_events(
+            key, st, est, ctx, grid, dad, cells, opts, opacity_case,
+            touched, sl(othick) > 0, sl(oisbb) > 0,
+            sl(ochiesc).astype(dtype), sl(ochiff).astype(dtype),
+            sl(ochibf).astype(dtype), sl(ochicont).astype(dtype),
+            sl(obfidx), sl(oact), sl(omgi),
+        )
+
+    def _none(st, est):
+        return (st, est, jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
+                jnp.zeros(n, jnp.int32) - 99)
+
+    out = jax.lax.cond(jnp.any(touched), _apply, _none, st, est)
+    return out + (nadv,)
+
+
 def _rpkt_propagate_once(
     key, st: PacketState, est: Estimators, evctx, ctx: StepContext,
     grid: GridData, dad: DeviceAtomicData, cells, opts: Options,
@@ -1281,6 +1452,17 @@ def transport_timestep(
     from .kpkt import do_kpkt_batch
     from .macroatom import do_macroatom_batch
 
+    # trace-time selection of the fused Pallas propagation kernel
+    use_pallas = False
+    if opts.use_pallas_rpkt and st.pos.dtype == jnp.float32:
+        from . import pallas_rpkt as _pk
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and _pk.supported(opts, dad, grid, cells.Te.shape[0])
+            and opacity_case >= 4
+        )
+    rpkt_step_fn = rpkt_step_pallas if use_pallas else rpkt_step
+
     def is_active(st):
         return (st.ptype != TYPE_ESCAPE) & (st.prop_time < ctx.t2)
 
@@ -1436,7 +1618,7 @@ def transport_timestep(
         K_r = max(min(npk // max(opts.rpkt_compact_divisor, 1), npk), 1)
 
         def rpkt_phase_full(st, est):
-            return rpkt_step(
+            return rpkt_step_fn(
                 jax.random.fold_in(k, 107), st, est, ctx, grid, dad, cells, opts,
                 opacity_case,
             )
@@ -1450,7 +1632,7 @@ def transport_timestep(
             sub = jax.tree_util.tree_map(lambda x: x[idxc], st)
             # deactivate the padding lanes so they take no step
             sub = sub.replace(ptype=jnp.where(sel_valid, sub.ptype, TYPE_ESCAPE))
-            sub2, est2, ma_m, ma_l, ma_a, nadv = rpkt_step(
+            sub2, est2, ma_m, ma_l, ma_a, nadv = rpkt_step_fn(
                 jax.random.fold_in(k, 107), sub, est, ctx, grid, dad, cells, opts,
                 opacity_case,
             )

@@ -26,9 +26,12 @@ def calculate_chi_ffheating(chi_ff_nnionpart, nne, t_e, nu):
     chi_ff_nnionpart = 3.69255e-8... precomputed per cell as
     sum_ions charge^2 g_ff nnion * 3.69255e8 / sqrt(T_e) (rpkt.cc:739-754).
     """
-    # nu**-3 (1e-45) underflows float32: fold an exact power-of-two rescale
+    # nu**-3 (1e-45) underflows float32: fold an exact power-of-two rescale.
+    # The 2**-150 factor is applied as two float32-representable halves (the
+    # single literal would itself underflow to zero in float32)
     nu3_scaled = (nu * 2.0**-50) ** 3  # = nu**3 * 2**-150
-    return (chi_ff_nnionpart * 2.0**-150) / nu3_scaled * nne * -jnp.expm1(-HOVERKB * nu / t_e)
+    return (chi_ff_nnionpart * 2.0**-75) * (nne * 2.0**-75) / nu3_scaled \
+        * -jnp.expm1(-HOVERKB * nu / t_e)
 
 
 def chi_ff_nnionpart_cells(dad: DeviceAtomicData, nnion_cells, t_e):

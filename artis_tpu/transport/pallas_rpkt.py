@@ -1,0 +1,727 @@
+"""Fused Pallas TPU kernel for the r-packet crossing loop.
+
+The XLA wavefront pays ~1000s of kernel launches per crossing iteration
+(boundary geometry, continuum opacity, line walk, estimator scatters as
+separate HLOs). This module fuses the ENTIRE multi-crossing propagation
+(reference: rpkt.cc:604-737 do_rpkt_step without the event application)
+into one Pallas kernel: per block of lanes, an in-kernel loop advances every
+packet through up to ``max_inner`` boundary crossings, accumulating the
+J/nuJ/ffheating and LUT photoionisation/bf-heating estimators in VMEM with
+one-hot MXU matmuls instead of scatter-adds.
+
+Physics parity: the kernel reproduces ``engine._rpkt_propagate_once``
+lane-for-lane (validated by tests/test_pallas_rpkt.py with injected optical
+depths). Event application stays in XLA (engine._rpkt_apply_events) and runs
+once per outer iteration.
+
+Scope (guarded by `supported()`): spherical 1D grids, opacity_case >= 4,
+detailed line walk (no expansion opacities), no multibin radfield, tables
+small enough for VMEM. Other configurations fall back to the XLA path.
+Scaling beyond VMEM-resident tables (production linelists) needs HBM
+streaming via double-buffered DMA — future work.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import CLIGHT, CLIGHTSQUARED, CLIGHT_PROP, SIGMA_T
+from ..grid import BOUNDARY_ESCAPE, GridType
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+# interpret mode lets the kernel run (slowly) off-TPU for tests
+INTERPRET = jax.default_backend() != "tpu"
+
+
+
+def _u01(shape):
+    """Uniform (0,1] floats from the on-core PRNG."""
+    # Mosaic requires >=2D for bitcast: draw (1, n) and take row 0
+    bits = pltpu.prng_random_bits((1,) + shape)
+    u = (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(F32) * (1.0 / (1 << 24))
+    return jnp.maximum(u[0], 1e-12)
+
+
+def supported(opts, dad, grid, ncells: int) -> bool:
+    """Host-side check that this configuration fits the v1 kernel."""
+    if not opts.use_pallas_rpkt:
+        return False
+    if grid.grid_type != GridType.SPHERICAL1D:
+        return False
+    if opts.expansionopacities_on or opts.multibin_radfield:
+        return False
+    if dad.nlines == 0:
+        return False
+    npropcells = int(grid.ncoordgrid[0])
+    # VMEM budget guards
+    if ncells > 1024 or npropcells > 1024:
+        return False
+    if dad.nbfcontinua > 512:
+        return False
+    if ncells * max(dad.nlines, 1) > 1_500_000:
+        return False
+    return True
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(
+    # scalar prefetch
+    seed_ref,  # (1,) int32
+    # per-lane blocked inputs
+    posx, posy, posz, dirx, diry, dirz, nu_rf, nu_cmf, e_rf, e_cmf,
+    prop_time, where_i, next_trans_i, moving_i,
+    test_tau,  # (B,) injected -log(u) optical depths (test mode) or dummy
+    test_sel,  # (B,) injected selection uniforms (test mode) or dummy
+    # replicated tables
+    mgi_of_cell,  # (npropcells,) f32 (values: nonemptymgi or -1)
+    cellmin0, cellmax0,  # (npropcells,) f32 coord bounds at tmin
+    nne_t, te_t, kappagrey_t, rho_t, thick_t, chiffpart_t,  # (ncells,)
+    line_nu,  # (Lpad,)
+    tau_factor,  # (ncells, Lpad)
+    cont_nu_edge,  # (Cpad,)
+    bf_a, bf_dep,  # (ncells, Cpad)
+    cont_phixs,  # (Cpad, P)
+    cont_gmap,  # (Cpad, ngc) one-hot ground map (f32)
+    gc_nu_edge,  # (ngc,)
+    consts,  # (1, 4) SMEM f32: [t2, tmin, -, -] (traced per timestep)
+    # outputs
+    o_posx, o_posy, o_posz, o_dirx, o_diry, o_dirz, o_nu_rf, o_nu_cmf,
+    o_e_rf, o_e_cmf, o_prop_time, o_where, o_next_trans,
+    o_evented, o_escaped, o_thick, o_is_bb, o_act_line, o_bf_idx,
+    o_chi_escat, o_chi_ff, o_chi_bf, o_chi_cont, o_mgi,
+    o_est,  # (1, ncells, 8): j, nuj, ffheating, ncross (cols 0-3)
+    o_gamma,  # (1, ncells, ngc_pad)
+    o_bfheat,  # (1, ncells, ngc_pad)
+    o_misc,  # (1, 8): nadv, nesc, cmf_lum
+    *,
+    nlines: int,
+    ncont: int,
+    nprop: int,
+    ncells: int,
+    ngc: int,
+    nphixs: int,
+    line_chunk: int,
+    max_inner: int,
+    relativistic: bool,
+    phixs_dnu: float,
+    last_nuovernuedge: float,
+    want_gamma: bool,
+    want_bfheat: bool,
+    test_mode: bool,
+):
+    B = posx.shape[0]
+    blk = pl.program_id(0)
+    if not test_mode:
+        pltpu.prng_seed(seed_ref[0] + blk * 7919)
+
+    t2 = consts[0, 0]
+    tmin = consts[0, 1]
+    max_path_step = consts[0, 2]
+    Lpad = line_nu.shape[0]
+    nlineblocks = Lpad // line_chunk
+
+    # mutable per-lane state as loop carry
+    state = dict(
+        px=posx[:], py=posy[:], pz=posz[:],
+        dx=dirx[:], dy=diry[:], dz=dirz[:],
+        nurf=nu_rf[:], nucmf=nu_cmf[:], erf=e_rf[:], ecmf=e_cmf[:],
+        t=prop_time[:],
+        cell=where_i[:],
+        ntr=next_trans_i[:],
+        moving=moving_i[:] > 0,
+        evented=jnp.zeros((B,), bool),
+        escaped=jnp.zeros((B,), bool),
+        ev_thick=jnp.zeros((B,), bool),
+        ev_isbb=jnp.zeros((B,), bool),
+        ev_act=jnp.full((B,), -99, I32),
+        ev_bfidx=jnp.zeros((B,), I32),
+        ev_esc=jnp.zeros((B,), F32), ev_ff=jnp.zeros((B,), F32),
+        ev_bf=jnp.zeros((B,), F32), ev_cont=jnp.zeros((B,), F32),
+        ev_mgi=jnp.zeros((B,), I32),
+        est=jnp.zeros((ncells, 8), F32),
+        gam=jnp.zeros((ncells, o_gamma.shape[2]), F32),
+        bfh=jnp.zeros((ncells, o_bfheat.shape[2]), F32),
+        nadv=jnp.zeros((), F32), nesc=jnp.zeros((), F32),
+        lum=jnp.zeros((), F32),
+    )
+
+    celliota = jax.lax.broadcasted_iota(I32, (B, ncells), 1)
+    propiota = jax.lax.broadcasted_iota(I32, (B, nprop), 1)
+
+    def one_crossing(it, s):
+        mask = s["moving"]
+        # --- cell-table gathers via one-hot MXU matmuls ---
+        oh_prop = (propiota == s["cell"][:, None]).astype(F32)  # (B, nprop)
+        mgi_f = jnp.dot(oh_prop, mgi_of_cell[:].reshape(nprop, 1),
+                        preferred_element_type=F32)[:, 0]
+        mgi = jnp.round(mgi_f).astype(I32)
+        nonempty = mgi >= 0
+        safe_mgi = jnp.maximum(mgi, 0)
+        oh = (celliota == safe_mgi[:, None]).astype(F32)  # (B, ncells)
+
+        cellvals = jnp.stack(
+            [nne_t[:], te_t[:], kappagrey_t[:], rho_t[:], thick_t[:],
+             chiffpart_t[:]], axis=1,
+        )  # (ncells, 6)
+        gv = jnp.dot(oh, cellvals, preferred_element_type=F32)  # (B, 6)
+        nne_p, te_p, kgrey_p, rho_p, thickf_p, chiffpart_p = (
+            gv[:, 0], gv[:, 1], gv[:, 2], gv[:, 3], gv[:, 4], gv[:, 5]
+        )
+        thick = nonempty & (thickf_p > 0.5)
+
+        gb = jnp.dot(oh_prop, jnp.stack([cellmin0[:], cellmax0[:]], axis=1),
+                     preferred_element_type=F32)  # (B, 2)
+        coordmin0, coordmax0 = gb[:, 0], gb[:, 1]
+
+        # --- optical depth target ---
+        if test_mode:
+            tau_next = test_tau[:]
+        else:
+            tau_next = -jnp.log(_u01((B,)))
+
+        # --- spherical boundary distance (grid.cc:2349-2597) ---
+        pos2 = s["px"] * s["px"] + s["py"] * s["py"] + s["pz"] * s["pz"]
+        pdotd = s["px"] * s["dx"] + s["py"] * s["dy"] + s["pz"] * s["dz"]
+        speed = CLIGHT_PROP  # |dir| == 1
+        tstart = s["t"]
+        big = jnp.float32(3.0e38)
+
+        def shell(radius_t, inner):
+            a = 1.0 - (radius_t / tstart / speed) ** 2
+            b = 2.0 * (pdotd - radius_t**2 / tstart / speed)
+            c = pos2 - radius_t**2
+            disc = b * b - 4.0 * a * c
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            d1 = (-b + sq) / 2.0 / a
+            d2 = (-b - sq) / 2.0 / a
+
+            def radial(d):
+                fx = s["px"] + d * s["dx"]
+                fy = s["py"] + d * s["dy"]
+                fz = s["pz"] + d * s["dz"]
+                r = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+                vr = (s["dx"] * fx + s["dy"] * fy + s["dz"] * fz) * speed \
+                    / jnp.maximum(r, 1.0)
+                return vr
+
+            vshell = radius_t / tstart
+            if inner:
+                bad1 = radial(d1) > vshell
+                bad2 = radial(d2) > vshell
+            else:
+                bad1 = radial(d1) < vshell
+                bad2 = radial(d2) < vshell
+            d1 = jnp.where(bad1 | (d1 < 0), -1.0, d1)
+            d2 = jnp.where(bad2 | (d2 < 0), -1.0, d2)
+            both_neg = (d1 < 0) & (d2 < 0)
+            dmin = jnp.where(
+                (d1 >= 0) & ((d2 < 0) | (d1 <= d2)), d1, d2
+            )
+            res = jnp.where(both_neg, -1.0, dmin)
+            # disc <= 0: no (or tangential) intersection (grid.cc:1240)
+            return jnp.where(disc > 0, res, -1.0)
+
+        r_outer = coordmax0 * tstart / tmin
+        d_max = shell(r_outer, False)
+        sdist = jnp.where((d_max >= 0) & (d_max < big), d_max, big)
+        at_outer = s["cell"] == (nprop - 1)
+        snext = jnp.where(
+            d_max >= 0,
+            jnp.where(at_outer, jnp.int32(BOUNDARY_ESCAPE), s["cell"] + 1),
+            jnp.int32(-1),
+        )
+        r_inner = coordmin0 * tstart / tmin
+        d_min = jnp.where(r_inner > 0, shell(r_inner, True), -1.0)
+        take_min = (d_min >= 0) & (d_min < sdist)
+        sdist = jnp.where(take_min, d_min, sdist)
+        snext = jnp.where(
+            take_min,
+            jnp.where(s["cell"] == 0, jnp.int32(BOUNDARY_ESCAPE), s["cell"] - 1),
+            snext,
+        )
+        # intra-cell step cap (grid.cc:2592-2594)
+        capped = sdist > max_path_step
+        sdist = jnp.where(capped, max_path_step, sdist)
+        snext = jnp.where(capped, s["cell"], snext)
+
+        tdist = jnp.maximum((t2 - tstart) * CLIGHT_PROP, 0.0)
+        abort_dist = jnp.minimum(sdist, tdist)
+
+        # --- doppler + abort-point frequency (rpkt.cc:49-61) ---
+        def doppler_at(px, py, pz, t):
+            ndotv = (s["dx"] * px + s["dy"] * py + s["dz"] * pz) / t
+            dop = 1.0 - ndotv / CLIGHT
+            if relativistic:
+                betasq = (px * px + py * py + pz * pz) / (t * t) / CLIGHTSQUARED
+                dop = dop / jnp.sqrt(jnp.maximum(1.0 - betasq, 1e-30))
+            return dop
+
+        doppler = doppler_at(s["px"], s["py"], s["pz"], tstart)
+        apx = s["px"] + s["dx"] * abort_dist
+        apy = s["py"] + s["dy"] * abort_dist
+        apz = s["pz"] + s["dz"] * abort_dist
+        atime = tstart + abort_dist / CLIGHT_PROP
+        nu_cmf_abort = s["nurf"] * doppler_at(apx, apy, apz, atime)
+        dnudl = (nu_cmf_abort - s["nucmf"]) / jnp.maximum(abort_dist, 1e-30)
+        dnudl = jnp.where(dnudl < 0, dnudl, -1e-30)
+
+        need_chi = mask & nonempty & ~thick
+        nu = jnp.where(need_chi, s["nucmf"], 1e15)
+
+        # --- continuum opacities (rpkt.cc:972-1032) ---
+        chi_escat = SIGMA_T * nne_p
+        # nu**3 (~1e45) overflows float32: fold an exact power-of-two rescale
+        # exactly as transport/opacity.calculate_chi_ffheating does; the
+        # sqrt(T_e) and charge^2 sums live in chi_ff_nnionpart already
+        nu3_scaled = (nu * 2.0**-50) ** 3
+        # the 2**-150 rescale must be applied as two float32-representable
+        # halves (2**-150 itself underflows a float32 literal to zero)
+        chi_ff = (chiffpart_p * 2.0**-75) * (nne_p * 2.0**-75) / nu3_scaled * (
+            -jnp.expm1(-4.799243681e-11 * nu / te_p)
+        )
+
+        # bf: full (B, C) evaluation; sigma interp via the hat-function sum
+        nu_edge_c = cont_nu_edge[:ncont][None, :]  # (1, C)
+        in_window = (nu[:, None] >= nu_edge_c) & (
+            nu_edge_c * last_nuovernuedge >= nu[:, None]
+        ) & need_chi[:, None]
+        ireal = (nu[:, None] / nu_edge_c - 1.0) / phixs_dnu  # (B, C)
+        sigma = jnp.zeros((B, ncont), F32)
+        phixs_t = cont_phixs[:ncont, :]  # (C, P)
+
+        def phixs_term(p, sig):
+            w = jnp.maximum(1.0 - jnp.abs(ireal - p.astype(F32)), 0.0)
+            col = jax.lax.dynamic_slice(phixs_t, (0, p), (ncont, 1))[:, 0]
+            return sig + w * col[None, :]
+
+        sigma = jax.lax.fori_loop(0, nphixs, phixs_term, sigma)
+        # Kramers tail above the table, zero below the edge
+        numax = nu_edge_c * last_nuovernuedge
+        kram = phixs_t[:, nphixs - 1][None, :] * (
+            numax / jnp.maximum(nu[:, None], 1e-30)) ** 3
+        sigma = jnp.where(ireal < 0, 0.0, jnp.where(
+            ireal < nphixs - 1, sigma, kram))
+
+        a_g = jnp.dot(oh, bf_a[:, :ncont], preferred_element_type=F32)
+        dep_g = jnp.dot(oh, bf_dep[:, :ncont], preferred_element_type=F32)
+        exp_nu = jnp.exp(-4.799243681e-11 * nu / te_p)  # H/KB
+        corr = jnp.maximum(0.0, 1.0 - dep_g * exp_nu[:, None])
+        contrib_bf = jnp.where(in_window, a_g * sigma * corr, 0.0)  # (B, C)
+        chi_bf = jnp.sum(contrib_bf, axis=1)
+
+        # bf continuum selection for the deferred event application
+        if test_mode:
+            sel_u = test_sel[:]
+        else:
+            sel_u = _u01((B,))
+        target = sel_u * chi_bf
+        cumc = jnp.cumsum(contrib_bf, axis=1)
+        hit = cumc > target[:, None]
+        first = jnp.argmax(hit, axis=1).astype(I32)
+        bf_idx = jnp.where(jnp.any(hit, axis=1), first, 0)
+
+        # per-ground-continuum contributions for the LUT estimators
+        if want_gamma or want_bfheat:
+            contr_nolevel = jnp.where(in_window, sigma * corr, 0.0)
+            # fold multi-target continua onto their ground continuum column
+            gamma_contr = jnp.dot(
+                contr_nolevel, cont_gmap[:ncont, :],
+                preferred_element_type=F32,
+            )  # (B, ngc)
+        else:
+            gamma_contr = None
+
+        chi_cont_cmf = chi_escat + chi_ff + chi_bf
+        chi_cont = chi_cont_cmf * doppler
+
+        # --- Sobolev line walk (port of linewalk.get_event_batch) ---
+        # initial cursor: count of lines with nu > nu_cmf (descending list)
+        def count_body(bidx, acc):
+            l0 = bidx * line_chunk
+            nu_k = jax.lax.dynamic_slice(line_nu[:].reshape(1, Lpad),
+                                         (0, l0), (1, line_chunk))[0]
+            valid = (jax.lax.broadcasted_iota(I32, (1, line_chunk), 1)[0]
+                     + l0) < nlines
+            cnt = jnp.sum(
+                jnp.where(valid[None, :] & (nu_k[None, :] > nu[:, None]), 1, 0),
+                axis=1, dtype=I32,
+            )
+            return acc + cnt
+
+        searched = jax.lax.fori_loop(0, nlineblocks, count_body,
+                                     jnp.zeros((B,), I32))
+        cursor0 = jnp.where(s["ntr"] > 0, s["ntr"], searched)
+        cond_nolines = (s["ntr"] > nlines - 1) | (nu < line_nu[nlines - 1])
+        cursor0 = jnp.where(cond_nolines, nlines,
+                            jnp.minimum(cursor0, nlines)).astype(I32)
+        fresh_nolines = cursor0 >= nlines
+        no_lines = cursor0 >= nlines
+        safe_chi = jnp.maximum(chi_cont, 1e-30)
+        nl_contdist = tau_next / safe_chi
+        nl_cont = no_lines & need_chi & (nl_contdist <= abort_dist)
+        nl_noev = no_lines & need_chi & ~nl_cont
+
+        lw = dict(
+            tau_cum=jnp.zeros((B,), F32),
+            lastD=jnp.zeros((B,), F32),
+            done=~need_chi | no_lines,
+            edist=jnp.where(nl_cont, nl_contdist, big),
+            ntr=jnp.where(
+                nl_cont, jnp.int32(nlines + 1),
+                jnp.where(nl_noev & ~fresh_nolines, jnp.int32(nlines),
+                          s["ntr"])).astype(I32),
+            isbb=jnp.zeros((B,), bool),
+            act=jnp.full((B,), -99, I32),
+        )
+
+        karange = jax.lax.broadcasted_iota(I32, (B, line_chunk), 1)
+
+        def walk_body(bidx, w):
+            l0 = bidx * line_chunk
+            nu_k = jax.lax.dynamic_slice(
+                line_nu[:].reshape(1, Lpad), (0, l0), (1, line_chunk))
+            tau_blk_all = jax.lax.dynamic_slice(
+                tau_factor[:], (0, l0), (ncells, line_chunk))
+            tau_blk = jnp.dot(oh, tau_blk_all, preferred_element_type=F32)
+            l_glob = karange + l0
+            below = l_glob < cursor0[:, None]
+            beyond = l_glob > nlines - 1
+            validk = ~below & ~beyond & ~w["done"][:, None]
+            if relativistic:
+                relD = (nu_k - nu[:, None]) / dnudl[:, None]
+            else:
+                relD = CLIGHT_PROP * tstart[:, None] * (nu[:, None] / nu_k - 1.0)
+            relD = jnp.maximum(relD, 0.0)
+            relD = jnp.where(validk, relD, 0.0)
+            relD_prev = jnp.concatenate(
+                [w["lastD"][:, None], relD[:, :-1]], axis=1)
+            t_prev = tstart[:, None] + relD_prev / CLIGHT_PROP
+            tau_line = jnp.where(validk, tau_blk * t_prev, 0.0)
+            s_cum = jnp.cumsum(tau_line, axis=1) - tau_line + w["tau_cum"][:, None]
+            contdist = (tau_next[:, None] - s_cum) / safe_chi[:, None]
+            ev_cont = jnp.where(validk, contdist <= relD,
+                                contdist <= abort_dist[:, None])
+            ev_abort = validk & (nu_k < nu_cmf_abort[:, None])
+            ev_bb = validk & (
+                tau_next[:, None] - s_cum <= safe_chi[:, None] * relD + tau_line)
+            terminal = ~below & (ev_cont | ev_abort | ev_bb | beyond) \
+                & ~w["done"][:, None]
+            any_term = jnp.any(terminal, axis=1)
+            jsel = jnp.clip(jnp.argmax(terminal, axis=1), 0, line_chunk - 1).astype(I32)
+            ohj = (karange == jsel[:, None])
+
+            def pick(x):
+                return jnp.sum(jnp.where(ohj, x, 0), axis=1)
+
+            def pickb(x):
+                return jnp.any(ohj & x, axis=1)
+
+            j_valid = pickb(validk)
+            j_cont = pickb(ev_cont)
+            j_abort = pickb(ev_abort) & ~j_cont
+            j_bb = pickb(ev_bb) & ~j_cont & ~j_abort & j_valid
+            j_cont_invalid = ~j_valid & j_cont
+            j_noevent = ~j_valid & ~j_cont
+            lineindex_j = jnp.clip(l0 + jsel, 0, nlines - 1).astype(I32)
+            contdist_j = pick(contdist)
+            relD_j = pick(relD)
+            newly = any_term & ~w["done"]
+            edist = jnp.where(newly & (j_cont | j_cont_invalid), contdist_j,
+                              w["edist"])
+            edist = jnp.where(newly & j_bb, relD_j, edist)
+            ntr = w["ntr"]
+            ntr = jnp.where(newly & j_valid & (j_cont | j_abort), lineindex_j, ntr)
+            ntr = jnp.where(newly & j_bb, lineindex_j + 1, ntr)
+            ntr = jnp.where(newly & j_cont_invalid, jnp.int32(nlines + 1), ntr)
+            ntr = jnp.where(
+                newly & j_noevent,
+                jnp.where(fresh_nolines, w["ntr"], lineindex_j), ntr)
+            isbb = jnp.where(newly, j_bb, w["isbb"])
+            act = jnp.where(newly & j_bb, lineindex_j, w["act"])
+            not_term = ~any_term & ~w["done"]
+            tau_cum = jnp.where(
+                not_term, w["tau_cum"] + jnp.sum(tau_line, axis=1), w["tau_cum"])
+            lastD = jnp.where(
+                not_term, jnp.maximum(w["lastD"], jnp.max(relD, axis=1)),
+                w["lastD"])
+            return dict(tau_cum=tau_cum, lastD=lastD,
+                        done=w["done"] | any_term, edist=edist, ntr=ntr,
+                        isbb=isbb, act=act)
+
+        lw = jax.lax.fori_loop(0, nlineblocks, walk_body, lw)
+
+        ev_edist, ev_ntr, ev_isbb, ev_act = (
+            lw["edist"], lw["ntr"], lw["isbb"], lw["act"])
+
+        # thick cells: grey opacity
+        chi_grey = kgrey_p * rho_p * doppler
+        edist_thick = tau_next / jnp.maximum(chi_grey, 1e-30)
+        edist = jnp.where(thick, edist_thick,
+                          jnp.where(nonempty, ev_edist, big))
+        next_trans = jnp.where(thick, jnp.int32(-1),
+                               jnp.where(nonempty, ev_ntr, jnp.int32(-1)))
+        is_bb = ~thick & nonempty & ev_isbb
+
+        take_boundary = mask & (sdist <= tdist) & (sdist <= edist)
+        take_event = mask & ~take_boundary & (edist <= tdist)
+        take_tlimit = mask & ~take_boundary & ~take_event
+        dist = jnp.where(take_boundary, sdist,
+                         jnp.where(take_event, edist, tdist))
+
+        # --- two half-moves with midpoint estimators ---
+        h = dist * 0.5
+        mx = s["px"] + s["dx"] * h
+        my = s["py"] + s["dy"] * h
+        mz = s["pz"] + s["dz"] * h
+        mt = tstart + h / CLIGHT_PROP
+        dop_mid = doppler_at(mx, my, mz, mt)
+        nucmf1 = jnp.minimum(s["nurf"] * dop_mid, s["nucmf"])
+        ecmf1 = s["erf"] * dop_mid
+        seg = mask & nonempty
+        contrib = jnp.where(seg, dist * ecmf1, 0.0)
+
+        est_rows = jnp.stack(
+            [contrib, contrib * nucmf1,
+             jnp.where(seg & ~thick, contrib * chi_ff, 0.0),
+             jnp.zeros_like(contrib),
+             jnp.zeros_like(contrib), jnp.zeros_like(contrib),
+             jnp.zeros_like(contrib), jnp.zeros_like(contrib)], axis=1,
+        )  # (B, 8)
+        oh_seg = jnp.where(seg[:, None], oh, 0.0)
+        est_new = s["est"] + jnp.dot(oh_seg.T, est_rows,
+                                     preferred_element_type=F32)
+
+        gam_new = s["gam"]
+        bfh_new = s["bfh"]
+        if want_gamma or want_bfheat:
+            seg_ok = seg & ~thick
+            de = jnp.where(seg_ok[:, None], contrib[:, None] * gamma_contr, 0.0)
+            ohs = jnp.where(seg_ok[:, None], oh, 0.0)
+            if want_gamma:
+                gadd = de / jnp.maximum(nucmf1, 1e-30)[:, None]
+                gpad = jnp.zeros((B, s["gam"].shape[1]), F32)
+                gpad = jax.lax.dynamic_update_slice(gpad, gadd, (0, 0))
+                gam_new = s["gam"] + jnp.dot(ohs.T, gpad,
+                                             preferred_element_type=F32)
+            if want_bfheat:
+                badd = de * jnp.maximum(
+                    1.0 - gc_nu_edge[:ngc][None, :]
+                    / jnp.maximum(nucmf1, 1e-30)[:, None], 0.0)
+                bpad = jnp.zeros((B, s["bfh"].shape[1]), F32)
+                bpad = jax.lax.dynamic_update_slice(bpad, badd, (0, 0))
+                bfh_new = s["bfh"] + jnp.dot(ohs.T, bpad,
+                                             preferred_element_type=F32)
+
+        # second half-move
+        fx = mx + s["dx"] * h
+        fy = my + s["dy"] * h
+        fz = mz + s["dz"] * h
+        ft = mt + h / CLIGHT_PROP
+        dop2 = doppler_at(fx, fy, fz, ft)
+        nucmf2 = jnp.minimum(s["nurf"] * dop2, nucmf1)
+        ecmf2 = s["erf"] * dop2
+
+        new_t = jnp.where(take_tlimit, t2,
+                          jnp.where(mask, ft, s["t"]))
+        px = jnp.where(mask, fx, s["px"])
+        py = jnp.where(mask, fy, s["py"])
+        pz = jnp.where(mask, fz, s["pz"])
+        nucmf_out = jnp.where(mask, nucmf2, s["nucmf"])
+        ecmf_out = jnp.where(mask, ecmf2, s["ecmf"])
+        ntr_keep = jnp.where(mask & ~thick & nonempty, next_trans, s["ntr"])
+        ntr_keep = jnp.where(mask & ~nonempty, jnp.int32(-1), ntr_keep)
+
+        escaping = take_boundary & (snext == BOUNDARY_ESCAPE)
+        crossing = take_boundary & (snext >= 0)
+        cell_out = jnp.where(crossing, snext, s["cell"])
+
+        upd = lambda name, val: jnp.where(take_event, val, s[name])
+        return dict(
+            px=px, py=py, pz=pz, dx=s["dx"], dy=s["dy"], dz=s["dz"],
+            nurf=s["nurf"], nucmf=nucmf_out, erf=s["erf"], ecmf=ecmf_out,
+            t=new_t, cell=cell_out, ntr=ntr_keep,
+            moving=mask & ~take_event & ~take_tlimit & ~escaping,
+            evented=s["evented"] | take_event,
+            escaped=s["escaped"] | escaping,
+            ev_thick=upd("ev_thick", thick),
+            ev_isbb=upd("ev_isbb", is_bb),
+            ev_act=upd("ev_act", ev_act),
+            ev_bfidx=upd("ev_bfidx", bf_idx),
+            ev_esc=upd("ev_esc", chi_escat),
+            ev_ff=upd("ev_ff", chi_ff),
+            ev_bf=upd("ev_bf", chi_bf),
+            ev_cont=upd("ev_cont", chi_cont_cmf),
+            ev_mgi=upd("ev_mgi", mgi),
+            est=est_new.at[0, 3].add(jnp.sum(crossing.astype(F32))),
+            gam=gam_new, bfh=bfh_new,
+            nadv=s["nadv"] + jnp.sum(mask.astype(F32)),
+            nesc=s["nesc"] + jnp.sum(escaping.astype(F32)),
+            lum=s["lum"] + jnp.sum(jnp.where(escaping, ecmf_out, 0.0)),
+        )
+
+    def crossing_cond(c):
+        it, s = c
+        return jnp.logical_and(it < max_inner, jnp.any(s["moving"]))
+
+    def crossing_body(c):
+        it, s = c
+        return it + 1, one_crossing(it, s)
+
+    _, state = jax.lax.while_loop(crossing_cond, crossing_body,
+                                  (jnp.int32(0), state))
+
+    o_posx[:] = state["px"]; o_posy[:] = state["py"]; o_posz[:] = state["pz"]
+    o_dirx[:] = state["dx"]; o_diry[:] = state["dy"]; o_dirz[:] = state["dz"]
+    o_nu_rf[:] = state["nurf"]; o_nu_cmf[:] = state["nucmf"]
+    o_e_rf[:] = state["erf"]; o_e_cmf[:] = state["ecmf"]
+    o_prop_time[:] = state["t"]
+    o_where[:] = state["cell"]; o_next_trans[:] = state["ntr"]
+    o_evented[:] = state["evented"].astype(I32)
+    o_escaped[:] = state["escaped"].astype(I32)
+    o_thick[:] = state["ev_thick"].astype(I32)
+    o_is_bb[:] = state["ev_isbb"].astype(I32)
+    o_act_line[:] = state["ev_act"]
+    o_bf_idx[:] = state["ev_bfidx"]
+    o_chi_escat[:] = state["ev_esc"]; o_chi_ff[:] = state["ev_ff"]
+    o_chi_bf[:] = state["ev_bf"]; o_chi_cont[:] = state["ev_cont"]
+    o_mgi[:] = state["ev_mgi"]
+    o_est[0] = state["est"]
+    o_gamma[0] = state["gam"]
+    o_bfheat[0] = state["bfh"]
+    misc = jnp.zeros((1, 8), F32)
+    misc = misc.at[0, 0].set(state["nadv"])
+    misc = misc.at[0, 1].set(state["nesc"])
+    misc = misc.at[0, 2].set(state["lum"])
+    misc = misc.at[0, 3].set(t2)
+    misc = misc.at[0, 4].set(tmin)
+    o_misc[:] = misc
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "nlines", "ncont", "nprop", "ncells", "ngc", "nphixs", "line_chunk",
+        "max_inner", "relativistic", "want_gamma", "want_bfheat",
+        "test_mode", "block", "phixs_dnu", "last_nuovernuedge",
+    ),
+)
+def propagate_blocked(
+    seed,  # int32 scalar
+    lane_f32,  # dict of (N,) float32 arrays
+    lane_i32,  # dict of (N,) int32 arrays (where, next_trans, moving)
+    tables,  # dict of table arrays (f32 / with mgi map as f32)
+    test_tau, test_sel,  # (N,) f32 (ignored unless test_mode)
+    t2, tmin, max_path_step,  # traced f32 scalars
+    *, nlines, ncont, nprop, ncells, ngc, nphixs, line_chunk, max_inner,
+    relativistic, phixs_dnu, last_nuovernuedge,
+    want_gamma, want_bfheat, test_mode, block,
+):
+    n = lane_f32["posx"].shape[0]
+    assert n % block == 0
+    nblocks = n // block
+    ngc_pad = _round_up(max(ngc, 1), 128)
+
+    lane_names = ["posx", "posy", "posz", "dirx", "diry", "dirz", "nu_rf",
+                  "nu_cmf", "e_rf", "e_cmf", "prop_time"]
+    int_names = ["where", "next_trans", "moving"]
+
+    lane_spec = pl.BlockSpec((block,), lambda i, *_: (i,), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    in_specs = (
+        [lane_spec] * (len(lane_names) + len(int_names) + 2)
+        + [table_spec] * 12
+    )
+    table_list = [
+        tables["mgi_of_cell"], tables["cellmin0"], tables["cellmax0"],
+        tables["nne"], tables["Te"], tables["kappagrey"], tables["rho"],
+        tables["thick"], tables["chiffpart"], tables["line_nu"],
+        tables["tau_factor"], tables["cont_nu_edge"],
+    ]
+    # bf_a, bf_dep, cont_phixs, cont_gmap, gc_nu_edge appended below
+    in_specs += [table_spec] * 5 + [
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+    ]
+    table_list += [
+        tables["bf_a"], tables["bf_dep"], tables["cont_phixs"],
+        tables["cont_gmap"], tables["gc_nu_edge"],
+        jnp.stack([t2.astype(F32), jnp.asarray(tmin, F32),
+                   jnp.asarray(max_path_step, F32),
+                   jnp.zeros((), F32)]).reshape(1, 4),
+    ]
+
+    f32_out = jax.ShapeDtypeStruct((n,), F32)
+    i32_out = jax.ShapeDtypeStruct((n,), I32)
+    out_shape = (
+        [f32_out] * 11  # state floats
+        + [i32_out] * 2  # where, next_trans
+        + [i32_out] * 6  # evented, escaped, thick, is_bb, act_line, bf_idx
+        + [f32_out] * 4  # chi_escat, chi_ff, chi_bf, chi_cont
+        + [i32_out]  # mgi
+        + [
+            jax.ShapeDtypeStruct((nblocks, ncells, 8), F32),
+            jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
+            jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
+            jax.ShapeDtypeStruct((nblocks, 8), F32),
+        ]
+    )
+    out_specs = (
+        [lane_spec] * 13
+        + [lane_spec] * 6
+        + [lane_spec] * 4
+        + [lane_spec]
+    )
+    # fix dtype-specific specs: lane_spec works for both f32 and i32
+    out_specs = (
+        [lane_spec] * 24
+        + [
+            pl.BlockSpec((1, ncells, 8), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncells, ngc_pad), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ncells, ngc_pad), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+        ]
+    )
+
+    kern = partial(
+        _kernel,
+        nlines=nlines, ncont=ncont, nprop=nprop, ncells=ncells, ngc=ngc,
+        nphixs=nphixs, line_chunk=line_chunk, max_inner=max_inner,
+        relativistic=relativistic, phixs_dnu=phixs_dnu,
+        last_nuovernuedge=last_nuovernuedge, want_gamma=want_gamma,
+        want_bfheat=want_bfheat, test_mode=test_mode,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    inputs = (
+        [lane_f32[k] for k in lane_names]
+        + [lane_i32[k] for k in int_names]
+        + [test_tau, test_sel]
+        + table_list
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
+    )(jnp.asarray([seed], I32), *inputs)
+    return outs

@@ -30,6 +30,7 @@ def main() -> None:
         maxtemp=20000.0, tablesize=20, transport_dtype="float32",
         dispatch_chunk_iters=256, compact_micro_iters=32,
         wavefront_compact_divisor=4,
+        use_pallas_rpkt=True, rpkt_crossings_per_dispatch=64,
     )
     sim = Simulation(d, opts, datadir="/root/reference/data")
 
