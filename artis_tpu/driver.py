@@ -62,7 +62,8 @@ def printout(logfile, msg):
 def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                           ffheating_norm, dep_heating, mode: str,
                           binj_norm=None, binnuj_norm=None, bincount=None,
-                          gammaest_norm=None, nlte_indices=None, ntd=None):
+                          gammaest_norm=None, bfrate_normed=None,
+                          nlte_indices=None, ntd=None):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
     populations, ff-opacity parts and the macro-atom/cooling rate tables
@@ -176,6 +177,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                 nt_prob_auger=nt_prob_auger,
                 ntd=ntd, nt_exc_perdep=nt_exc_perdep,
                 nt_dep_rate_density=dep_heating,
+                bfrate_normed=bfrate_normed,
             )
     else:
         levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
@@ -388,10 +390,16 @@ class Simulation:
              self.opts.vpkt_vmnubins, 3)
             if self.opts.vpkt_on else (1, 1, 1, 1, 3)
         )
+        self._nbfrate = (
+            max(self.ad.nbfcontinua, 1) if self.opts.detailed_bf_estimators_on else 1
+        )
+        self._nbfrate_cells = ncells if self.opts.detailed_bf_estimators_on else 1
         self.est = zero_estimators(
             ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype,
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
+            nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
         )
+        self.prev_bfrate_normed = None
         self.prev_est: Estimators | None = None
         self.lc_lum = np.zeros(p.ntimesteps)
         self.lc_lumcmf = np.zeros(p.ntimesteps)
@@ -627,6 +635,18 @@ class Simulation:
             )[:, None]
             if self._f32:
                 gammaest_norm = demote_to_f32(gammaest_norm)
+        bfrate_normed = None
+        if (self.opts.detailed_bf_estimators_on and self.prev_est is not None
+                and not first_ts
+                and nts >= self.opts.detailed_bf_estimators_usefromtimestep):
+            from .constants import H as _H
+            # prev_bfrate_normed = bfrate_raw * estimator_normfactor / H
+            # (reference: radfield.cc:946)
+            bfrate_normed = self.prev_est.bfrate * jnp.asarray(
+                norm4pi * FOURPI / _H
+            )[:, None]
+            if self._f32:
+                bfrate_normed = demote_to_f32(bfrate_normed)
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
          tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe, nt_ionenfrac,
          self.radfieldbin_tr, self.radfieldbin_w,
@@ -635,7 +655,7 @@ class Simulation:
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
             binj_norm=binj_norm, binnuj_norm=binnuj_norm, bincount=bincount,
-            gammaest_norm=gammaest_norm,
+            gammaest_norm=gammaest_norm, bfrate_normed=bfrate_normed,
         )
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)
@@ -712,6 +732,7 @@ class Simulation:
         self.est = zero_estimators(
             self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1), dtype=dtype,
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
+            nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
         )
 
         t0 = _time.time()
@@ -733,6 +754,15 @@ class Simulation:
             it_c = int(it_c)
             iters += it_c
             nsteps += int(ns_c)
+            if os.environ.get("ARTIS_DEBUG_CHUNKS"):
+                nact = int(jnp.sum(
+                    (self.state.ptype != TYPE_ESCAPE)
+                    & (self.state.prop_time < float(self.ts.start[nts] + self.ts.width[nts]))
+                ))
+                self.log(
+                    f"  chunk {chunk}: iters {it_c} steps {int(ns_c)} "
+                    f"active {nact} elapsed {_time.time() - t0:.0f}s"
+                )
             if it_c < chunk_iters:
                 break
         jax.block_until_ready(self.state.ptype)

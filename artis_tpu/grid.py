@@ -268,8 +268,13 @@ def _expanding_shell_intersection(
         bad1 = v_rad_final1 < v_rad_shell
         bad2 = v_rad_final2 < v_rad_shell
 
-    dist1 = jnp.where(bad1 | (dist1 < 0), -1.0, dist1)
-    dist2 = jnp.where(bad2 | (dist2 < 0), -1.0, dist2)
+    # float32 ping-pong guard: exclude re-intersections within roundoff of
+    # the shell radius (a packet on the shell it just crossed would otherwise
+    # bounce between cells forever without advancing in time); inactive in
+    # float64 where roundoff is far below any physical distance
+    eps = (2e-6 * shellradius_tstart) if pos.dtype == jnp.float32 else 0.0
+    dist1 = jnp.where(bad1 | (dist1 < eps), -1.0, dist1)
+    dist2 = jnp.where(bad2 | (dist2 < eps), -1.0, dist2)
 
     both_neg = (dist1 < 0) & (dist2 < 0)
     result = jnp.where(

@@ -115,6 +115,10 @@ class Options:
     use_lut_bfheating: bool = True
 
     # non-thermal solver
+    # detailed per-continuum MC photoionisation-rate estimators
+    # (reference: radfield.cc:70-73, 204-233; DETAILED_BF_ESTIMATORS_ON)
+    detailed_bf_estimators_on: bool = False
+    detailed_bf_estimators_usefromtimestep: int = 13
     nt_on: bool = False
     nt_solve_spencerfano: bool = False
     sf_max_ts_between_solutions: int = 0
@@ -255,5 +259,6 @@ def nltenebular(**overrides) -> Options:
         multibin_radfield=True,
         use_lut_photoion=False,
         use_lut_bfheating=False,
+        detailed_bf_estimators_on=True,
         use_relativistic_doppler_shift=False,
     ).replace(**overrides)

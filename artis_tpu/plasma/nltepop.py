@@ -126,6 +126,7 @@ def solve_element(
     ntd=None,  # NonthermalData (for the NT excitation transition table)
     nt_exc_perdep=None,  # (ncells, nexc) excitation ratecoeff per deposition
     nt_dep_rate_density=None,  # (ncells,) [erg/cm3/s]
+    bfrate_normed=None,  # (ncells, nbfcontinua) detailed MC photoion rates
 ):
     """Solve one element's statistical equilibrium for all cells.
 
@@ -198,6 +199,11 @@ def solve_element(
 
         gamma_lut = interpolate_lut(rc.corrphotoion, rc, ci[None, :], t_r[:, None])
         r_ion = w[:, None] * gamma_lut
+        if bfrate_normed is not None:
+            # detailed MC estimator IS the photoionisation rate coefficient
+            # (reference: ratecoeff.cc:1218-1226 get_corrphotoioncoeff with
+            # DETAILED_BF_ESTIMATORS_ON)
+            r_ion = bfrate_normed[:, ci]
         c_ion = col_ionization_ratecoeff(
             t_e[:, None], nne[:, None], sigma_edge[None, :], eps_trans[None, :], lower_stage[None, :]
         )
@@ -304,6 +310,7 @@ def solve_all_elements(
     ntd=None,
     nt_exc_perdep=None,
     nt_dep_rate_density=None,
+    bfrate_normed=None,
 ):
     """Solve every element and return the merged (ncells, nlevels_total)
     population table plus updated ion ground pops / partition functions."""
@@ -315,6 +322,7 @@ def solve_all_elements(
             nnelement_all[:, idx.element], t_mid, nt_ion_rate=nt_ion_rate,
             nt_prob_auger=nt_prob_auger, ntd=ntd, nt_exc_perdep=nt_exc_perdep,
             nt_dep_rate_density=nt_dep_rate_density,
+            bfrate_normed=bfrate_normed,
         )
         levelpops = jax.lax.dynamic_update_slice(
             levelpops, pops, (0, idx.lstart)

@@ -902,7 +902,9 @@ def rpkt_step_pallas(
     from . import pallas_rpkt as pk
 
     n = st.npkts
-    block = min(opts.pallas_block, max(n, 8))
+    # 1D f32 VMEM tiling is 1024-wide: the in-kernel lane slices need
+    # 1024-aligned offsets, so the block must be a multiple of 1024
+    block = -(-max(opts.pallas_block, 1024) // 1024) * 1024
     npad = -(-n // block) * block
     f32 = jnp.float32
 
@@ -935,7 +937,8 @@ def rpkt_step_pallas(
     ncont = max(dad.nbfcontinua, 1)
     ngc = max(dad.nbfcontinua_ground, 1)
     nphixs = dad.nphixspoints
-    line_chunk = min(max(opts.linewalk_chunk, 128), max(nlines, 128))
+    # cap the chunk: (block, chunk) walk temporaries live in VMEM
+    line_chunk = min(max(opts.linewalk_chunk, 128), max(nlines, 128), 256)
     lpad = -(-max(nlines, 1) // line_chunk) * line_chunk
 
     def padL(x, fill=0.0):
@@ -1000,7 +1003,7 @@ def rpkt_step_pallas(
      ochiesc, ochiff, ochibf, ochicont, omgi, oest, ogamma, obfheat,
      omisc) = outs
 
-    sl = lambda x: x[:n]
+    sl = lambda x: x.reshape(-1)[:n]  # lane outputs come back (nblocks, block)
     dtype = st.pos.dtype
     touched = sl(oevented) > 0
     escaped = sl(oescaped) > 0
@@ -1020,7 +1023,7 @@ def rpkt_step_pallas(
     )
 
     est_sum = jnp.sum(oest, axis=0)  # (ncells, 8)
-    misc = jnp.sum(omisc, axis=0)  # (8,)
+    misc = jnp.sum(omisc, axis=0)[:, 0]  # (8,)
     cnt = est.counters.at[stats.CELLCROSSINGS].add(
         est_sum[:, 3].sum().astype(est.counters.dtype))
     est = est.replace(
@@ -1213,6 +1216,21 @@ def _rpkt_propagate_once(
             est = est.replace(
                 bfheatingestimator=est.bfheatingestimator.at[mgi_safe_scatter, :].add(badd, mode="drop")
             )
+
+    if opts.detailed_bf_estimators_on and dad.nbfcontinua > 0:
+        # detailed per-continuum photoionisation-rate estimators
+        # (reference: radfield.cc:204-233, rpkt.cc:560-599)
+        seg_ok = mask & nonempty & ~thick
+        weight = jnp.where(
+            seg_ok, contrib / jnp.maximum(nucmf1, 1e-30) * doppler, 0.0
+        )
+        est = est.replace(
+            bfrate=opacity.accumulate_bf_estimators(
+                dad, jnp.where(seg_ok, st.nu_cmf, 1e15), safe_mgi, seg_ok,
+                ctx.bf_dep, cells.Te, weight, est.bfrate,
+                chunk=opts.linewalk_chunk,
+            )
+        )
 
     if opts.multibin_radfield:
         # per-bin J/nuJ estimators (reference: radfield.cc:731-759)

@@ -246,3 +246,70 @@ def calculate_chi_rpkt_cont(
     if want_gamma_contr:
         return chi_escat, chi_ff, chi_bf, select_continuum, gamma_contr
     return chi_escat, chi_ff, chi_bf, select_continuum
+
+
+def accumulate_bf_estimators(
+    dad: DeviceAtomicData,
+    nu: jax.Array,  # (npkts,) cmf frequency at the segment start
+    cellidx: jax.Array,  # (npkts,) nonemptymgi (>=0 where active)
+    active: jax.Array,  # (npkts,) bool
+    bf_dep: jax.Array,  # (ncells, ncont)
+    t_e: jax.Array,  # (ncells,)
+    weight: jax.Array,  # (npkts,) distance*e_cmf/nu_cmf*doppler per segment
+    bfrate: jax.Array,  # (ncells, ncont) accumulator
+    chunk: int = 512,
+):
+    """Detailed per-continuum photoionisation-rate estimators: scatter
+    sigma_contr (sigma_bf * probability * stimulated-correction) weighted by
+    the path-segment factor into (cell, continuum) bins
+    (reference: radfield.cc:204-233 update_bfestimators; every continuum has
+    an estimator because LEVEL_HAS_BFEST is true for all levels in the NLTE
+    presets, input.cc:788-797)."""
+    ncont = dad.nbfcontinua
+    if ncont == 0:
+        return bfrate
+    chunk = min(chunk, ncont)
+    nchunks = -(-ncont // chunk)
+    pad = nchunks * chunk - ncont
+
+    def padk(x, fill=0):
+        return jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)]) if pad else x
+
+    def padc(x, fill=0.0):
+        if pad:
+            return jnp.concatenate(
+                [x, jnp.full((x.shape[0], pad), fill, x.dtype)], axis=1
+            )
+        return x
+
+    cont_nu_edge = padk(dad.cont_nu_edge, jnp.inf)
+    cont_row = padk(dad.cont_phixsrow)
+    cont_prob = padk(dad.cont_probability)
+    bf_dep_p = padc(bf_dep)
+    t_e_p = t_e[cellidx]
+    exp_nu = jnp.exp(-HOVERKB * nu / t_e_p)
+    ncells = bfrate.shape[0]
+    safe_cell = jnp.where(active, cellidx, ncells)  # dropped when inactive
+
+    def body(carry, c):
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk)
+        slc = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk, axis=1)
+        nu_edge = sl(cont_nu_edge)[None, :]
+        in_window = (nu[:, None] >= nu_edge) & (
+            nu_edge * dad.last_phixs_nuovernuedge >= nu[:, None]
+        ) & active[:, None]
+        dep_g = slc(bf_dep_p)[cellidx]
+        sigma_bf = photoionization_crosssection(
+            dad, sl(cont_row)[None, :], nu_edge, jnp.maximum(nu[:, None], 1e-30)
+        )
+        corrfactor = jnp.maximum(0.0, 1.0 - dep_g * exp_nu[:, None])
+        contr = jnp.where(
+            in_window, sigma_bf * sl(cont_prob)[None, :] * corrfactor, 0.0
+        ) * weight[:, None]
+        cols = c * chunk + jnp.arange(chunk)
+        return carry.at[safe_cell[:, None], cols[None, :]].add(
+            contr, mode="drop"
+        ), None
+
+    bfrate, _ = jax.lax.scan(body, bfrate, jnp.arange(nchunks))
+    return bfrate

@@ -42,11 +42,37 @@ INTERPRET = jax.default_backend() != "tpu"
 
 
 
+def _cumsum_rows(x):
+    """Row-wise inclusive cumulative sum via a triangular MXU matmul
+    (Mosaic has no cumsum lowering)."""
+    n = x.shape[1]
+    tri = (
+        jax.lax.broadcasted_iota(I32, (n, n), 0)
+        <= jax.lax.broadcasted_iota(I32, (n, n), 1)
+    ).astype(x.dtype)
+    return jnp.dot(x, tri, preferred_element_type=x.dtype)
+
+
+def _col(b):
+    """Bool (B,) -> (B,1): Mosaic only inserts minor dims on 32-bit types."""
+    return b.astype(I32)[:, None] > 0
+
+
+def _first_true_idx(cond, maxn):
+    """Index of the first True along axis 1 (clipped to [0, maxn-1]);
+    Mosaic's argmax only lowers for f32, so reduce a masked f32 iota."""
+    iota = jax.lax.broadcasted_iota(I32, cond.shape, 1).astype(F32)
+    first = jnp.min(jnp.where(cond, iota, 1e9), axis=1)
+    return jnp.clip(first, 0, maxn - 1).astype(I32)
+
+
 def _u01(shape):
     """Uniform (0,1] floats from the on-core PRNG."""
     # Mosaic requires >=2D for bitcast: draw (1, n) and take row 0
     bits = pltpu.prng_random_bits((1,) + shape)
-    u = (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(F32) * (1.0 / (1 << 24))
+    # >>8 keeps 24 bits, which fit an int32 (Mosaic cannot cast uint32->f32)
+    top24 = (pltpu.bitcast(bits, jnp.uint32) >> 8).astype(I32)
+    u = top24.astype(F32) * (1.0 / (1 << 24))
     return jnp.maximum(u[0], 1e-12)
 
 
@@ -57,6 +83,8 @@ def supported(opts, dad, grid, ncells: int) -> bool:
     if grid.grid_type != GridType.SPHERICAL1D:
         return False
     if opts.expansionopacities_on or opts.multibin_radfield:
+        return False
+    if opts.detailed_bf_estimators_on:
         return False
     if dad.nlines == 0:
         return False
@@ -119,31 +147,35 @@ def _kernel(
     want_gamma: bool,
     want_bfheat: bool,
     test_mode: bool,
+    block: int,
 ):
-    B = posx.shape[0]
+    B = block
     blk = pl.program_id(0)
+    off = pl.multiple_of(blk * B, B)
+    lane = lambda ref: ref[pl.ds(off, B)]
     if not test_mode:
         pltpu.prng_seed(seed_ref[0] + blk * 7919)
 
     t2 = consts[0, 0]
     tmin = consts[0, 1]
     max_path_step = consts[0, 2]
-    Lpad = line_nu.shape[0]
+    Lpad = line_nu.shape[1]
     nlineblocks = Lpad // line_chunk
 
     # mutable per-lane state as loop carry
     state = dict(
-        px=posx[:], py=posy[:], pz=posz[:],
-        dx=dirx[:], dy=diry[:], dz=dirz[:],
-        nurf=nu_rf[:], nucmf=nu_cmf[:], erf=e_rf[:], ecmf=e_cmf[:],
-        t=prop_time[:],
-        cell=where_i[:],
-        ntr=next_trans_i[:],
-        moving=moving_i[:] > 0,
-        evented=jnp.zeros((B,), bool),
-        escaped=jnp.zeros((B,), bool),
-        ev_thick=jnp.zeros((B,), bool),
-        ev_isbb=jnp.zeros((B,), bool),
+        px=lane(posx), py=lane(posy), pz=lane(posz),
+        dx=lane(dirx), dy=lane(diry), dz=lane(dirz),
+        nurf=lane(nu_rf), nucmf=lane(nu_cmf), erf=lane(e_rf),
+        ecmf=lane(e_cmf),
+        t=lane(prop_time),
+        cell=lane(where_i),
+        ntr=lane(next_trans_i),
+        moving=(lane(moving_i) > 0).astype(I32),
+        evented=jnp.zeros((B,), I32),
+        escaped=jnp.zeros((B,), I32),
+        ev_thick=jnp.zeros((B,), I32),
+        ev_isbb=jnp.zeros((B,), I32),
         ev_act=jnp.full((B,), -99, I32),
         ev_bfidx=jnp.zeros((B,), I32),
         ev_esc=jnp.zeros((B,), F32), ev_ff=jnp.zeros((B,), F32),
@@ -160,10 +192,10 @@ def _kernel(
     propiota = jax.lax.broadcasted_iota(I32, (B, nprop), 1)
 
     def one_crossing(it, s):
-        mask = s["moving"]
+        mask = s["moving"] > 0
         # --- cell-table gathers via one-hot MXU matmuls ---
         oh_prop = (propiota == s["cell"][:, None]).astype(F32)  # (B, nprop)
-        mgi_f = jnp.dot(oh_prop, mgi_of_cell[:].reshape(nprop, 1),
+        mgi_f = jnp.dot(oh_prop, mgi_of_cell[0].reshape(nprop, 1),
                         preferred_element_type=F32)[:, 0]
         mgi = jnp.round(mgi_f).astype(I32)
         nonempty = mgi >= 0
@@ -171,8 +203,8 @@ def _kernel(
         oh = (celliota == safe_mgi[:, None]).astype(F32)  # (B, ncells)
 
         cellvals = jnp.stack(
-            [nne_t[:], te_t[:], kappagrey_t[:], rho_t[:], thick_t[:],
-             chiffpart_t[:]], axis=1,
+            [nne_t[0], te_t[0], kappagrey_t[0], rho_t[0], thick_t[0],
+             chiffpart_t[0]], axis=1,
         )  # (ncells, 6)
         gv = jnp.dot(oh, cellvals, preferred_element_type=F32)  # (B, 6)
         nne_p, te_p, kgrey_p, rho_p, thickf_p, chiffpart_p = (
@@ -180,13 +212,13 @@ def _kernel(
         )
         thick = nonempty & (thickf_p > 0.5)
 
-        gb = jnp.dot(oh_prop, jnp.stack([cellmin0[:], cellmax0[:]], axis=1),
+        gb = jnp.dot(oh_prop, jnp.stack([cellmin0[0], cellmax0[0]], axis=1),
                      preferred_element_type=F32)  # (B, 2)
         coordmin0, coordmax0 = gb[:, 0], gb[:, 1]
 
         # --- optical depth target ---
         if test_mode:
-            tau_next = test_tau[:]
+            tau_next = lane(test_tau)
         else:
             tau_next = -jnp.log(_u01((B,)))
 
@@ -222,8 +254,14 @@ def _kernel(
             else:
                 bad1 = radial(d1) < vshell
                 bad2 = radial(d2) < vshell
-            d1 = jnp.where(bad1 | (d1 < 0), -1.0, d1)
-            d2 = jnp.where(bad2 | (d2 < 0), -1.0, d2)
+            # float32 ping-pong guard: a packet sitting on the shell it
+            # just crossed re-intersects it at d ~ roundoff and never
+            # advances in time; intersections closer than a few ulps of the
+            # shell radius are not physical (the reference runs in float64,
+            # grid.cc:1222-1312)
+            eps = 2e-6 * radius_t
+            d1 = jnp.where(bad1 | (d1 < eps), -1.0, d1)
+            d2 = jnp.where(bad2 | (d2 < eps), -1.0, d2)
             both_neg = (d1 < 0) & (d2 < 0)
             dmin = jnp.where(
                 (d1 >= 0) & ((d2 < 0) | (d1 <= d2)), d1, d2
@@ -287,28 +325,36 @@ def _kernel(
         nu3_scaled = (nu * 2.0**-50) ** 3
         # the 2**-150 rescale must be applied as two float32-representable
         # halves (2**-150 itself underflows a float32 literal to zero)
+        # Mosaic has no expm1 lowering; the argument is O(1) so plain
+        # exp is adequate in float32 here
         chi_ff = (chiffpart_p * 2.0**-75) * (nne_p * 2.0**-75) / nu3_scaled * (
-            -jnp.expm1(-4.799243681e-11 * nu / te_p)
+            1.0 - jnp.exp(-4.799243681e-11 * nu / te_p)
         )
 
         # bf: full (B, C) evaluation; sigma interp via the hat-function sum
-        nu_edge_c = cont_nu_edge[:ncont][None, :]  # (1, C)
+        nu_edge_c = cont_nu_edge[0, :ncont][None, :]  # (1, C)
         in_window = (nu[:, None] >= nu_edge_c) & (
             nu_edge_c * last_nuovernuedge >= nu[:, None]
-        ) & need_chi[:, None]
+        ) & _col(need_chi)
         ireal = (nu[:, None] / nu_edge_c - 1.0) / phixs_dnu  # (B, C)
-        sigma = jnp.zeros((B, ncont), F32)
-        phixs_t = cont_phixs[:ncont, :]  # (C, P)
+        # linear interpolation as a sum of hat functions over the table
+        # grid; dynamic fori keeps the module small (a static unroll of
+        # NPHIXS blocks made the Mosaic compile explode), and the column is
+        # extracted with a masked reduce since dynamic lane offsets must be
+        # 128-aligned
+        phixs_v = cont_phixs[:ncont, :]  # (C, P)
+        piota = jax.lax.broadcasted_iota(I32, (ncont, nphixs), 1)
 
         def phixs_term(p, sig):
             w = jnp.maximum(1.0 - jnp.abs(ireal - p.astype(F32)), 0.0)
-            col = jax.lax.dynamic_slice(phixs_t, (0, p), (ncont, 1))[:, 0]
+            col = jnp.sum(jnp.where(piota == p, phixs_v, 0.0), axis=1)
             return sig + w * col[None, :]
 
-        sigma = jax.lax.fori_loop(0, nphixs, phixs_term, sigma)
+        sigma = jax.lax.fori_loop(0, nphixs, phixs_term,
+                                  jnp.zeros((B, ncont), F32))
         # Kramers tail above the table, zero below the edge
         numax = nu_edge_c * last_nuovernuedge
-        kram = phixs_t[:, nphixs - 1][None, :] * (
+        kram = phixs_v[:, nphixs - 1][None, :] * (
             numax / jnp.maximum(nu[:, None], 1e-30)) ** 3
         sigma = jnp.where(ireal < 0, 0.0, jnp.where(
             ireal < nphixs - 1, sigma, kram))
@@ -322,13 +368,13 @@ def _kernel(
 
         # bf continuum selection for the deferred event application
         if test_mode:
-            sel_u = test_sel[:]
+            sel_u = lane(test_sel)
         else:
             sel_u = _u01((B,))
         target = sel_u * chi_bf
-        cumc = jnp.cumsum(contrib_bf, axis=1)
+        cumc = _cumsum_rows(contrib_bf)
         hit = cumc > target[:, None]
-        first = jnp.argmax(hit, axis=1).astype(I32)
+        first = _first_true_idx(hit, ncont)
         bf_idx = jnp.where(jnp.any(hit, axis=1), first, 0)
 
         # per-ground-continuum contributions for the LUT estimators
@@ -349,8 +395,7 @@ def _kernel(
         # initial cursor: count of lines with nu > nu_cmf (descending list)
         def count_body(bidx, acc):
             l0 = bidx * line_chunk
-            nu_k = jax.lax.dynamic_slice(line_nu[:].reshape(1, Lpad),
-                                         (0, l0), (1, line_chunk))[0]
+            nu_k = line_nu[0, pl.ds(l0, line_chunk)]
             valid = (jax.lax.broadcasted_iota(I32, (1, line_chunk), 1)[0]
                      + l0) < nlines
             cnt = jnp.sum(
@@ -362,11 +407,12 @@ def _kernel(
         searched = jax.lax.fori_loop(0, nlineblocks, count_body,
                                      jnp.zeros((B,), I32))
         cursor0 = jnp.where(s["ntr"] > 0, s["ntr"], searched)
-        cond_nolines = (s["ntr"] > nlines - 1) | (nu < line_nu[nlines - 1])
+        cond_nolines = (s["ntr"] > nlines - 1) | (nu < line_nu[0, nlines - 1])
         cursor0 = jnp.where(cond_nolines, nlines,
                             jnp.minimum(cursor0, nlines)).astype(I32)
         fresh_nolines = cursor0 >= nlines
         no_lines = cursor0 >= nlines
+
         safe_chi = jnp.maximum(chi_cont, 1e-30)
         nl_contdist = tau_next / safe_chi
         nl_cont = no_lines & need_chi & (nl_contdist <= abort_dist)
@@ -375,13 +421,13 @@ def _kernel(
         lw = dict(
             tau_cum=jnp.zeros((B,), F32),
             lastD=jnp.zeros((B,), F32),
-            done=~need_chi | no_lines,
+            done=(~need_chi | no_lines).astype(I32),
             edist=jnp.where(nl_cont, nl_contdist, big),
             ntr=jnp.where(
                 nl_cont, jnp.int32(nlines + 1),
                 jnp.where(nl_noev & ~fresh_nolines, jnp.int32(nlines),
                           s["ntr"])).astype(I32),
-            isbb=jnp.zeros((B,), bool),
+            isbb=jnp.zeros((B,), I32),
             act=jnp.full((B,), -99, I32),
         )
 
@@ -389,15 +435,14 @@ def _kernel(
 
         def walk_body(bidx, w):
             l0 = bidx * line_chunk
-            nu_k = jax.lax.dynamic_slice(
-                line_nu[:].reshape(1, Lpad), (0, l0), (1, line_chunk))
-            tau_blk_all = jax.lax.dynamic_slice(
-                tau_factor[:], (0, l0), (ncells, line_chunk))
+            nu_k = line_nu[0, pl.ds(l0, line_chunk)][None, :]
+            tau_blk_all = tau_factor[:, pl.ds(l0, line_chunk)]
             tau_blk = jnp.dot(oh, tau_blk_all, preferred_element_type=F32)
             l_glob = karange + l0
             below = l_glob < cursor0[:, None]
             beyond = l_glob > nlines - 1
-            validk = ~below & ~beyond & ~w["done"][:, None]
+            wdone = w["done"] > 0
+            validk = ~below & ~beyond & ~_col(wdone)
             if relativistic:
                 relD = (nu_k - nu[:, None]) / dnudl[:, None]
             else:
@@ -408,17 +453,18 @@ def _kernel(
                 [w["lastD"][:, None], relD[:, :-1]], axis=1)
             t_prev = tstart[:, None] + relD_prev / CLIGHT_PROP
             tau_line = jnp.where(validk, tau_blk * t_prev, 0.0)
-            s_cum = jnp.cumsum(tau_line, axis=1) - tau_line + w["tau_cum"][:, None]
+            s_cum = _cumsum_rows(tau_line) - tau_line + w["tau_cum"][:, None]
             contdist = (tau_next[:, None] - s_cum) / safe_chi[:, None]
-            ev_cont = jnp.where(validk, contdist <= relD,
-                                contdist <= abort_dist[:, None])
+            # logical form: Mosaic cannot select between i1 vectors
+            ev_cont = (validk & (contdist <= relD)) | (
+                ~validk & (contdist <= abort_dist[:, None]))
             ev_abort = validk & (nu_k < nu_cmf_abort[:, None])
             ev_bb = validk & (
                 tau_next[:, None] - s_cum <= safe_chi[:, None] * relD + tau_line)
             terminal = ~below & (ev_cont | ev_abort | ev_bb | beyond) \
-                & ~w["done"][:, None]
+                & ~_col(wdone)
             any_term = jnp.any(terminal, axis=1)
-            jsel = jnp.clip(jnp.argmax(terminal, axis=1), 0, line_chunk - 1).astype(I32)
+            jsel = _first_true_idx(terminal, line_chunk)
             ohj = (karange == jsel[:, None])
 
             def pick(x):
@@ -436,7 +482,7 @@ def _kernel(
             lineindex_j = jnp.clip(l0 + jsel, 0, nlines - 1).astype(I32)
             contdist_j = pick(contdist)
             relD_j = pick(relD)
-            newly = any_term & ~w["done"]
+            newly = any_term & ~wdone
             edist = jnp.where(newly & (j_cont | j_cont_invalid), contdist_j,
                               w["edist"])
             edist = jnp.where(newly & j_bb, relD_j, edist)
@@ -447,22 +493,22 @@ def _kernel(
             ntr = jnp.where(
                 newly & j_noevent,
                 jnp.where(fresh_nolines, w["ntr"], lineindex_j), ntr)
-            isbb = jnp.where(newly, j_bb, w["isbb"])
+            isbb = (newly & j_bb) | (~newly & (w["isbb"] > 0))
             act = jnp.where(newly & j_bb, lineindex_j, w["act"])
-            not_term = ~any_term & ~w["done"]
+            not_term = ~any_term & ~wdone
             tau_cum = jnp.where(
                 not_term, w["tau_cum"] + jnp.sum(tau_line, axis=1), w["tau_cum"])
             lastD = jnp.where(
                 not_term, jnp.maximum(w["lastD"], jnp.max(relD, axis=1)),
                 w["lastD"])
             return dict(tau_cum=tau_cum, lastD=lastD,
-                        done=w["done"] | any_term, edist=edist, ntr=ntr,
-                        isbb=isbb, act=act)
+                        done=(wdone | any_term).astype(I32), edist=edist,
+                        ntr=ntr, isbb=isbb.astype(I32), act=act)
 
         lw = jax.lax.fori_loop(0, nlineblocks, walk_body, lw)
 
         ev_edist, ev_ntr, ev_isbb, ev_act = (
-            lw["edist"], lw["ntr"], lw["isbb"], lw["act"])
+            lw["edist"], lw["ntr"], lw["isbb"] > 0, lw["act"])
 
         # thick cells: grey opacity
         chi_grey = kgrey_p * rho_p * doppler
@@ -498,7 +544,7 @@ def _kernel(
              jnp.zeros_like(contrib), jnp.zeros_like(contrib),
              jnp.zeros_like(contrib), jnp.zeros_like(contrib)], axis=1,
         )  # (B, 8)
-        oh_seg = jnp.where(seg[:, None], oh, 0.0)
+        oh_seg = jnp.where(_col(seg), oh, 0.0)
         est_new = s["est"] + jnp.dot(oh_seg.T, est_rows,
                                      preferred_element_type=F32)
 
@@ -506,20 +552,22 @@ def _kernel(
         bfh_new = s["bfh"]
         if want_gamma or want_bfheat:
             seg_ok = seg & ~thick
-            de = jnp.where(seg_ok[:, None], contrib[:, None] * gamma_contr, 0.0)
-            ohs = jnp.where(seg_ok[:, None], oh, 0.0)
+            de = jnp.where(_col(seg_ok), contrib[:, None] * gamma_contr, 0.0)
+            ohs = jnp.where(_col(seg_ok), oh, 0.0)
             if want_gamma:
                 gadd = de / jnp.maximum(nucmf1, 1e-30)[:, None]
-                gpad = jnp.zeros((B, s["gam"].shape[1]), F32)
-                gpad = jax.lax.dynamic_update_slice(gpad, gadd, (0, 0))
+                gpad = jnp.concatenate(
+                    [gadd, jnp.zeros((B, s["gam"].shape[1] - ngc), F32)],
+                    axis=1)
                 gam_new = s["gam"] + jnp.dot(ohs.T, gpad,
                                              preferred_element_type=F32)
             if want_bfheat:
                 badd = de * jnp.maximum(
-                    1.0 - gc_nu_edge[:ngc][None, :]
+                    1.0 - gc_nu_edge[0, :ngc][None, :]
                     / jnp.maximum(nucmf1, 1e-30)[:, None], 0.0)
-                bpad = jnp.zeros((B, s["bfh"].shape[1]), F32)
-                bpad = jax.lax.dynamic_update_slice(bpad, badd, (0, 0))
+                bpad = jnp.concatenate(
+                    [badd, jnp.zeros((B, s["bfh"].shape[1] - ngc), F32)],
+                    axis=1)
                 bfh_new = s["bfh"] + jnp.dot(ohs.T, bpad,
                                              preferred_element_type=F32)
 
@@ -551,11 +599,13 @@ def _kernel(
             px=px, py=py, pz=pz, dx=s["dx"], dy=s["dy"], dz=s["dz"],
             nurf=s["nurf"], nucmf=nucmf_out, erf=s["erf"], ecmf=ecmf_out,
             t=new_t, cell=cell_out, ntr=ntr_keep,
-            moving=mask & ~take_event & ~take_tlimit & ~escaping,
-            evented=s["evented"] | take_event,
-            escaped=s["escaped"] | escaping,
-            ev_thick=upd("ev_thick", thick),
-            ev_isbb=upd("ev_isbb", is_bb),
+            moving=(mask & ~take_event & ~take_tlimit & ~escaping).astype(I32),
+            evented=((s["evented"] > 0) | take_event).astype(I32),
+            escaped=((s["escaped"] > 0) | escaping).astype(I32),
+            ev_thick=((take_event & thick)
+                      | (~take_event & (s["ev_thick"] > 0))).astype(I32),
+            ev_isbb=((take_event & is_bb)
+                     | (~take_event & (s["ev_isbb"] > 0))).astype(I32),
             ev_act=upd("ev_act", ev_act),
             ev_bfidx=upd("ev_bfidx", bf_idx),
             ev_esc=upd("ev_esc", chi_escat),
@@ -563,7 +613,10 @@ def _kernel(
             ev_bf=upd("ev_bf", chi_bf),
             ev_cont=upd("ev_cont", chi_cont_cmf),
             ev_mgi=upd("ev_mgi", mgi),
-            est=est_new.at[0, 3].add(jnp.sum(crossing.astype(F32))),
+            est=est_new + (
+                (jax.lax.broadcasted_iota(I32, (ncells, 8), 0) == 0)
+                & (jax.lax.broadcasted_iota(I32, (ncells, 8), 1) == 3)
+            ).astype(F32) * jnp.sum(crossing.astype(F32)),
             gam=gam_new, bfh=bfh_new,
             nadv=s["nadv"] + jnp.sum(mask.astype(F32)),
             nesc=s["nesc"] + jnp.sum(escaping.astype(F32)),
@@ -572,7 +625,7 @@ def _kernel(
 
     def crossing_cond(c):
         it, s = c
-        return jnp.logical_and(it < max_inner, jnp.any(s["moving"]))
+        return jnp.logical_and(it < max_inner, jnp.any(s["moving"] > 0))
 
     def crossing_body(c):
         it, s = c
@@ -581,30 +634,34 @@ def _kernel(
     _, state = jax.lax.while_loop(crossing_cond, crossing_body,
                                   (jnp.int32(0), state))
 
-    o_posx[:] = state["px"]; o_posy[:] = state["py"]; o_posz[:] = state["pz"]
-    o_dirx[:] = state["dx"]; o_diry[:] = state["dy"]; o_dirz[:] = state["dz"]
-    o_nu_rf[:] = state["nurf"]; o_nu_cmf[:] = state["nucmf"]
-    o_e_rf[:] = state["erf"]; o_e_cmf[:] = state["ecmf"]
-    o_prop_time[:] = state["t"]
-    o_where[:] = state["cell"]; o_next_trans[:] = state["ntr"]
-    o_evented[:] = state["evented"].astype(I32)
-    o_escaped[:] = state["escaped"].astype(I32)
-    o_thick[:] = state["ev_thick"].astype(I32)
-    o_is_bb[:] = state["ev_isbb"].astype(I32)
-    o_act_line[:] = state["ev_act"]
-    o_bf_idx[:] = state["ev_bfidx"]
-    o_chi_escat[:] = state["ev_esc"]; o_chi_ff[:] = state["ev_ff"]
-    o_chi_bf[:] = state["ev_bf"]; o_chi_cont[:] = state["ev_cont"]
-    o_mgi[:] = state["ev_mgi"]
+    osl = pl.ds(off, B)
+    o_posx[osl] = state["px"]; o_posy[osl] = state["py"]
+    o_posz[osl] = state["pz"]
+    o_dirx[osl] = state["dx"]; o_diry[osl] = state["dy"]
+    o_dirz[osl] = state["dz"]
+    o_nu_rf[osl] = state["nurf"]; o_nu_cmf[osl] = state["nucmf"]
+    o_e_rf[osl] = state["erf"]; o_e_cmf[osl] = state["ecmf"]
+    o_prop_time[osl] = state["t"]
+    o_where[osl] = state["cell"]; o_next_trans[osl] = state["ntr"]
+    o_evented[osl] = state["evented"]
+    o_escaped[osl] = state["escaped"]
+    o_thick[osl] = state["ev_thick"]
+    o_is_bb[osl] = state["ev_isbb"]
+    o_act_line[osl] = state["ev_act"]
+    o_bf_idx[osl] = state["ev_bfidx"]
+    o_chi_escat[osl] = state["ev_esc"]; o_chi_ff[osl] = state["ev_ff"]
+    o_chi_bf[osl] = state["ev_bf"]; o_chi_cont[osl] = state["ev_cont"]
+    o_mgi[osl] = state["ev_mgi"]
     o_est[0] = state["est"]
     o_gamma[0] = state["gam"]
     o_bfheat[0] = state["bfh"]
-    misc = jnp.zeros((1, 8), F32)
-    misc = misc.at[0, 0].set(state["nadv"])
-    misc = misc.at[0, 1].set(state["nesc"])
-    misc = misc.at[0, 2].set(state["lum"])
-    misc = misc.at[0, 3].set(t2)
-    misc = misc.at[0, 4].set(tmin)
+    mrow = jax.lax.broadcasted_iota(I32, (1, 8, 128), 1)
+    mcol = jax.lax.broadcasted_iota(I32, (1, 8, 128), 2)
+    misc = jnp.zeros((1, 8, 128), F32)
+    for slot, val in enumerate(
+        (state["nadv"], state["nesc"], state["lum"], t2, tmin)
+    ):
+        misc = misc + jnp.where((mrow == slot) & (mcol == 0), val, 0.0)
     o_misc[:] = misc
 
 
@@ -636,8 +693,13 @@ def propagate_blocked(
                   "nu_cmf", "e_rf", "e_cmf", "prop_time"]
     int_names = ["where", "next_trans", "moving"]
 
-    lane_spec = pl.BlockSpec((block,), lambda i, *_: (i,), memory_space=pltpu.VMEM)
+    lane_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def as_row(x):
+        return x.reshape(1, -1) if x.ndim == 1 else x
+
+    tables = {k: as_row(v) for k, v in tables.items()}
 
     in_specs = (
         [lane_spec] * (len(lane_names) + len(int_names) + 2)
@@ -673,7 +735,7 @@ def propagate_blocked(
             jax.ShapeDtypeStruct((nblocks, ncells, 8), F32),
             jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
             jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
-            jax.ShapeDtypeStruct((nblocks, 8), F32),
+            jax.ShapeDtypeStruct((nblocks, 8, 128), F32),
         ]
     )
     out_specs = (
@@ -692,7 +754,7 @@ def propagate_blocked(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ncells, ngc_pad), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
     )
 
@@ -702,7 +764,7 @@ def propagate_blocked(
         nphixs=nphixs, line_chunk=line_chunk, max_inner=max_inner,
         relativistic=relativistic, phixs_dnu=phixs_dnu,
         last_nuovernuedge=last_nuovernuedge, want_gamma=want_gamma,
-        want_bfheat=want_bfheat, test_mode=test_mode,
+        want_bfheat=want_bfheat, test_mode=test_mode, block=block,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -721,7 +783,10 @@ def propagate_blocked(
         kern,
         grid_spec=grid_spec,
         out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=INTERPRET,
     )(jnp.asarray([seed], I32), *inputs)
     return outs
