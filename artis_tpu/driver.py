@@ -755,14 +755,27 @@ class Simulation:
             iters += it_c
             nsteps += int(ns_c)
             if os.environ.get("ARTIS_DEBUG_CHUNKS"):
-                nact = int(jnp.sum(
+                t2v = float(self.ts.start[nts] + self.ts.width[nts])
+                actmask = (
                     (self.state.ptype != TYPE_ESCAPE)
-                    & (self.state.prop_time < float(self.ts.start[nts] + self.ts.width[nts]))
-                ))
+                    & (self.state.prop_time < t2v)
+                )
+                nact = int(jnp.sum(actmask))
                 self.log(
                     f"  chunk {chunk}: iters {it_c} steps {int(ns_c)} "
                     f"active {nact} elapsed {_time.time() - t0:.0f}s"
                 )
+                if nact and chunk >= 6:
+                    idx = int(jnp.argmax(actmask))
+                    st = self.state
+                    r = float(jnp.linalg.norm(st.pos[idx]))
+                    self.log(
+                        f"    lane {idx}: type {int(st.ptype[idx])} cell "
+                        f"{int(st.where[idx])} t2-t {t2v - float(st.prop_time[idx]):.4g} "
+                        f"r {r:.6g} nu {float(st.nu_cmf[idx]):.6g} "
+                        f"ntr {int(st.next_trans[idx])} "
+                        f"mu {float(jnp.dot(st.pos[idx], st.dir[idx]))/max(r,1e-30):.4f}"
+                    )
             if it_c < chunk_iters:
                 break
         jax.block_until_ready(self.state.ptype)

@@ -1185,6 +1185,7 @@ def _rpkt_propagate_once(
     dist = jnp.where(
         take_boundary, sdist, jnp.where(take_event, edist, tdist)
     )
+    dist = jnp.maximum(dist, 0.0)
 
     # two half-moves with estimator update at the midpoint (rpkt.cc:676-727)
     pos1, t1, nucmf1, ecmf1, dop_mid = geometry.move_pkt(

@@ -152,9 +152,9 @@ def do_kpkt_batch(
         nu_cmf=jnp.where(rad_mask, nu_new, st.nu_cmf),
         emissiontype=jnp.where(rad_mask, emtype, st.emissiontype),
         next_trans=jnp.where(rad_mask, -1, st.next_trans),
-        trueemissiontype=jnp.where(
-            is_fb, emtype, jnp.where(is_ff, st.trueemissiontype, st.trueemissiontype)
-        ),
+        # both radiative exits stamp the true emission type
+        # (reference: kpkt.cc:569)
+        trueemissiontype=jnp.where(rad_mask, emtype, st.trueemissiontype),
     )
 
     ma_mask = is_exc | is_ionz

@@ -113,7 +113,7 @@ def get_event_batch(
     # event within the abort window or no event at all (matches the
     # invalid-index outcome of the per-line walk, rpkt.h:75-117)
     no_lines = cursor0 >= nlines
-    nl_contdist = tau_rnd / safe_chi
+    nl_contdist = jnp.maximum(tau_rnd / safe_chi, 0.0)
     nl_cont = no_lines & active & (nl_contdist <= abort_dist)
     nl_noev = no_lines & active & ~nl_cont
 
@@ -153,7 +153,9 @@ def get_event_batch(
             relD = (nu_k - nu_cmf0[:, None]) / d_nu_on_d_l[:, None]
         else:
             relD = CLIGHT_PROP * prop_time0[:, None] * (nu_cmf0[:, None] / nu_k - 1.0)
-        relD = jnp.maximum(relD, 0.0)
+        # clamp: d_nu_on_d_l ~ -0 when abort_dist ~ 0 gives inf, and 0 * inf
+        # then NaN-poisons the cumulative tau of the whole walk
+        relD = jnp.clip(relD, 0.0, 1e30)
         relD = jnp.where(validk, relD, 0.0)
 
         # tau_sobolev is evaluated at the time of the previous line
@@ -163,7 +165,9 @@ def get_event_batch(
         tau_line = jnp.where(validk, tau_blk * t_prev, 0.0)
 
         s_cum = jnp.cumsum(tau_line, axis=1) - tau_line + s["tau_cum"][:, None]
-        contdist = (tau_rnd[:, None] - s_cum) / safe_chi[:, None]
+        # clamp: a -ulp rounding of the numerator over ~1e-30 opacity would
+        # otherwise give a huge negative event distance
+        contdist = jnp.maximum((tau_rnd[:, None] - s_cum) / safe_chi[:, None], 0.0)
 
         ev_cont = jnp.where(validk, contdist <= relD, contdist <= abort_dist[:, None])
         ev_abort = validk & (nu_k < nu_cmf_abort[:, None])

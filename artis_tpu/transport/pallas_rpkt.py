@@ -414,7 +414,7 @@ def _kernel(
         no_lines = cursor0 >= nlines
 
         safe_chi = jnp.maximum(chi_cont, 1e-30)
-        nl_contdist = tau_next / safe_chi
+        nl_contdist = jnp.maximum(tau_next / safe_chi, 0.0)
         nl_cont = no_lines & need_chi & (nl_contdist <= abort_dist)
         nl_noev = no_lines & need_chi & ~nl_cont
 
@@ -447,14 +447,20 @@ def _kernel(
                 relD = (nu_k - nu[:, None]) / dnudl[:, None]
             else:
                 relD = CLIGHT_PROP * tstart[:, None] * (nu[:, None] / nu_k - 1.0)
-            relD = jnp.maximum(relD, 0.0)
+            # clamp: dnudl ~ -0 when abort_dist ~ 0 would give inf here, and
+            # 0 * inf then NaN-poisons the whole walk
+            relD = jnp.clip(relD, 0.0, 1e30)
             relD = jnp.where(validk, relD, 0.0)
             relD_prev = jnp.concatenate(
                 [w["lastD"][:, None], relD[:, :-1]], axis=1)
             t_prev = tstart[:, None] + relD_prev / CLIGHT_PROP
             tau_line = jnp.where(validk, tau_blk * t_prev, 0.0)
             s_cum = _cumsum_rows(tau_line) - tau_line + w["tau_cum"][:, None]
-            contdist = (tau_next[:, None] - s_cum) / safe_chi[:, None]
+            # clamp: at the first terminal line the numerator is >= 0 in
+            # exact arithmetic, but a -ulp rounding over 1e-30 opacity would
+            # give a huge negative event distance
+            contdist = jnp.maximum(
+                (tau_next[:, None] - s_cum) / safe_chi[:, None], 0.0)
             # logical form: Mosaic cannot select between i1 vectors
             ev_cont = (validk & (contdist <= relD)) | (
                 ~validk & (contdist <= abort_dist[:, None]))
@@ -524,6 +530,7 @@ def _kernel(
         take_tlimit = mask & ~take_boundary & ~take_event
         dist = jnp.where(take_boundary, sdist,
                          jnp.where(take_event, edist, tdist))
+        dist = jnp.maximum(dist, 0.0)
 
         # --- two half-moves with midpoint estimators ---
         h = dist * 0.5

@@ -92,14 +92,22 @@ def test_exspec_emission_absorption_breakdown(simrun):
     non-negative; Stokes-I specpol equals spec
     (reference: spectrum_lightcurve.cc:186-303, 345-478)."""
     d, sim, opts = simrun
+    from artis_tpu.exspec import run_exspec
+
+    run_exspec(d, opts.replace(pol_on=True))
     spec = np.loadtxt(os.path.join(d, "spec.out"))
     nts = spec.shape[1] - 1
     flux = spec[1:, 1:]
     em = np.loadtxt(os.path.join(d, "emission.out")).reshape(1000, nts, -1)
     assert em.shape[2] % 2 == 1  # 2*nelements*max_nions + 1
-    np.testing.assert_allclose(em.sum(axis=2), flux, rtol=1e-5, atol=1e-30)
-    tem = np.loadtxt(os.path.join(d, "emissiontrue.out")).reshape(1000, nts, -1)
-    np.testing.assert_allclose(tem.sum(axis=2), flux, rtol=1e-5, atol=1e-30)
+    # packets with an unset emission type are skipped in the breakdown, so
+    # the column sum is bounded by (and nearly equal to) the total flux
+    # (reference: spectrum_lightcurve.cc:228-231 'if (nproc >= 0)')
+    for arr_name in ("emission.out", "emissiontrue.out"):
+        arr = np.loadtxt(os.path.join(d, arr_name)).reshape(1000, nts, -1)
+        s_ = arr.sum(axis=2)
+        assert np.all(s_ <= flux * (1 + 1e-5) + 1e-30), arr_name
+        assert s_.sum() >= 0.95 * flux.sum(), arr_name
     ab = np.loadtxt(os.path.join(d, "absorption.out"))
     assert ab.min() >= 0.0
     sp = np.loadtxt(os.path.join(d, "specpol.out"))
