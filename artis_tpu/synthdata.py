@@ -35,17 +35,14 @@ def write_synthetic_atomicdata(
                 nlev = nlevels_per_ion if ionstage <= nions else 2
                 ionpot_ev = 7.0 + 5.0 * ionstage + 0.1 * z
                 f.write(f"{z} {ionstage} {nlev} {ionpot_ev:.4f}\n")
-                # increasing level energies below the ionpot; hydrogen-like
-                # (1 - 1/n^2) spacing plus a per-(Z, ionstage) irrational
-                # stretch so no two transitions are exactly degenerate —
-                # degenerate line frequencies create unphysical zero-distance
-                # resonance-interlocking loops that cannot occur with real
-                # atomic data
+                # random (but deterministic) level energies below the
+                # ionpot: regular ladder spacings make many transitions
+                # exactly or nearly degenerate, which creates unphysical
+                # zero-distance resonance-interlocking loops that real
+                # atomic data cannot produce
+                fracs = np.sort(rng.uniform(0.08, 0.93, nlev - 1))
                 for lev in range(1, nlev + 1):
-                    frac = (1.0 - 1.0 / lev**2) * 0.93
-                    energy = ionpot_ev * frac * (
-                        1.0 + 1.7e-4 * lev * ionstage + 3.1e-5 * lev * lev * z
-                    )
+                    energy = 0.0 if lev == 1 else ionpot_ev * fracs[lev - 2]
                     g = 2.0 * lev  # distinct stat weights
                     f.write(f"{lev} {energy:.8f} {g:.1f} {max(lev - 1, 0)}\n")
 

@@ -1000,8 +1000,9 @@ def rpkt_step_pallas(
     )
     (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
      owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,
-     ochiesc, ochiff, ochibf, ochicont, omgi, oest, ogamma, obfheat,
-     omisc) = outs
+     ochiesc, ochiff, ochibf, ochicont, omgi,
+     oemx, oemy, oemz, oemt, onsc, oinkscat,
+     oest, ogamma, obfheat, omisc) = outs
 
     sl = lambda x: x.reshape(-1)[:n]  # lane outputs come back (nblocks, block)
     dtype = st.pos.dtype
@@ -1010,8 +1011,18 @@ def rpkt_step_pallas(
     moved = moving0  # every initially-moving lane may have advanced
 
     pos_new = jnp.stack([sl(opx), sl(opy), sl(opz)], axis=-1).astype(dtype)
+    dir_new = jnp.stack([sl(odx), sl(ody), sl(odz)], axis=-1).astype(dtype)
+    scat = sl(oinkscat) > 0
+    em_new = jnp.stack([sl(oemx), sl(oemy), sl(oemz)], axis=-1).astype(dtype)
+    stokes_reset = jnp.concatenate(
+        [jnp.ones((n, 1), st.stokes.dtype), jnp.zeros((n, 2), st.stokes.dtype)],
+        axis=1,
+    )
     st = st.replace(
         pos=jnp.where(moved[:, None], pos_new, st.pos),
+        dir=jnp.where(moved[:, None], dir_new, st.dir),
+        nu_rf=jnp.where(moved, sl(onurf).astype(dtype), st.nu_rf),
+        e_rf=jnp.where(moved, sl(oerf).astype(dtype), st.e_rf),
         prop_time=jnp.where(moved, sl(otime).astype(dtype), st.prop_time),
         nu_cmf=jnp.where(moved, sl(onucmf).astype(dtype), st.nu_cmf),
         e_cmf=jnp.where(moved, sl(oecmf).astype(dtype), st.e_cmf),
@@ -1020,12 +1031,20 @@ def rpkt_step_pallas(
         escape_type=jnp.where(escaped, st.ptype, st.escape_type),
         escape_time=jnp.where(escaped, sl(otime).astype(dtype), st.escape_time),
         ptype=jnp.where(escaped, TYPE_ESCAPE, st.ptype),
+        # in-kernel isotropic scatters (escat + thick-grey redirects)
+        em_pos=jnp.where(scat[:, None], em_new, st.em_pos),
+        em_time=jnp.where(scat, sl(oemt).astype(dtype), st.em_time),
+        nscatterings=st.nscatterings + sl(onsc),
+        stokes=jnp.where(scat[:, None], stokes_reset, st.stokes),
     )
 
     est_sum = jnp.sum(oest, axis=0)  # (ncells, 8)
     misc = jnp.sum(omisc, axis=0)[:, 0]  # (8,)
     cnt = est.counters.at[stats.CELLCROSSINGS].add(
         est_sum[:, 3].sum().astype(est.counters.dtype))
+    cnt = cnt.at[stats.ESCOUNTER].add(misc[5].astype(cnt.dtype))
+    cnt = cnt.at[stats.INTERACTIONS].add(
+        (misc[5] + misc[6]).astype(cnt.dtype))
     est = est.replace(
         j=est.j + est_sum[:, 0].astype(est.j.dtype),
         nuj=est.nuj + est_sum[:, 1].astype(est.nuj.dtype),
@@ -1053,6 +1072,7 @@ def rpkt_step_pallas(
             sl(ochiesc).astype(dtype), sl(ochiff).astype(dtype),
             sl(ochibf).astype(dtype), sl(ochicont).astype(dtype),
             sl(obfidx), sl(oact), sl(omgi),
+            no_escat=True,
         )
 
     def _none(st, est):
@@ -1182,8 +1202,14 @@ def _rpkt_propagate_once(
     take_event = mask & ~take_boundary & (edist <= tdist)
     take_tlimit = mask & ~take_boundary & ~take_event
 
+    # float32 runs overshoot boundary crossings by a few ulps of the radius
+    # so the packet lands firmly inside the next cell (see pallas_rpkt)
+    overshoot = (
+        3e-6 * jnp.sqrt(jnp.sum(st.pos * st.pos, axis=-1))
+        if st.pos.dtype == jnp.float32 else 0.0
+    )
     dist = jnp.where(
-        take_boundary, sdist, jnp.where(take_event, edist, tdist)
+        take_boundary, sdist + overshoot, jnp.where(take_event, edist, tdist)
     )
     dist = jnp.maximum(dist, 0.0)
 
@@ -1299,6 +1325,7 @@ def _rpkt_apply_events(
     key, st, est, ctx, grid, dad, cells, opts, opacity_case,
     take_event, thick, is_bb, chi_escat, chi_ff, chi_bf, chi_cont_cmf,
     bf_contindex, ev_act_line, nonemptymgi,
+    no_escat: bool = False,
 ):
     """Apply the physical-event outcomes to the packets that had one this
     iteration (reference: rpkt.cc:411-557 rpkt_event_*)."""
@@ -1308,8 +1335,14 @@ def _rpkt_apply_events(
     ev_bb = take_event & ~thick & is_bb
     ev_cont = take_event & ~thick & ~is_bb
 
-    # continuum event split (rpkt.cc:411-513)
-    chi_rnd = _uniform(key, 52, n, dtype) * chi_cont_cmf
+    # continuum event split (rpkt.cc:411-513); events arriving from the
+    # Pallas kernel already handled the electron-scattering branch, so the
+    # split is drawn from the conditional distribution over [chi_es, chi_tot]
+    u52 = _uniform(key, 52, n, dtype)
+    if no_escat:
+        chi_rnd = chi_escat + u52 * jnp.maximum(chi_cont_cmf - chi_escat, 0.0)
+    else:
+        chi_rnd = u52 * chi_cont_cmf
     ev_escat = ev_cont & (chi_rnd < chi_escat)
     ev_ff = ev_cont & ~ev_escat & (chi_rnd < chi_escat + chi_ff)
     ev_bf = ev_cont & ~ev_escat & ~ev_ff

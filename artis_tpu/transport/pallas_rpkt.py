@@ -86,6 +86,9 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         return False
     if opts.detailed_bf_estimators_on:
         return False
+    # in-kernel scattering is isotropic-only and spawns no virtual packets
+    if opts.dipole or opts.vpkt_on:
+        return False
     if dad.nlines == 0:
         return False
     npropcells = int(grid.ncoordgrid[0])
@@ -128,6 +131,7 @@ def _kernel(
     o_e_rf, o_e_cmf, o_prop_time, o_where, o_next_trans,
     o_evented, o_escaped, o_thick, o_is_bb, o_act_line, o_bf_idx,
     o_chi_escat, o_chi_ff, o_chi_bf, o_chi_cont, o_mgi,
+    o_em_x, o_em_y, o_em_z, o_em_t, o_nsc, o_inkscat,
     o_est,  # (1, ncells, 8): j, nuj, ffheating, ncross (cols 0-3)
     o_gamma,  # (1, ncells, ngc_pad)
     o_bfheat,  # (1, ncells, ngc_pad)
@@ -181,11 +185,15 @@ def _kernel(
         ev_esc=jnp.zeros((B,), F32), ev_ff=jnp.zeros((B,), F32),
         ev_bf=jnp.zeros((B,), F32), ev_cont=jnp.zeros((B,), F32),
         ev_mgi=jnp.zeros((B,), I32),
+        em_x=jnp.zeros((B,), F32), em_y=jnp.zeros((B,), F32),
+        em_z=jnp.zeros((B,), F32), em_t=jnp.zeros((B,), F32),
+        nsc=jnp.zeros((B,), I32), inkscat=jnp.zeros((B,), I32),
         est=jnp.zeros((ncells, 8), F32),
         gam=jnp.zeros((ncells, o_gamma.shape[2]), F32),
         bfh=jnp.zeros((ncells, o_bfheat.shape[2]), F32),
         nadv=jnp.zeros((), F32), nesc=jnp.zeros((), F32),
         lum=jnp.zeros((), F32),
+        n_escat=jnp.zeros((), F32), n_thickscat=jnp.zeros((), F32),
     )
 
     celliota = jax.lax.broadcasted_iota(I32, (B, ncells), 1)
@@ -528,9 +536,29 @@ def _kernel(
         take_boundary = mask & (sdist <= tdist) & (sdist <= edist)
         take_event = mask & ~take_boundary & (edist <= tdist)
         take_tlimit = mask & ~take_boundary & ~take_event
-        dist = jnp.where(take_boundary, sdist,
+        # overshoot boundary crossings by a few float32 ulps of the radius so
+        # the packet lands firmly inside the next cell — rounding that leaves
+        # it on the crossed shell makes it ping-pong between the two cells
+        # forever (the reference's float64 positions make this a non-issue)
+        r_here = jnp.sqrt(pos2)
+        dist = jnp.where(take_boundary, sdist + 3e-6 * r_here,
                          jnp.where(take_event, edist, tdist))
         dist = jnp.maximum(dist, 0.0)
+
+        # split continuum events: electron scattering and thick-cell grey
+        # scattering are pure isotropic redirects handled IN-KERNEL so that
+        # scatter-dominated straggler packets advance many events per
+        # dispatch (the engine gates this path off when dipole or vpkt
+        # machinery needs the full XLA event application)
+        ev_cont_any = take_event & ~thick & ~is_bb & nonempty
+        if test_mode:
+            u_split = sel_u
+        else:
+            u_split = _u01((B,))
+        is_escat = ev_cont_any & (u_split * chi_cont_cmf < chi_escat)
+        ev_thick_k = take_event & thick
+        inkscat = is_escat | ev_thick_k
+        take_event = take_event & ~inkscat
 
         # --- two half-moves with midpoint estimators ---
         h = dist * 0.5
@@ -601,11 +629,62 @@ def _kernel(
         crossing = take_boundary & (snext >= 0)
         cell_out = jnp.where(crossing, snext, s["cell"])
 
+        # isotropic re-emission in the cmf at the post-move position
+        # (reference: rpkt.cc:945-970 emit_rpkt; rpkt.cc:292-409 isotropic
+        # branch of electron_scatter_rpkt)
+        if test_mode:
+            z1 = jnp.full((B,), 0.37, F32)
+            z2 = jnp.full((B,), 0.81, F32)
+        else:
+            z1 = _u01((B,))
+            z2 = _u01((B,))
+        zmu = 2.0 * z1 - 1.0
+        zphi = 2.0 * jnp.float32(np.pi) * z2
+        sinm = jnp.sqrt(jnp.maximum(1.0 - zmu * zmu, 0.0))
+        cdx = sinm * jnp.cos(zphi)
+        cdy = sinm * jnp.sin(zphi)
+        cdz = zmu
+        # aberration with v = -pos/t (vectors.h:61-74)
+        inv_t = 1.0 / ft
+        vx = -fx * inv_t
+        vy = -fy * inv_t
+        vz = -fz * inv_t
+        vsqr = (vx * vx + vy * vy + vz * vz) / CLIGHTSQUARED
+        grel = 1.0 / jnp.sqrt(jnp.maximum(1.0 - vsqr, 1e-30))
+        ndotv = cdx * vx + cdy * vy + cdz * vz
+        fact1 = grel * (1.0 - ndotv / CLIGHT)
+        fact2 = (grel - grel * grel * ndotv / (grel + 1.0) / CLIGHT) / CLIGHT
+        ndx = (cdx - vx * fact2) / fact1
+        ndy = (cdy - vy * fact2) / fact1
+        ndz = (cdz - vz * fact2) / fact1
+        nlen = jnp.sqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+        ndx = ndx / nlen
+        ndy = ndy / nlen
+        ndz = ndz / nlen
+        ndotv_sc = (ndx * fx + ndy * fy + ndz * fz) / ft
+        dop_sc = 1.0 - ndotv_sc / CLIGHT
+        if relativistic:
+            beta2_sc = (fx * fx + fy * fy + fz * fz) / (ft * ft) / CLIGHTSQUARED
+            dop_sc = dop_sc / jnp.sqrt(jnp.maximum(1.0 - beta2_sc, 1e-30))
+
         upd = lambda name, val: jnp.where(take_event, val, s[name])
         return dict(
-            px=px, py=py, pz=pz, dx=s["dx"], dy=s["dy"], dz=s["dz"],
-            nurf=s["nurf"], nucmf=nucmf_out, erf=s["erf"], ecmf=ecmf_out,
-            t=new_t, cell=cell_out, ntr=ntr_keep,
+            px=px, py=py, pz=pz,
+            dx=jnp.where(inkscat, ndx, s["dx"]),
+            dy=jnp.where(inkscat, ndy, s["dy"]),
+            dz=jnp.where(inkscat, ndz, s["dz"]),
+            nurf=jnp.where(inkscat, nucmf_out / dop_sc, s["nurf"]),
+            nucmf=nucmf_out,
+            erf=jnp.where(inkscat, ecmf_out / dop_sc, s["erf"]),
+            ecmf=ecmf_out,
+            t=new_t, cell=cell_out,
+            ntr=ntr_keep,
+            em_x=jnp.where(inkscat, fx, s["em_x"]),
+            em_y=jnp.where(inkscat, fy, s["em_y"]),
+            em_z=jnp.where(inkscat, fz, s["em_z"]),
+            em_t=jnp.where(inkscat, ft, s["em_t"]),
+            nsc=s["nsc"] + inkscat.astype(I32),
+            inkscat=(inkscat | (s["inkscat"] > 0)).astype(I32),
             moving=(mask & ~take_event & ~take_tlimit & ~escaping).astype(I32),
             evented=((s["evented"] > 0) | take_event).astype(I32),
             escaped=((s["escaped"] > 0) | escaping).astype(I32),
@@ -628,6 +707,8 @@ def _kernel(
             nadv=s["nadv"] + jnp.sum(mask.astype(F32)),
             nesc=s["nesc"] + jnp.sum(escaping.astype(F32)),
             lum=s["lum"] + jnp.sum(jnp.where(escaping, ecmf_out, 0.0)),
+            n_escat=s["n_escat"] + jnp.sum(is_escat.astype(F32)),
+            n_thickscat=s["n_thickscat"] + jnp.sum(ev_thick_k.astype(F32)),
         )
 
     def crossing_cond(c):
@@ -659,6 +740,9 @@ def _kernel(
     o_chi_escat[osl] = state["ev_esc"]; o_chi_ff[osl] = state["ev_ff"]
     o_chi_bf[osl] = state["ev_bf"]; o_chi_cont[osl] = state["ev_cont"]
     o_mgi[osl] = state["ev_mgi"]
+    o_em_x[osl] = state["em_x"]; o_em_y[osl] = state["em_y"]
+    o_em_z[osl] = state["em_z"]; o_em_t[osl] = state["em_t"]
+    o_nsc[osl] = state["nsc"]; o_inkscat[osl] = state["inkscat"]
     o_est[0] = state["est"]
     o_gamma[0] = state["gam"]
     o_bfheat[0] = state["bfh"]
@@ -666,7 +750,8 @@ def _kernel(
     mcol = jax.lax.broadcasted_iota(I32, (1, 8, 128), 2)
     misc = jnp.zeros((1, 8, 128), F32)
     for slot, val in enumerate(
-        (state["nadv"], state["nesc"], state["lum"], t2, tmin)
+        (state["nadv"], state["nesc"], state["lum"], t2, tmin,
+         state["n_escat"], state["n_thickscat"])
     ):
         misc = misc + jnp.where((mrow == slot) & (mcol == 0), val, 0.0)
     o_misc[:] = misc
@@ -738,6 +823,7 @@ def propagate_blocked(
         + [i32_out] * 6  # evented, escaped, thick, is_bb, act_line, bf_idx
         + [f32_out] * 4  # chi_escat, chi_ff, chi_bf, chi_cont
         + [i32_out]  # mgi
+        + [f32_out] * 4 + [i32_out] * 2  # em_xyz/t, nsc, inkscat
         + [
             jax.ShapeDtypeStruct((nblocks, ncells, 8), F32),
             jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
@@ -753,7 +839,7 @@ def propagate_blocked(
     )
     # fix dtype-specific specs: lane_spec works for both f32 and i32
     out_specs = (
-        [lane_spec] * 24
+        [lane_spec] * 30
         + [
             pl.BlockSpec((1, ncells, 8), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
