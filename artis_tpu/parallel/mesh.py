@@ -65,18 +65,16 @@ def transport_timestep_sharded(
         in_specs=(P(), pkt_spec, repl(est), repl(grid), repl(rc), repl(rates),
                   repl(cells), repl(ctx)),
         out_specs=(pkt_spec, repl(est), P(), P()),
+        # the transport while_loops allocate fresh (unvarying) carries inside
+        # the loop body (event contexts, step counters) that become varying
+        # mid-loop; disable the varying-manual-axes type check rather than
+        # threading pvary through every loop in the engine
+        check_vma=False,
     )
     def _run(key, st_shard, est0, grid_, rc_, rates_, cells_, ctx_):
         # decorrelate the RNG stream per shard (replaces the reference's
         # rank-offset seed, input.cc:1599-1607)
         shard_key = jax.random.fold_in(key, jax.lax.axis_index(PACKET_AXIS))
-        # the estimator accumulators receive device-varying contributions
-        est0 = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, (PACKET_AXIS,)), est0)
-        cells_ = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, (PACKET_AXIS,)), cells_)
-        rates_ = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, (PACKET_AXIS,)), rates_)
-        ctx_ = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, (PACKET_AXIS,)), ctx_)
-        grid_ = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, (PACKET_AXIS,)), grid_)
-        rc_ = jax.tree_util.tree_map(lambda x: jax.lax.pvary(x, (PACKET_AXIS,)), rc_)
         st_out, est_out, iters, nsteps = engine_mod.transport_timestep(
             shard_key, st_shard, est0, grid_, dad, aux, rc_, rates_, cells_,
             ctx_, opts, gamma_kappagrey, opacity_case, kpktdiffusion_timescale,
