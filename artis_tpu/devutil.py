@@ -17,15 +17,40 @@ def exp_clipped(x):
     return jnp.exp(jnp.minimum(x, limit))
 
 
+def _demote_one(x):
+    if x.dtype == jnp.float64:
+        return x.astype(jnp.float32)
+    return x.astype(jnp.int32)
+
+
+@jax.jit
+def _demote_batch(xs):
+    return [_demote_one(x) for x in xs]
+
+
 def demote_to_f32(tree):
-    """Cast float64 -> float32 and int64 -> int32 across a pytree."""
+    """Cast float64 -> float32 and int64 -> int32 across a pytree.
 
-    def cast(x):
-        if hasattr(x, "dtype"):
-            if x.dtype == jnp.float64:
-                return x.astype(jnp.float32)
-            if x.dtype == jnp.int64:
-                return x.astype(jnp.int32)
-        return x
+    Host (numpy) leaves cast with numpy; device leaves are batched into ONE
+    jitted cast program. On backends where every eager op compiles slowly
+    (~0.36s each on the axon tunnel), per-leaf eager astype turned setup into
+    minutes — batching makes it one compile per tree structure.
+    """
+    import numpy as np
 
-    return jax.tree_util.tree_map(cast, tree)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    out = list(leaves)
+    dev_idx = []
+    for i, x in enumerate(leaves):
+        if isinstance(x, (np.ndarray, np.generic)):
+            if x.dtype == np.float64:
+                out[i] = np.asarray(x, dtype=np.float32)
+            elif x.dtype == np.int64:
+                out[i] = np.asarray(x, dtype=np.int32)
+        elif isinstance(x, jax.Array) and x.dtype in (jnp.float64, jnp.int64):
+            dev_idx.append(i)
+    if dev_idx:
+        casted = _demote_batch([leaves[i] for i in dev_idx])
+        for i, c in zip(dev_idx, casted):
+            out[i] = c
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -293,6 +293,7 @@ class Simulation:
         self.dec.t_model = self.model.t_model
         self.gamma = gammadata_io.init_gamma_data(self.dec, folder=rundir, datadir=self.datadir)
         self.log(f"nuclides {self.dec.num_nuclides} decaypaths {self.dec.npaths}")
+        _tsetup = _time.time()
 
         # initial nuclide mass fractions aligned to the network's indices
         colmap = np.array(
@@ -330,6 +331,7 @@ class Simulation:
         self.stable_initabund = self.stable_initabund_mgi[mgi_of_nonempty]
 
         # --- rate coefficient tables ---
+        self.log(f"composition setup took {_time.time() - _tsetup:.1f}s")
         self.log("building rate coefficient tables...")
         self.rc = ratecoeff_mod.build_tables(
             self.dad, self.opts.tablesize, self.opts.mintemp, self.opts.maxtemp,
@@ -496,7 +498,8 @@ class Simulation:
                 f"vpkt: {self.vpkt_cfg.nobs} observers, "
                 f"{self.vpkt_cfg.nspectra} spectra each"
             )
-        self._vspec_total = np.zeros(self._vspec_shape, dtype=np.float64)
+        if not hasattr(self, "_vspec_total"):  # load_checkpoint may have set it
+            self._vspec_total = np.zeros(self._vspec_shape, dtype=np.float64)
 
         import functools as _ft
         self._plasma_jit = jax.jit(
@@ -577,7 +580,10 @@ class Simulation:
         nnetot = cellstate_mod.calculate_nnetot(self.cells, self.dad)
         self.cells = self.cells.replace(nnetot=nnetot)
 
-        first_ts = nts == self.params.timestep_start
+        # "first" means no previous transport estimators exist; a RESUMED run
+        # restores prev_est from the checkpoint and must use it (the reference
+        # reads the LUT estimators back from gridsave, grid.cc:865-905)
+        first_ts = self.prev_est is None
         if first_ts:
             j_norm = jnp.zeros(ncells)
             nuj_norm = jnp.zeros(ncells)
@@ -862,22 +868,32 @@ class Simulation:
         self.finish()
 
     def save_checkpoint(self, next_nts: int):
-        """Checkpoint packets + grid state and rewrite input.txt so the run
-        resumes at next_nts (reference: sn3d.cc:427-487, grid.cc:2121-2175)."""
+        """Checkpoint packets + the COMPLETE carried simulation state and
+        rewrite input.txt so the run resumes at next_nts (reference:
+        sn3d.cc:427-487; grid.cc:2121-2175 saves grid scalars then the
+        radfield/nonthermal/nltepop restart blocks — here the full CellState
+        and previous-timestep Estimators pytrees cover the same state, since
+        every solver re-derives from them)."""
+        import dataclasses as _dc
+
         packets_mod.save_packets_npz(
             os.path.join(self.rundir, f"packets_0000_ts{next_nts}.npz"), self.state
         )
+        blob = {}
+        for f in _dc.fields(self.cells):
+            blob[f"cells_{f.name}"] = np.asarray(getattr(self.cells, f.name))
+        if self.prev_est is not None:
+            for f in _dc.fields(self.prev_est):
+                blob[f"est_{f.name}"] = np.asarray(getattr(self.prev_est, f.name))
+        for k, v in self.dep_ts.items():
+            blob[f"dep_ts_{k}"] = v
         np.savez_compressed(
             os.path.join(self.rundir, f"gridsave_ts{next_nts}.npz"),
-            TR=np.asarray(self.cells.TR), Te=np.asarray(self.cells.Te),
-            TJ=np.asarray(self.cells.TJ), W=np.asarray(self.cells.W),
-            nne=np.asarray(self.cells.nne), thick=np.asarray(self.cells.thick),
-            kappagrey=np.asarray(self.cells.kappagrey),
-            j=np.asarray(self.prev_est.j) if self.prev_est is not None else np.zeros(1),
-            nuj=np.asarray(self.prev_est.nuj) if self.prev_est is not None else np.zeros(1),
             lc_lum=self.lc_lum, lc_lumcmf=self.lc_lumcmf,
             gamma_dep_ts=self.gamma_dep_ts, cmf_lum_ts=self.cmf_lum_ts,
             escaped_counted=self._escaped_counted, spec_flux=self.spec.flux,
+            vspec_total=self._vspec_total,
+            **blob,
         )
         inputparams_io.update_parameterfile(
             os.path.join(self.rundir, "input.txt"), next_nts, self.params.timestep_finish, 1
@@ -891,21 +907,30 @@ class Simulation:
                     os.remove(path)
 
     def load_checkpoint(self, nts: int):
-        """Resume state from a checkpoint (reference: grid.cc:825-916)."""
+        """Resume state from a checkpoint (reference: grid.cc:825-916). With
+        the deterministic RNG this restores the run bit-exactly (stronger than
+        the reference's contract; verified by tests/test_checkpoint.py)."""
+        import dataclasses as _dc
+
         self.state = packets_mod.load_packets_npz(
             os.path.join(self.rundir, f"packets_0000_ts{nts}.npz")
         )
         g = np.load(os.path.join(self.rundir, f"gridsave_ts{nts}.npz"))
-        self.cells = self.cells.replace(
-            TR=jnp.asarray(g["TR"]), Te=jnp.asarray(g["Te"]), TJ=jnp.asarray(g["TJ"]),
-            W=jnp.asarray(g["W"]), nne=jnp.asarray(g["nne"]),
-            thick=jnp.asarray(g["thick"]), kappagrey=jnp.asarray(g["kappagrey"]),
-        )
+        self.cells = self.cells.replace(**{
+            f.name: jnp.asarray(g[f"cells_{f.name}"])
+            for f in _dc.fields(self.cells) if f"cells_{f.name}" in g
+        })
         est = zero_estimators(
             self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1),
-            nradfieldbins=self._nradbins,
+            nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
+            nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
         )
-        self.prev_est = est.replace(j=jnp.asarray(g["j"]), nuj=jnp.asarray(g["nuj"]))
+        if "est_j" in g:
+            est = est.replace(**{
+                f.name: jnp.asarray(g[f"est_{f.name}"])
+                for f in _dc.fields(est) if f"est_{f.name}" in g
+            })
+        self.prev_est = est
         if self._f32:
             self.cells = demote_to_f32(self.cells)
             self.state = demote_to_f32(self.state)
@@ -916,6 +941,11 @@ class Simulation:
         self.cmf_lum_ts = g["cmf_lum_ts"]
         self._escaped_counted = g["escaped_counted"]
         self.spec.flux[:] = g["spec_flux"]
+        if "vspec_total" in g:
+            self._vspec_total = np.asarray(g["vspec_total"], dtype=np.float64)
+        for k in self.dep_ts:
+            if f"dep_ts_{k}" in g:
+                self.dep_ts[k] = g[f"dep_ts_{k}"]
 
     def finish(self):
         """Final outputs: packets file for exspec (reference: sn3d.cc:860-877)."""

@@ -1663,47 +1663,16 @@ def transport_timestep(
             (st, est),
         )
 
-        # 6. r-packets
+        # 6. r-packets (single instantiation: host-level chunk-width selection
+        # in the driver replaces the old in-program full/compact duality,
+        # which quadrupled XLA+Mosaic compile time)
         rpkt_active = (st.prop_time < ctx.t2) & (st.ptype == TYPE_RPKT)
         n_rpkt = jnp.sum(rpkt_active.astype(jnp.int32))
-        npk = st.npkts
-        K_r = max(min(npk // max(opts.rpkt_compact_divisor, 1), npk), 1)
 
-        def rpkt_phase_full(st, est):
+        def rpkt_phase(st, est):
             return rpkt_step_fn(
                 jax.random.fold_in(k, 107), st, est, ctx, grid, dad, cells, opts,
                 opacity_case,
-            )
-
-        def rpkt_phase_compact(st, est):
-            # gather the active r-packets into K_r lanes so the line walk and
-            # opacity gathers scale with the straggler count, not npkts
-            (idx,) = jnp.nonzero(rpkt_active, size=K_r, fill_value=npk)
-            sel_valid = idx < npk
-            idxc = jnp.minimum(idx, npk - 1)
-            sub = jax.tree_util.tree_map(lambda x: x[idxc], st)
-            # deactivate the padding lanes so they take no step
-            sub = sub.replace(ptype=jnp.where(sel_valid, sub.ptype, TYPE_ESCAPE))
-            sub2, est2, ma_m, ma_l, ma_a, nadv = rpkt_step_fn(
-                jax.random.fold_in(k, 107), sub, est, ctx, grid, dad, cells, opts,
-                opacity_case,
-            )
-            scatter_idx = jnp.where(sel_valid, idx, npk)
-
-            def put(full, part):
-                return full.at[scatter_idx].set(part, mode="drop")
-
-            st2 = jax.tree_util.tree_map(put, st, sub2)
-
-            def expand(x, fill):
-                return jnp.full((npk,), fill, x.dtype).at[scatter_idx].set(x, mode="drop")
-
-            return (st2, est2, expand(ma_m, False), expand(ma_l, jnp.int32(0)),
-                    expand(ma_a, jnp.int32(-99)), nadv)
-
-        def rpkt_phase(st, est):
-            return jax.lax.cond(
-                n_rpkt <= K_r, rpkt_phase_compact, rpkt_phase_full, st, est
             )
 
         st, est, ma_mask_r, ma_level_r, ma_act_line, nadv_r = jax.lax.cond(
@@ -1791,57 +1760,8 @@ def transport_timestep(
     def body(carry):
         st, est, it, nsteps = carry
         k = jax.random.fold_in(key, it)
-
-        # Whole-body compaction: when the active set fits in npkts//divisor
-        # lanes, every phase (including all its gathers) runs on the compacted
-        # buffer — the generalised wavefront-tail optimisation. Estimators are
-        # cell-indexed, so they accumulate directly from the compacted lanes.
-        npk = st.npkts
-        K_w = max(min(npk // max(opts.wavefront_compact_divisor, 1), npk), 1)
-        act = (st.prop_time < ctx.t2) & (st.ptype != TYPE_ESCAPE)
-        n_act = jnp.sum(act.astype(jnp.int32))
-
-        def run_full(st, est, nsteps):
-            st, est, nsteps = body_inner(st, est, k, nsteps)
-            return st, est, nsteps, jnp.int32(1)
-
-        def run_compact(st, est, nsteps):
-            (idx,) = jnp.nonzero(act, size=K_w, fill_value=npk)
-            sel_valid = idx < npk
-            idxc = jnp.minimum(idx, npk - 1)
-            sub = jax.tree_util.tree_map(lambda x: x[idxc], st)
-            sub = sub.replace(ptype=jnp.where(sel_valid, sub.ptype, TYPE_ESCAPE))
-
-            # several events per dispatch iteration on the compacted buffer:
-            # amortises the gather/scatter and lets straggler packets (which
-            # need thousands of micro-steps) drain without full-width passes
-            micro = max(opts.compact_micro_iters, 1)
-
-            def micro_cond(c):
-                sub, est, nsteps, m = c
-                alive = (sub.prop_time < ctx.t2) & (sub.ptype != TYPE_ESCAPE)
-                return jnp.logical_and(m < micro, jnp.any(alive))
-
-            def micro_body(c):
-                sub, est, nsteps, m = c
-                sub, est, nsteps = body_inner(
-                    sub, est, jax.random.fold_in(k, 7000 + m), nsteps
-                )
-                return sub, est, nsteps, m + 1
-
-            sub2, est2, nsteps2, mdone = jax.lax.while_loop(
-                micro_cond, micro_body, (sub, est, nsteps, jnp.int32(0))
-            )
-            scatter_idx = jnp.where(sel_valid, idx, npk)
-            st2 = jax.tree_util.tree_map(
-                lambda full, part: full.at[scatter_idx].set(part, mode="drop"), st, sub2
-            )
-            return st2, est2, nsteps2, jnp.maximum(mdone, 1)
-
-        st, est, nsteps, advanced = jax.lax.cond(
-            n_act <= K_w, run_compact, run_full, st, est, nsteps
-        )
-        return st, est, it + advanced, nsteps
+        st, est, nsteps = body_inner(st, est, k, nsteps)
+        return st, est, it + 1, nsteps
 
     nsteps_dtype = jnp.int64 if st.pos.dtype == jnp.float64 else jnp.int32
     nsteps0 = jnp.sum(jnp.zeros_like(st.ptype, dtype=nsteps_dtype))

@@ -14,6 +14,10 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# signals artis_tpu/__init__ to skip the persistent compilation cache (the
+# XLA:CPU AOT cache is machine-feature-fragile); the jax.config call below is
+# still required because sitecustomize forces the axon platform
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
