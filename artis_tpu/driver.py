@@ -51,6 +51,38 @@ from .transport import opacity as opacity_mod
 GREY_OP = 0.1  # reference: globals.h:240
 
 
+@jax.jit
+def _count_active(state, t2):
+    return jnp.sum(
+        ((state.prop_time < t2) & (state.ptype != TYPE_ESCAPE)).astype(jnp.int32)
+    )
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("width",))
+def _gather_active(state, t2, width: int):
+    """Gather the active packets into a width-lane buffer (tail dispatch)."""
+    npkts = state.npkts
+    act = (state.prop_time < t2) & (state.ptype != TYPE_ESCAPE)
+    (idx,) = jnp.nonzero(act, size=width, fill_value=npkts)
+    valid = idx < npkts
+    idxc = jnp.minimum(idx, npkts - 1)
+    sub = jax.tree_util.tree_map(lambda x: x[idxc], state)
+    sub = sub.replace(ptype=jnp.where(valid, sub.ptype, TYPE_ESCAPE))
+    return sub, idx
+
+
+@jax.jit
+def _scatter_back(state, sub, idx):
+    """Scatter the tail buffer back into the full packet state."""
+    sidx = jnp.where(idx < state.npkts, idx, state.npkts)
+    return jax.tree_util.tree_map(
+        lambda full, part: full.at[sidx].set(part, mode="drop"), state, sub
+    )
+
+
 def printout(logfile, msg):
     line = f"{_time.strftime('%H:%M:%S')} {msg}"
     print(line, flush=True)
@@ -63,6 +95,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                           ffheating_norm, dep_heating, mode: str,
                           binj_norm=None, binnuj_norm=None, bincount=None,
                           gammaest_norm=None, bfrate_normed=None,
+                          jblue_normed=None, jblue_contribcount=None,
                           nlte_indices=None, ntd=None):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
@@ -178,6 +211,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                 ntd=ntd, nt_exc_perdep=nt_exc_perdep,
                 nt_dep_rate_density=dep_heating,
                 bfrate_normed=bfrate_normed,
+                jblue_normed=jblue_normed,
             )
     else:
         levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
@@ -186,6 +220,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     rates = transitionrates_mod.compute_process_rates(
         dad, rc, levelpops, nnion, cells.Te, cells.TR, cells.W, cells.nne, t_mid,
         corrphotoionrenorm=corrphotoionrenorm,
+        jblue_normed=jblue_normed,
     )
     cells = cells.replace(
         totalcooling=rates.totalcooling, ion_cooling_contribs=rates.ion_cooling
@@ -396,10 +431,34 @@ class Simulation:
             max(self.ad.nbfcontinua, 1) if self.opts.detailed_bf_estimators_on else 1
         )
         self._nbfrate_cells = ncells if self.opts.detailed_bf_estimators_on else 1
+        # detailed line J_b_lu estimator selection (radfield.cc:520-552):
+        # selected element's lines from low-lying lower levels
+        if self.opts.detailed_line_estimators_on and self.ad.nlines > 0:
+            line_elem_z = np.asarray(self.ad.elem_z)[np.asarray(self.ad.line_element)]
+            line_lower_local = np.asarray(self.ad.line_lower)
+            line_a = np.asarray(self.ad.line_A)
+            pick = (line_lower_local <= self.opts.jblue_max_lowerlevel) & (line_a > 0)
+            if self.opts.jblue_elem_z > 0:
+                pick &= line_elem_z == self.opts.jblue_elem_z
+            self.jblue_lineindices = np.nonzero(pick)[0].astype(np.int32)
+            jblue_of_line = np.full(self.ad.nlines, -1, np.int32)
+            jblue_of_line[self.jblue_lineindices] = np.arange(
+                len(self.jblue_lineindices), dtype=np.int32
+            )
+            self.jblue_of_line = jnp.asarray(jblue_of_line)
+            self._njblue = max(len(self.jblue_lineindices), 1)
+            self._njblue_cells = ncells
+            self.log(f"detailed line estimators: {len(self.jblue_lineindices)} lines")
+        else:
+            self.jblue_lineindices = np.zeros(0, np.int32)
+            self.jblue_of_line = jnp.full((max(self.ad.nlines, 1),), -1, jnp.int32)
+            self._njblue = 1
+            self._njblue_cells = 1
         self.est = zero_estimators(
             ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype,
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
             nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
+            njblue=self._njblue, njblue_cells=self._njblue_cells,
         )
         self.prev_bfrate_normed = None
         self.prev_est: Estimators | None = None
@@ -464,7 +523,8 @@ class Simulation:
             ),
         )
         self.nlte_indices = (
-            nltepop_mod.build_indices(self.dad) if self.opts.nlte_enabled else None
+            nltepop_mod.build_indices(self.dad, self.opts)
+            if self.opts.nlte_enabled else None
         )
         self.ntd = None
         if self.opts.nt_on and self.opts.nt_solve_spencerfano:
@@ -653,6 +713,17 @@ class Simulation:
             )[:, None]
             if self._f32:
                 bfrate_normed = demote_to_f32(bfrate_normed)
+        jblue_normed = None
+        jblue_contribcount = None
+        if (self.opts.detailed_line_estimators_on and self.prev_est is not None
+                and not first_ts):
+            # prev_Jb_lu_normed = raw * estimator_normfactor_over4pi
+            # (reference: radfield.cc:919)
+            jb_arr = self.prev_est.jblue_raw * jnp.asarray(norm4pi)[:, None]
+            jblue_contribcount = self.prev_est.jblue_count
+            if self._f32:
+                jb_arr = demote_to_f32(jb_arr)
+            jblue_normed = (self.jblue_of_line, jb_arr)
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
          tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe, nt_ionenfrac,
          self.radfieldbin_tr, self.radfieldbin_w,
@@ -662,6 +733,7 @@ class Simulation:
             ffheating_norm, dep_heating, mode=mode,
             binj_norm=binj_norm, binnuj_norm=binnuj_norm, bincount=bincount,
             gammaest_norm=gammaest_norm, bfrate_normed=bfrate_normed,
+            jblue_normed=jblue_normed, jblue_contribcount=jblue_contribcount,
         )
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)
@@ -706,6 +778,7 @@ class Simulation:
             nt_frac_ion_by_ion=nt_fibi,
             nt_frac_ionization=nt_fi,
             nt_frac_excitation=nt_fe,
+            jblue_of_line=self.jblue_of_line,
             nt_ionenfrac_auger=nt_ionenfrac,
             barnes_t_ineff=jnp.asarray(self._barnes_t_ineff, dtype=fdtype),
             barnes_tau_ineff_lepton=jnp.asarray(self._barnes_tau_lepton, dtype=fdtype),
@@ -739,6 +812,7 @@ class Simulation:
             self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1), dtype=dtype,
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
             nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
+            njblue=self._njblue, njblue_cells=self._njblue_cells,
         )
 
         t0 = _time.time()
@@ -746,44 +820,60 @@ class Simulation:
         chunk_iters = self.opts.dispatch_chunk_iters
         iters = 0
         nsteps = 0
-        for chunk in range(4096):  # hard backstop; each chunk advances or drains
+        t2v = float(self.ts.start[nts] + self.ts.width[nts])
+        t2dev = jnp.asarray(t2v, self.state.prop_time.dtype)
+
+        # tail mode: stragglers (diffusion-trapped packets needing millions of
+        # scatters) gathered into a narrow buffer running a second compiled
+        # program with many more in-kernel crossings per iteration
+        npkts = self.opts.npkts
+        tail_w = max(1024, 1 << max(npkts // max(self.opts.tail_width_divisor, 1) - 1, 0).bit_length())
+        use_tail = tail_w < npkts
+        tail_opts = self.opts.replace(
+            rpkt_crossings_per_dispatch=self.opts.tail_crossings_per_dispatch,
+            npkts=tail_w,
+        )
+        mode_tail = False
+        sub = None
+        tail_idx = None
+        transport_kwargs = dict(
+            gamma_kappagrey=float(p.gamma_kappagrey),
+            opacity_case=int(p.opacity_case),
+            kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
+            apply_kpkt_diffusion=bool(nts < p.n_kpktdiffusion_timesteps),
+        )
+        for chunk in range(65536):  # hard backstop; each chunk advances or drains
             key = jax.random.fold_in(base_key, chunk)
-            self.state, self.est, it_c, ns_c = self._transport_jit(
-                key, self.state, self.est, self.grid, self.dad, self.aux, self.rc,
-                self.rates, self.cells, ctx, self.opts,
-                gamma_kappagrey=float(p.gamma_kappagrey),
-                opacity_case=int(p.opacity_case),
-                kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
-                apply_kpkt_diffusion=bool(nts < p.n_kpktdiffusion_timesteps),
-                max_iters=chunk_iters,
-            )
+            if not mode_tail:
+                self.state, self.est, it_c, ns_c = self._transport_jit(
+                    key, self.state, self.est, self.grid, self.dad, self.aux,
+                    self.rc, self.rates, self.cells, ctx, self.opts,
+                    max_iters=chunk_iters, **transport_kwargs,
+                )
+                n_act = int(_count_active(self.state, t2dev))
+            else:
+                sub, self.est, it_c, ns_c = self._transport_jit(
+                    key, sub, self.est, self.grid, self.dad, self.aux,
+                    self.rc, self.rates, self.cells, ctx, tail_opts,
+                    max_iters=self.opts.tail_chunk_iters, **transport_kwargs,
+                )
+                n_act = int(_count_active(sub, t2dev))
             it_c = int(it_c)
             iters += it_c
             nsteps += int(ns_c)
             if os.environ.get("ARTIS_DEBUG_CHUNKS"):
-                t2v = float(self.ts.start[nts] + self.ts.width[nts])
-                actmask = (
-                    (self.state.ptype != TYPE_ESCAPE)
-                    & (self.state.prop_time < t2v)
-                )
-                nact = int(jnp.sum(actmask))
                 self.log(
-                    f"  chunk {chunk}: iters {it_c} steps {int(ns_c)} "
-                    f"active {nact} elapsed {_time.time() - t0:.0f}s"
+                    f"  chunk {chunk}{' (tail)' if mode_tail else ''}: iters "
+                    f"{it_c} steps {int(ns_c)} active {n_act} "
+                    f"elapsed {_time.time() - t0:.0f}s"
                 )
-                if nact and chunk >= 6:
-                    idx = int(jnp.argmax(actmask))
-                    st = self.state
-                    r = float(jnp.linalg.norm(st.pos[idx]))
-                    self.log(
-                        f"    lane {idx}: type {int(st.ptype[idx])} cell "
-                        f"{int(st.where[idx])} t2-t {t2v - float(st.prop_time[idx]):.4g} "
-                        f"r {r:.6g} nu {float(st.nu_cmf[idx]):.6g} "
-                        f"ntr {int(st.next_trans[idx])} "
-                        f"mu {float(jnp.dot(st.pos[idx], st.dir[idx]))/max(r,1e-30):.4f}"
-                    )
-            if it_c < chunk_iters:
+            if n_act == 0:
                 break
+            if use_tail and not mode_tail and n_act <= tail_w:
+                sub, tail_idx = _gather_active(self.state, t2dev, tail_w)
+                mode_tail = True
+        if mode_tail:
+            self.state = _scatter_back(self.state, sub, tail_idx)
         jax.block_until_ready(self.state.ptype)
         dt_transport = _time.time() - t0
         self.log(
@@ -924,6 +1014,7 @@ class Simulation:
             self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1),
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
             nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
+            njblue=self._njblue, njblue_cells=self._njblue_cells,
         )
         if "est_j" in g:
             est = est.replace(**{

@@ -29,7 +29,7 @@ import jax.numpy as jnp
         "counters", "radfieldbin_j", "radfieldbin_nuj", "radfieldbin_count",
         "vspec",
         "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
-        "alpha_dep_discrete", "bfrate",
+        "alpha_dep_discrete", "bfrate", "jblue_raw", "jblue_count",
     ],
     meta_fields=[],
 )
@@ -66,6 +66,12 @@ class Estimators:
     # detailed per-continuum photoionisation-rate estimators
     # (reference: radfield.cc:70-71, 204-233; (1,1) placeholder when off)
     bfrate: jax.Array  # (ncells, nbfcontinua)
+    # detailed line J_b_lu estimators: accumulated every time a packet's
+    # comoving frequency sweeps through a selected line's resonance
+    # (reference: radfield.cc:57-68 Jb_lu_raw, 761-771 update_lineestimator;
+    # (1,1) placeholders when off)
+    jblue_raw: jax.Array  # (ncells, njblue)
+    jblue_count: jax.Array  # (ncells, njblue)
 
     def replace(self, **kw) -> "Estimators":
         return dataclasses.replace(self, **kw)
@@ -74,7 +80,8 @@ class Estimators:
 def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
                     nradfieldbins: int = 1,
                     vspec_shape=(1, 1, 1, 1, 3),
-                    nbfrate: int = 1, nbfrate_cells: int = 1) -> Estimators:
+                    nbfrate: int = 1, nbfrate_cells: int = 1,
+                    njblue: int = 1, njblue_cells: int = 1) -> Estimators:
     z = jnp.zeros((), dtype)
     return Estimators(
         j=jnp.zeros(ncells, dtype),
@@ -103,6 +110,8 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
         electron_dep_discrete=z,
         alpha_dep_discrete=z,
         bfrate=jnp.zeros((nbfrate_cells, nbfrate), dtype),
+        jblue_raw=jnp.zeros((njblue_cells, njblue), dtype),
+        jblue_count=jnp.zeros((njblue_cells, njblue), dtype),
     )
 
 

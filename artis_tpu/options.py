@@ -67,8 +67,15 @@ class Options:
     sf_points: int = 256
     sf_emin: float = 0.1
     sf_emax: float = 16000.0
+    # superlevel compression (reference: LEVEL_IS_NLTE,
+    # artisoptions_nltenebular.h:19-24): levels above the cap collapse into
+    # one Boltzmann-distributed superlevel per ion
     nlte_all_levels: bool = False
-    nlte_maxlevel_fe: int = 80  # levels treated NLTE for Z>=26 group if enabled
+    nlte_maxlevel: int = 80
+    nlte_maxlevel_fe2: int = 197  # Fe II exception
+    # LU iterative-refinement passes, keeping the best residual
+    # (reference: nltepop.cc:623-746)
+    nlte_refine_iters: int = 4
 
     ltepop_excitation_use_tj: bool = True
     force_saha_ion_balance: bool = True
@@ -109,8 +116,12 @@ class Options:
     t_r_min: float = 500.0
     t_r_max: float = 250000.0
 
-    detailed_line_estimators: bool = False
-    detailed_bf_estimators: bool = False
+    # detailed line J_b_lu estimators replacing the binned/dilute-BB field in
+    # radiative-excitation rates for selected lines (reference:
+    # radfield.cc:57-68, 520-552 selection, 761-771 update; macroatom.cc:719)
+    detailed_line_estimators_on: bool = False
+    jblue_elem_z: int = 26  # 0 = all elements (radfield.cc:523)
+    jblue_max_lowerlevel: int = 15  # radfield.cc:540
     use_lut_photoion: bool = True
     use_lut_bfheating: bool = True
 
@@ -183,6 +194,16 @@ class Options:
     # multibin radfield, VMEM-oversized tables, float64 transport)
     use_pallas_rpkt: bool = False
     pallas_block: int = 1024
+    # wavefront-tail dispatch: once the active packet count fits in a buffer
+    # of npkts//tail_width_divisor lanes (min 1024), the driver gathers the
+    # stragglers into that narrow buffer and dispatches a second compiled
+    # program with tail_crossings_per_dispatch in-kernel crossings per
+    # iteration — diffusion-trapped packets need millions of scatters, and at
+    # full width they leave >98% of lanes idle (the TPU answer to the
+    # reference's sort-escaped-to-the-end, update_packets.cc:281-332)
+    tail_width_divisor: int = 16
+    tail_crossings_per_dispatch: int = 1024
+    tail_chunk_iters: int = 8
     # whole-body compaction: when the total active packet count fits in
     # npkts//wavefront_compact_divisor lanes, the entire wavefront iteration
     # runs on a compacted buffer (one gather/scatter for all phases)
@@ -250,7 +271,8 @@ def nltenebular(**overrides) -> Options:
         npkts=1000000,
         grid_type=GridType.CARTESIAN3D,
         nlte_enabled=True,
-        nlte_all_levels=True,
+        nlte_all_levels=False,  # levels above the cap form superlevels
+        # (artisoptions_nltenebular.h:19-24)
         ltepop_excitation_use_tj=False,
         force_saha_ion_balance=False,
         nt_on=True,
@@ -260,5 +282,6 @@ def nltenebular(**overrides) -> Options:
         use_lut_photoion=False,
         use_lut_bfheating=False,
         detailed_bf_estimators_on=True,
+        detailed_line_estimators_on=True,
         use_relativistic_doppler_shift=False,
     ).replace(**overrides)

@@ -10,9 +10,15 @@ Design: the reference assembles and LU-solves one (dim x dim) GSL matrix per
 cell per element, serially. Here each element's rate matrix is assembled for
 ALL cells at once by vectorised gathers over the element's transition and
 continuum index lists (precomputed on the host), and the solve is one batched
-jnp.linalg.solve over the cell axis. Every level of the element is treated in
-NLTE (the reference's superlevel compression is an optimisation for very
-large model atoms and is planned alongside the multibin radiation field).
+LU factorisation over the cell axis with iterative refinement (keeping the
+best-residual iterate, nltepop.cc:623-746).
+
+Superlevels (reference: input.cc:1418-1460 setup_nlte_levels,
+nltepop.cc:850-870 s_renorm, 1061-1072 superlevel_boltzmann): levels above
+the per-ion NLTE cap collapse into one matrix column per ion whose internal
+distribution is Boltzmann at T_exc; rates out of member levels are weighted
+by their Boltzmann share, and the column's normalisation factor is the sum
+of the members' Boltzmann populations (nltepop.cc:568-577).
 """
 
 from __future__ import annotations
@@ -50,6 +56,7 @@ class ElementNlteIndex:
     trans_coll_str: np.ndarray
     trans_forbidden: np.ndarray
     trans_osc_strength: np.ndarray
+    trans_lineidx: np.ndarray  # global lineindex of each down entry
     # continua of this element
     cont_idx: np.ndarray  # indices into the global continuum arrays
     cont_lower_local: np.ndarray
@@ -59,9 +66,25 @@ class ElementNlteIndex:
     ion_nlevels: np.ndarray
     nions: int
     first_global_ion: int = 0  # global ion index of this element's first ion
+    # superlevel compression (input.cc:1418-1460): maps each local level to a
+    # matrix column; members of an ion's superlevel share one column
+    colmap: np.ndarray | None = None  # (dim,) int32 -> [0, dim_reduced)
+    dim_reduced: int = 0
+    sl_member: np.ndarray | None = None  # (dim,) bool
+    e_slref: np.ndarray | None = None  # (dim,) energy of the ion's first member
 
 
-def build_indices(dad: DeviceAtomicData) -> list[ElementNlteIndex]:
+def _nlte_level_cap(z: int, ionstage: int, opts) -> int:
+    """Highest level index treated in full NLTE (reference:
+    artisoptions_nltenebular.h:19-24 LEVEL_IS_NLTE)."""
+    if opts is None or opts.nlte_all_levels:
+        return 1 << 30
+    if z == 26 and ionstage == 2:
+        return opts.nlte_maxlevel_fe2
+    return opts.nlte_maxlevel
+
+
+def build_indices(dad: DeviceAtomicData, opts=None) -> list[ElementNlteIndex]:
     """Precompute per-element index lists (host, once per run)."""
     out = []
     level_ion = np.asarray(dad.level_ion)
@@ -89,6 +112,32 @@ def build_indices(dad: DeviceAtomicData) -> list[ElementNlteIndex]:
         target_global = ion_level_start[level_ion[owner]] + trans_target[sel]
         csel = cont_elem == el
 
+        # superlevel column mapping (input.cc:1418-1460): per ion, levels
+        # 1..cap are full-NLTE columns; higher levels share one column
+        z = int(np.asarray(dad.elem_z)[el])
+        ion_stages = np.asarray(dad.ion_stage)[ions]
+        colmap = np.zeros(dim, dtype=np.int32)
+        sl_member = np.zeros(dim, dtype=bool)
+        e_slref = np.zeros(dim)
+        level_energy = np.asarray(dad.level_energy)
+        col = 0
+        for k, gi in enumerate(ions):
+            ls = int(ion_level_start[gi]) - lstart
+            nl = int(ion_nlevels[gi])
+            cap = _nlte_level_cap(z, int(ion_stages[k]), opts)
+            n_full = min(nl, cap + 1)  # levels 0..cap are full NLTE
+            for l in range(n_full):
+                colmap[ls + l] = col
+                col += 1
+            if nl > n_full:
+                e_ref = level_energy[lstart + ls + n_full]
+                for l in range(n_full, nl):
+                    colmap[ls + l] = col
+                    sl_member[ls + l] = True
+                    e_slref[ls + l] = e_ref
+                col += 1
+        dim_reduced = col
+
         out.append(
             ElementNlteIndex(
                 element=el,
@@ -100,6 +149,7 @@ def build_indices(dad: DeviceAtomicData) -> list[ElementNlteIndex]:
                 trans_coll_str=np.asarray(dad.trans_coll_str)[sel],
                 trans_forbidden=np.asarray(dad.trans_forbidden)[sel],
                 trans_osc_strength=np.asarray(dad.trans_osc_strength)[sel],
+                trans_lineidx=np.asarray(dad.trans_lineindex)[sel],
                 cont_idx=np.nonzero(csel)[0].astype(np.int64),
                 cont_lower_local=(cont_lower[csel] - lstart).astype(np.int32),
                 cont_upper_local=(cont_upper[csel] - lstart).astype(np.int32),
@@ -107,6 +157,10 @@ def build_indices(dad: DeviceAtomicData) -> list[ElementNlteIndex]:
                 ion_nlevels=ion_nlevels[ions].astype(np.int32),
                 nions=len(ions),
                 first_global_ion=int(ions[0]),
+                colmap=colmap,
+                dim_reduced=dim_reduced,
+                sl_member=sl_member,
+                e_slref=e_slref,
             )
         )
     return out
@@ -127,6 +181,7 @@ def solve_element(
     nt_exc_perdep=None,  # (ncells, nexc) excitation ratecoeff per deposition
     nt_dep_rate_density=None,  # (ncells,) [erg/cm3/s]
     bfrate_normed=None,  # (ncells, nbfcontinua) detailed MC photoion rates
+    jblue_normed=None,  # (jblue_of_line, (ncells, njblue)) detailed J_b_lu
 ):
     """Solve one element's statistical equilibrium for all cells.
 
@@ -142,7 +197,39 @@ def solve_element(
     dtype = levelpops_boltzmann.dtype
 
     lp = levelpops_boltzmann[:, lstart : lstart + dim]  # (ncells, dim)
-    m = jnp.zeros((ncells, dim, dim), dtype)
+
+    # superlevel machinery (nltepop.cc:850-870, 1061-1072): column map and
+    # per-level Boltzmann share of its superlevel at T_exc
+    if idx.colmap is not None:
+        cm = jnp.asarray(idx.colmap)  # (dim,)
+        dimr = idx.dim_reduced
+        member = jnp.asarray(idx.sl_member)
+        if bool(np.any(idx.sl_member)):
+            t_exc = cells.TJ if opts.ltepop_excitation_use_tj else t_e
+            e_lvl = dad.level_energy[lstart : lstart + dim]
+            g_lvl = dad.level_g[lstart : lstart + dim]
+            boltz = jnp.where(
+                member[None, :],
+                g_lvl[None, :] * jnp.exp(
+                    -jnp.maximum(e_lvl - jnp.asarray(idx.e_slref, dtype), 0.0)[None, :]
+                    / (KB * jnp.maximum(t_exc, 1.0))[:, None]
+                ),
+                0.0,
+            )
+            sl_partfunc = jnp.zeros((ncells, dimr), dtype).at[:, cm].add(boltz)
+            s_renorm = jnp.where(
+                member[None, :],
+                boltz / jnp.maximum(sl_partfunc[:, cm], 1e-300),
+                1.0,
+            )
+        else:
+            s_renorm = jnp.ones((ncells, dim), dtype)
+    else:
+        cm = jnp.arange(dim, dtype=jnp.int32)
+        dimr = dim
+        s_renorm = jnp.ones((ncells, dim), dtype)
+
+    m = jnp.zeros((ncells, dimr, dimr), dtype)
 
     # --- bound-bound (nltepop.cc:383-464) ---
     if len(idx.trans_A) > 0:
@@ -173,18 +260,32 @@ def solve_element(
             n_l > 0, (b_lu[None, :] - b_ul[None, :] * n_u / jnp.maximum(n_l, 1e-300)) * beta,
             b_lu[None, :] * beta,
         )
-        r_up = jnp.maximum(r_over_j * dbb(nu_trans[None, :], t_r[:, None], w[:, None]), 0.0)
+        j_nu = dbb(nu_trans[None, :], t_r[:, None], w[:, None])
+        if jblue_normed is not None and idx.trans_lineidx is not None:
+            # detailed line estimator replaces the dilute-BB field for
+            # selected lines (reference: macroatom.cc:713-720)
+            jb_line, jb_arr = jblue_normed
+            li = jnp.asarray(idx.trans_lineidx)
+            jb_idx = jb_line[jnp.clip(li, 0, jb_line.shape[0] - 1)]
+            has_jb = (li >= 0) & (jb_idx >= 0)
+            j_nu = jnp.where(
+                has_jb[None, :], jb_arr[:, jnp.maximum(jb_idx, 0)], j_nu
+            )
+        r_up = jnp.maximum(r_over_j * j_nu, 0.0)
         c_up = col_excitation_ratecoeff(
             t_e[:, None], nne[:, None], eps_trans[None, :], jnp.asarray(idx.trans_coll_str)[None, :],
             jnp.asarray(idx.trans_forbidden)[None, :], jnp.asarray(idx.trans_osc_strength)[None, :],
             g_u[None, :], g_l[None, :],
         )
-        down = r_down + c_down
-        upr = r_up + c_up
-        m = m.at[:, up, up].add(-down)
-        m = m.at[:, lo, up].add(down)
-        m = m.at[:, lo, lo].add(-upr)
-        m = m.at[:, up, lo].add(upr)
+        # rates out of a level carry its superlevel Boltzmann share
+        # (nltepop.cc:860-870 s_renorm)
+        down = (r_down + c_down) * s_renorm[:, up]
+        upr = (r_up + c_up) * s_renorm[:, lo]
+        cu, cl = cm[up], cm[lo]
+        m = m.at[:, cu, cu].add(-down)
+        m = m.at[:, cl, cu].add(down)
+        m = m.at[:, cl, cl].add(-upr)
+        m = m.at[:, cu, cl].add(upr)
 
     # --- bound-free (nltepop.cc:466-523) ---
     if len(idx.cont_idx) > 0:
@@ -213,12 +314,13 @@ def solve_element(
             t_e[:, None], nne[:, None], sigma_edge[None, :], eps_trans[None, :],
             (lower_stage + 1)[None, :], g_l[None, :], g_u[None, :],
         )
-        ion = r_ion + c_ion
-        rec = r_rec + c_rec
-        m = m.at[:, ll, ll].add(-ion)
-        m = m.at[:, ul, ll].add(ion)
-        m = m.at[:, ul, ul].add(-rec)
-        m = m.at[:, ll, ul].add(rec)
+        ion = (r_ion + c_ion) * s_renorm[:, ll]
+        rec = (r_rec + c_rec) * s_renorm[:, ul]
+        cll, cul = cm[ll], cm[ul]
+        m = m.at[:, cll, cll].add(-ion)
+        m = m.at[:, cul, cll].add(ion)
+        m = m.at[:, cul, cul].add(-rec)
+        m = m.at[:, cll, cul].add(rec)
 
     # --- non-thermal ionisation (nltepop.cc:525-554 NT contribution): the
     # same Gamma_NT applies to every level of an ion; the electron lands in
@@ -233,10 +335,12 @@ def solve_element(
             ionidx_global = int(idx.first_global_ion) + k
             rate = nt_ion_rate[:, ionidx_global]  # (ncells,)
             lv = jnp.arange(lsl, lsl + nlv[k])
-            m = m.at[:, lv, lv].add(-rate[:, None])
+            clv = cm[lv]
+            slv = s_renorm[:, lv]  # (ncells, nlv_k)
+            m = m.at[:, clv, clv].add(-rate[:, None] * slv)
             maxa = min(naug, idx.nions - 1 - k)
             for a in range(maxa):
-                gup = ion_starts[k + 1 + a]
+                gup = int(cm[ion_starts[k + 1 + a]])
                 if nt_prob_auger is not None:
                     p = nt_prob_auger[:, ionidx_global, a]
                     if a == maxa - 1:
@@ -245,7 +349,7 @@ def solve_element(
                         p = 1.0 - jnp.sum(nt_prob_auger[:, ionidx_global, :a], axis=1)
                 else:
                     p = jnp.ones_like(rate) if a == 0 else jnp.zeros_like(rate)
-                m = m.at[:, gup, lv].add((rate * p)[:, None])
+                m = m.at[:, gup, clv].add((rate * p)[:, None] * slv)
 
     # --- non-thermal excitation (nltepop.cc:445-449 NTC term;
     # nonthermal.cc:2272-2297 nt_excitation_ratecoeff) ---
@@ -257,17 +361,22 @@ def solve_element(
             lo_l = jnp.asarray(exc_lower[in_elem] - lstart)
             up_l = ntd.exc_upper[tsel] - lstart
             ntc = nt_exc_perdep[:, tsel] * nt_dep_rate_density[:, None]  # (ncells, t)
-            m = m.at[:, lo_l, lo_l].add(-ntc)
-            m = m.at[:, up_l, lo_l].add(ntc)
+            ntc = ntc * s_renorm[:, lo_l]
+            clo, cup = cm[lo_l], cm[up_l]
+            m = m.at[:, clo, clo].add(-ntc)
+            m = m.at[:, cup, clo].add(ntc)
 
     # --- constraint rows and column normalisation ---
     # The reference sets constraint rows to 1 BEFORE scaling every matrix
     # column by the Boltzmann norm factors (nltepop.cc:892-930), so the
     # constraint rows end up containing norm_j — i.e. they constrain the
     # physical populations sum(x_j norm_j). We apply the end state directly.
-    norm = jnp.maximum(lp, opts.minpop)  # (ncells, dim)
+    # A superlevel column's norm is the sum of its members' Boltzmann pops
+    # (nltepop.cc:568-577).
+    lpc = jnp.maximum(lp, opts.minpop)  # (ncells, dim)
+    norm = jnp.zeros((ncells, dimr), dtype).at[:, cm].add(lpc)
     m = m * norm[:, None, :]
-    balance = jnp.zeros((ncells, dim), dtype).at[:, 0].set(nnelement)
+    balance = jnp.zeros((ncells, dimr), dtype).at[:, 0].set(nnelement)
     m = m.at[:, 0, :].set(norm)
 
     if opts.force_saha_ion_balance:
@@ -279,21 +388,58 @@ def solve_element(
 
         uppermost = find_uppermost_ion(dad, logphi, cells.rho / MH)
         frac = calculate_ionfractions_log(dad, logphi, nne, uppermost)  # (ncells, nelem, maxn)
+        colmap_np = (np.asarray(idx.colmap) if idx.colmap is not None
+                     else np.arange(dim, dtype=np.int32))
         for k in range(1, idx.nions):
             g0 = int(idx.ion_local_start[k])
             g1 = g0 + int(idx.ion_nlevels[k])
+            c0 = int(colmap_np[g0])
+            c1 = int(colmap_np[g1 - 1]) + 1
             nnion_k = nnelement * frac[:, idx.element, k]
-            row = jnp.zeros((ncells, dim), dtype).at[:, g0:g1].set(1.0) * norm
-            m = m.at[:, g0, :].set(row)
-            balance = balance.at[:, g0].set(nnion_k)
+            row = jnp.zeros((ncells, dimr), dtype).at[:, c0:c1].set(1.0) * norm
+            m = m.at[:, c0, :].set(row)
+            balance = balance.at[:, c0].set(nnion_k)
 
-    # --- batched solve (nltepop.cc:623-746) ---
-    x = jnp.linalg.solve(m, balance[..., None])[..., 0]
-    pops = x * norm
+    # --- batched LU solve with iterative refinement, keeping the best
+    # residual (nltepop.cc:623-746) ---
+    lu, piv = jax.vmap(jax.scipy.linalg.lu_factor)(m)
+
+    def lusolve(rhs):
+        return jax.vmap(jax.scipy.linalg.lu_solve)((lu, piv), rhs)
+
+    x = lusolve(balance)
+
+    def resnorm(xv):
+        r = balance - jnp.einsum("cij,cj->ci", m, xv)
+        return r, jnp.max(jnp.abs(r), axis=1)
+
+    r, best_err = resnorm(x)
+    best_x = x
+
+    def refine(_, carry):
+        x, r, best_x, best_err = carry
+        x = x + lusolve(r)
+        r, err = resnorm(x)
+        better = err < best_err
+        best_x = jnp.where(better[:, None], x, best_x)
+        best_err = jnp.minimum(err, best_err)
+        return x, r, best_x, best_err
+
+    n_ref = max(int(getattr(opts, "nlte_refine_iters", 0)), 0)
+    if n_ref > 0:
+        _, _, best_x, best_err = jax.lax.fori_loop(
+            0, n_ref, refine, (x, r, best_x, best_err)
+        )
+    x = best_x
+
+    # physical pops: superlevel members share the solved x of their column
+    # scaled by their own Boltzmann population (nltepop.cc:993-1005)
+    pops = x[:, cm] * lpc
 
     # fallbacks: non-finite solve or negative pops -> LTE value
+    # (nltepop.cc:632-636, 735-742)
     bad = ~jnp.isfinite(pops) | (pops < 0)
-    pops = jnp.where(bad, norm, pops)
+    pops = jnp.where(bad, lpc, pops)
     return pops
 
 
@@ -311,6 +457,7 @@ def solve_all_elements(
     nt_exc_perdep=None,
     nt_dep_rate_density=None,
     bfrate_normed=None,
+    jblue_normed=None,
 ):
     """Solve every element and return the merged (ncells, nlevels_total)
     population table plus updated ion ground pops / partition functions."""
@@ -323,6 +470,7 @@ def solve_all_elements(
             nt_prob_auger=nt_prob_auger, ntd=ntd, nt_exc_perdep=nt_exc_perdep,
             nt_dep_rate_density=nt_dep_rate_density,
             bfrate_normed=bfrate_normed,
+            jblue_normed=jblue_normed,
         )
         levelpops = jax.lax.dynamic_update_slice(
             levelpops, pops, (0, idx.lstart)

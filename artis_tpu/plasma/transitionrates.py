@@ -148,6 +148,7 @@ def compute_process_rates(
     nne: jax.Array,
     t_mid: float,
     corrphotoionrenorm: jax.Array | None = None,  # (ncells, nbfcontinua_ground)
+    jblue_normed=None,  # (jblue_of_line, (ncells, njblue)) detailed J_b_lu
     trans_chunk: int = 4096,
     cont_chunk: int = 1024,
 ) -> ProcessRates:
@@ -231,6 +232,15 @@ def compute_process_rates(
                 b_lu[None, :] * beta,
             )
             j_nu = dbb(nu_trans[None, :], jnp.maximum(t_r, 1.0)[:, None], w[:, None])
+            if jblue_normed is not None:
+                # detailed line estimator replaces the radiation-field model
+                # for selected lines (reference: macroatom.cc:713-720)
+                jb_line, jb_arr = jblue_normed
+                li = sl(dad.trans_lineindex)
+                jb_idx = jb_line[jnp.clip(li, 0, jb_line.shape[0] - 1)]
+                has_jb = (li >= 0) & (jb_idx >= 0)
+                j_detail = jb_arr[:, jnp.maximum(jb_idx, 0)]
+                j_nu = jnp.where(has_jb[None, :], j_detail, j_nu)
             r_up = jnp.maximum(r_over_j * j_nu, 0.0)
             c_up = col_excitation_ratecoeff(
                 te, ne, eps_trans[None, :], coll_str[None, :], forb[None, :],

@@ -54,7 +54,8 @@ from ..decay import (
         "elem_numberdens", "xcom_energy", "xcom_sigma",
         "vpkt_cum_tau", "vpkt_cum_taunu", "vpkt_cfg",
         "nt_frac_ion_by_ion", "nt_frac_ionization", "nt_ionenfrac_auger",
-        "nt_frac_excitation", "barnes_t_ineff", "barnes_tau_ineff_lepton",
+        "nt_frac_excitation", "jblue_of_line",
+        "barnes_t_ineff", "barnes_tau_ineff_lepton",
         "barnes_tau_ineff_alpha", "rho_t_mgi", "rho_tmin_mgi",
         "tmin", "gammaline_energy",
         "gammaline_cumfrac", "gammaline_nlines", "nuc_engamma",
@@ -85,6 +86,7 @@ class StepContext:
     nt_ionenfrac_auger: jax.Array  # (ncells, nions, naug) energy-weighted
     # Auger upper-ion probabilities (nonthermal.cc:2157-2203)
     nt_frac_excitation: jax.Array  # (ncells,)
+    jblue_of_line: jax.Array  # (nlines,) detailed-line index or -1
     gammaline_energy: jax.Array  # (nnuc, maxlines) [erg]
     gammaline_cumfrac: jax.Array  # (nnuc, maxlines)
     gammaline_nlines: jax.Array  # (nnuc,)
@@ -1162,31 +1164,48 @@ def _rpkt_propagate_once(
                 is_boundbound=is_bb_x & jnp.isfinite(edist_x),
                 activating_line=jnp.zeros_like(st.ptype) - 99,
             )
+            jb_acc, jb_cnt = est.jblue_raw, est.jblue_count
         else:
-            ev = get_event_batch(
-                dad, ctx.tau_sob_factor, safe_mgi, st_nu_cmf, st.prop_time, st_next_trans,
-                chi_cont, tau_next, abort_dist, nu_cmf_abort, d_nu_on_d_l,
-                need_chi, opts.use_relativistic_doppler_shift, chunk=opts.linewalk_chunk,
-            )
+            if opts.detailed_line_estimators_on:
+                ev, jb_acc, jb_cnt = get_event_batch(
+                    dad, ctx.tau_sob_factor, safe_mgi, st_nu_cmf, st.prop_time,
+                    st_next_trans, chi_cont, tau_next, abort_dist,
+                    nu_cmf_abort, d_nu_on_d_l, need_chi,
+                    opts.use_relativistic_doppler_shift,
+                    chunk=opts.linewalk_chunk,
+                    jblue=(ctx.jblue_of_line, st.e_cmf, est.jblue_raw,
+                           est.jblue_count),
+                )
+            else:
+                ev = get_event_batch(
+                    dad, ctx.tau_sob_factor, safe_mgi, st_nu_cmf, st.prop_time, st_next_trans,
+                    chi_cont, tau_next, abort_dist, nu_cmf_abort, d_nu_on_d_l,
+                    need_chi, opts.use_relativistic_doppler_shift, chunk=opts.linewalk_chunk,
+                )
+                jb_acc, jb_cnt = est.jblue_raw, est.jblue_count
         if select_continuum is not None:
             contindex = select_continuum(jax.random.fold_in(key, 54)).astype(jnp.int32)
         else:
             contindex = jnp.zeros_like(st.ptype)
         return (chi_escat, chi_ff, chi_bf, chi_cont_cmf, ev.edist,
                 ev.next_trans, ev.is_boundbound, ev.activating_line, contindex,
-                gamma_contr)
+                gamma_contr, jb_acc, jb_cnt)
 
     def grey_only(st_nu_cmf, st_next_trans):
         z = jnp.zeros_like(st_nu_cmf)
         zi = jnp.zeros_like(st.ptype)
         return (z, z, z, z, z + jnp.inf, st_next_trans.astype(jnp.int32),
                 jnp.zeros_like(mask), zi - 99, zi,
-                z[:, None] + jnp.zeros((ngc,), st_nu_cmf.dtype))
+                z[:, None] + jnp.zeros((ngc,), st_nu_cmf.dtype),
+                est.jblue_raw, est.jblue_count)
 
     (chi_escat, chi_ff, chi_bf, chi_cont_cmf, ev_edist, ev_next_trans,
-     ev_is_bb, ev_act_line, bf_contindex, gamma_contr) = jax.lax.cond(
+     ev_is_bb, ev_act_line, bf_contindex, gamma_contr,
+     jblue_raw_new, jblue_count_new) = jax.lax.cond(
         jnp.any(need_chi), nongrey_machinery, grey_only, st.nu_cmf, st.next_trans
     )
+    if opts.detailed_line_estimators_on:
+        est = est.replace(jblue_raw=jblue_raw_new, jblue_count=jblue_count_new)
 
     # thick cells: grey opacity (rpkt.cc:647-654)
     chi_grey = cells.kappagrey[safe_mgi] * cells.rho[safe_mgi] * doppler

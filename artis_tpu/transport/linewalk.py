@@ -79,7 +79,13 @@ def get_event_batch(
     relativistic: bool,
     chunk: int = 256,
     max_iters: int | None = None,
+    jblue: tuple | None = None,
 ) -> EventResult:
+    """When ``jblue`` is given as (jblue_of_line, e_cmf0, jblue_acc,
+    jblue_cnt), every line resonance a packet sweeps through (including the
+    bb-activating line) contributes prop_time*CLIGHT*e_cmf/nu to its J_b_lu
+    estimator (reference: rpkt.cc:151-167, radfield.cc:761-771), and the
+    return value becomes (EventResult, jblue_acc, jblue_cnt)."""
     nlines = dad.nlines
     chunk = max(min(chunk, nlines), 1)  # never pad a walk chunk past the list
     if max_iters is None:
@@ -105,6 +111,18 @@ def get_event_batch(
         tau_factor = jnp.concatenate(
             [tau_factor, jnp.zeros((tau_factor.shape[0], pad), tau_factor.dtype)], axis=1
         )
+    if jblue is not None:
+        from ..constants import CLIGHT
+
+        jblue_of_line, e_cmf0, jblue_acc0, jblue_cnt0 = jblue
+        njblue = jblue_acc0.shape[1]
+        # out-of-selection lines route to the dropped index
+        jb_map = jnp.where(jblue_of_line >= 0, jblue_of_line, njblue)
+        if pad:
+            jb_map = jnp.concatenate([jb_map, jnp.full((pad,), njblue, jb_map.dtype)])
+        # e_cmf/nu_cmf is invariant along free flight (adiabatic redshift), so
+        # the increment at each line is (t0 + D/c_prop) * CLIGHT * e0/nu0
+        e_over_nu = CLIGHT * e_cmf0 / jnp.maximum(nu_cmf0, 1e-30)
     karange = jnp.arange(chunk, dtype=jnp.int32)
     row = jnp.arange(npkts)
     safe_chi = jnp.maximum(chi_cont, 1e-30)
@@ -131,6 +149,9 @@ def get_event_batch(
         is_bb=active & False,
         act_line=jnp.zeros_like(cursor0) - 99,
     )
+    if jblue is not None:
+        state["jb_acc"] = jblue_acc0
+        state["jb_cnt"] = jblue_cnt0
 
     def cond(s):
         return jnp.logical_and(s["b"] < nblocks, ~jnp.all(s["done"]))
@@ -215,16 +236,38 @@ def get_event_batch(
         )
         lastD = jnp.where(not_term, jnp.maximum(s["lastD"], jnp.max(relD, axis=1)), s["lastD"])
 
-        return dict(
+        out = dict(
             b=b + 1, tau_cum=tau_cum, lastD=lastD,
             done=s["done"] | any_term, edist=edist, next_trans=next_trans,
             is_bb=is_bb, act_line=act_line,
         )
+        if jblue is not None:
+            # lines swept before the terminal (plus the activating line on a
+            # bound-bound event) feed the detailed J_b_lu estimators
+            # (reference: rpkt.cc:151-167)
+            kk = karange[None, :]
+            passed = validk & (
+                ~any_term[:, None] | (kk < jj[:, None])
+                | ((kk == jj[:, None]) & j_bb[:, None])
+            )
+            t_line = prop_time0[:, None] + relD / CLIGHT_PROP
+            inc = jnp.where(passed, t_line * e_over_nu[:, None], 0.0)
+            jb_blk = jax.lax.dynamic_slice_in_dim(jb_map, l0, chunk)
+            out["jb_acc"] = s["jb_acc"].at[
+                cellidx[:, None], jb_blk[None, :]
+            ].add(inc, mode="drop")
+            out["jb_cnt"] = s["jb_cnt"].at[
+                cellidx[:, None], jb_blk[None, :]
+            ].add(passed.astype(inc.dtype), mode="drop")
+        return out
 
     out = jax.lax.while_loop(cond, body, state)
-    return EventResult(
+    res = EventResult(
         edist=out["edist"],
         next_trans=out["next_trans"],
         is_boundbound=out["is_bb"],
         activating_line=out["act_line"],
     )
+    if jblue is not None:
+        return res, out["jb_acc"], out["jb_cnt"]
+    return res

@@ -84,7 +84,7 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         return False
     if opts.expansionopacities_on or opts.multibin_radfield:
         return False
-    if opts.detailed_bf_estimators_on:
+    if opts.detailed_bf_estimators_on or opts.detailed_line_estimators_on:
         return False
     # in-kernel scattering is isotropic-only and spawns no virtual packets
     if opts.dipole or opts.vpkt_on:

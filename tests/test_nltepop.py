@@ -89,3 +89,51 @@ def test_nlte_departure_in_diluted_field(setup):
     dep = nlte[:, exc] / np.maximum(lte[:, exc], 1e-300)
     sel = lte[:, exc] > 1e-10
     assert np.median(dep[sel]) < 1.0
+
+
+def test_superlevel_reproduces_lte_in_detailed_balance(setup):
+    """With the per-ion NLTE cap forcing superlevels, detailed-balance
+    conditions must still reproduce Boltzmann pops — the superlevel's
+    internal distribution is exactly Boltzmann there
+    (reference: nltepop.cc:850-870, 1061-1072)."""
+    dad, rc, indices, opts, cells, temps = setup
+    opts_sl = opts.replace(nlte_all_levels=False, nlte_maxlevel=2,
+                           nlte_maxlevel_fe2=2)
+    indices_sl = nltepop.build_indices(dad, opts_sl)
+    # 6 levels/ion with cap 2 -> levels 3..5 collapse into a superlevel
+    assert any(np.any(ix.sl_member) for ix in indices_sl)
+    assert all(ix.dim_reduced < ix.dim for ix in indices_sl if np.any(ix.sl_member))
+    lte_pops = ltepop.calculate_levelpops(dad, cells, opts_sl)
+    _, nlte_pops = nltepop.solve_all_elements(
+        indices_sl, dad, rc, cells, opts_sl, lte_pops, t_mid=5.0 * 86400.0
+    )
+    lte = np.asarray(lte_pops)
+    nlte = np.asarray(nlte_pops)
+    mask = lte > 1e-20
+    ratio = nlte[mask] / lte[mask]
+    assert np.all(np.isfinite(ratio))
+    assert np.quantile(np.abs(np.log(ratio)), 0.95) < 0.12
+    np.testing.assert_allclose(
+        nlte.sum(axis=1), np.asarray(cells.elem_numberdens())[:, 0], rtol=1e-6
+    )
+
+
+def test_refinement_does_not_worsen_residual(setup):
+    """LU iterative refinement keeps the best-residual iterate
+    (reference: nltepop.cc:623-746), so refined pops can never be less
+    self-consistent than the unrefined solve."""
+    dad, rc, indices, opts, cells, temps = setup
+    cells_d = cells.replace(W=jnp.full(cells.ncells, 1e-3))
+    lte_pops = ltepop.calculate_levelpops(dad, cells_d, opts)
+    outs = {}
+    for n_ref in (0, 4):
+        o = opts.replace(nlte_refine_iters=n_ref)
+        _, pops = nltepop.solve_all_elements(
+            indices, dad, rc, cells_d, o, lte_pops, t_mid=5.0 * 86400.0
+        )
+        outs[n_ref] = np.asarray(pops)
+    for pops in outs.values():
+        assert np.all(np.isfinite(pops)) and np.all(pops >= 0)
+    # refined and unrefined solves agree on the physical scale
+    sel = outs[0] > 1e-6
+    np.testing.assert_allclose(outs[4][sel], outs[0][sel], rtol=0.05)
