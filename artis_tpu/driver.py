@@ -96,7 +96,8 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                           binj_norm=None, binnuj_norm=None, bincount=None,
                           gammaest_norm=None, bfrate_normed=None,
                           jblue_normed=None, jblue_contribcount=None,
-                          nlte_indices=None, ntd=None):
+                          radfield_use_bins: bool = False,
+                          nlte_indices=None, ntd=None, vpkt_exclude=()):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
     populations, ff-opacity parts and the macro-atom/cooling rate tables
@@ -121,8 +122,48 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             TR=jnp.where(valid, t_r, cells.TR),
             W=jnp.where(valid, w, cells.W),
         )
+    # multibin radiation-field fits (reference: radfield.cc:834-911) — fitted
+    # BEFORE the solvers so LUT-off photoionisation/bfheating integrals can
+    # evaluate J_nu from the binned model (update_grid_cell fits first too)
+    if opts.multibin_radfield and mode != "first" and binj_norm is not None:
+        tr_bins, w_bins = radfield_mod.fit_bin_params(
+            binj_norm, binnuj_norm, bincount, cells.Te, opts.radfieldbincount,
+            opts.mintemp, opts.maxtemp,
+        )
+    else:
+        nb = opts.radfieldbincount if opts.multibin_radfield else 1
+        tr_bins = jnp.zeros((cells.Te.shape[0], nb), cells.Te.dtype)
+        w_bins = jnp.zeros_like(tr_bins)
+
+    # LUT-off on-the-fly photoionisation / bf-heating integrals against the
+    # current radiation-field model (reference: ratecoeff.cc:685-817,
+    # thermalbalance.cc:43-106)
+    corr_otf = None
+    bfh_otf = None
+    if (mode == "nlte" and dad.nbfcontinua > 0
+            and (not opts.use_lut_photoion or not opts.use_lut_bfheating)):
+        lp0 = ltepop_mod.calculate_levelpops(dad, cells, opts)
+        nnion0_ = ltepop_mod.get_nnion(dad, cells)
+        _, bf_dep0 = opacity_mod.build_bf_tables(
+            dad, lp0, nnion0_, cells.nne, cells.nnetot, cells.Te
+        )
+        use_bins = radfield_use_bins and opts.multibin_radfield and binj_norm is not None
+        corr_all, bfh_all = ratecoeff_mod.radfield_bf_integrals_cells(
+            dad, cells.Te, cells.TR, cells.W, bf_dep0,
+            tr_bins=tr_bins if use_bins else None,
+            w_bins=w_bins if use_bins else None,
+            nbins=opts.radfieldbincount if use_bins else 0,
+        )
+        if not opts.use_lut_photoion:
+            corr_otf = corr_all
+        if not opts.use_lut_bfheating:
+            bfh_otf = bfh_all
+    if mode == "nlte":
+        # thermal balance after the radiation-field fits so LUT-off heating
+        # uses the current field (reference: update_grid_cell fit -> solve)
         cells, _hc = thermalbalance_mod.call_t_e_finder(
-            dad, rc, cells, opts, t_mid, ffheating_norm, dep_heating
+            dad, rc, cells, opts, t_mid, ffheating_norm, dep_heating,
+            bfheating_cells=bfh_otf,
         )
         # thick cells use the grey/LTE T_J path even in non-LTE timesteps
         # (reference: update_grid.cc:961-978 per-cell branch)
@@ -135,6 +176,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             Te=jnp.where(thick1 & validj, t_j, cells.Te),
             W=jnp.where(thick1, jnp.ones_like(t_j), cells.W),
         )
+
     # LUT gamma estimators -> per-ion Gamma + corrphotoionrenorm
     # (reference: update_grid.cc:765-830)
     gamma_ion = None
@@ -171,6 +213,9 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     nt_ion_rate = None
     nt_prob_auger = None
     nt_exc_perdep = None
+    nexc = (ntd.exc_upper.shape[0] if (ntd is not None and opts.nt_excitation_on)
+            else 1)
+    nt_exc_fracdep_cum = jnp.zeros((ncells, max(nexc, 1)), cells.Te.dtype)
     if ntd is not None and mode == "nlte":
         boltz0 = ltepop_mod.calculate_levelpops(dad, cells, opts)
         nnion0 = ltepop_mod.get_nnion(dad, cells)
@@ -190,11 +235,20 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         nt_prob_auger = sf["prob_num_auger"]
         if opts.nt_excitation_on:
             nt_exc_perdep = sf["exc_ratecoeff_perdep"]
+            # per-transition deposition fractions, cumulative, for the NT
+            # excitation channel (nonthermal.cc:1608-1625 frac_deposition)
+            from .constants import EV as _EV
+            fracdep = (
+                boltz0[:, ntd.exc_lower]
+                * ntd.exc_eps_ev[None, :].astype(cells.Te.dtype) * _EV
+                * nt_exc_perdep
+            )
+            nt_exc_fracdep_cum = jnp.cumsum(fracdep, axis=1)
         # only the heating fraction of the deposition heats the gas
         # (thermalbalance.cc:135-241 via nonthermal heating fraction)
         cells, _hc = thermalbalance_mod.call_t_e_finder(
             dad, rc, cells, opts, t_mid, ffheating_norm,
-            dep_heating * sf["frac_heating"],
+            dep_heating * sf["frac_heating"], bfheating_cells=bfh_otf,
         )
         cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
     if mode == "nlte" and opts.nlte_enabled and nlte_indices:
@@ -212,6 +266,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                 nt_dep_rate_density=dep_heating,
                 bfrate_normed=bfrate_normed,
                 jblue_normed=jblue_normed,
+                corr_photoion_cells=corr_otf,
             )
     else:
         levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
@@ -221,21 +276,11 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         dad, rc, levelpops, nnion, cells.Te, cells.TR, cells.W, cells.nne, t_mid,
         corrphotoionrenorm=corrphotoionrenorm,
         jblue_normed=jblue_normed,
+        corr_photoion_cells=corr_otf,
     )
     cells = cells.replace(
         totalcooling=rates.totalcooling, ion_cooling_contribs=rates.ion_cooling
     )
-    # multibin radiation-field fits (reference: radfield.cc:834-911)
-    if opts.multibin_radfield and mode != "first" and binj_norm is not None:
-        tr_bins, w_bins = radfield_mod.fit_bin_params(
-            binj_norm, binnuj_norm, bincount, cells.Te, opts.radfieldbincount,
-            opts.mintemp, opts.maxtemp,
-        )
-    else:
-        nb = opts.radfieldbincount if opts.multibin_radfield else 1
-        tr_bins = jnp.zeros((cells.Te.shape[0], nb), cells.Te.dtype)
-        w_bins = jnp.zeros_like(tr_bins)
-
     # per-timestep transport tables (the cellcache equivalent): Sobolev tau
     # factors and bound-free factor tables, so the per-packet hot loop does
     # single row-gathers instead of recomputing per packet
@@ -250,7 +295,9 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         expo_pc = expo_kappa
     if opts.vpkt_on:
         from .transport import vpkt as vpkt_device_mod
-        vcum_tau, vcum_taunu = vpkt_device_mod.build_vpkt_tables(tau_sob, dad)
+        vcum_tau, vcum_taunu = vpkt_device_mod.build_vpkt_tables(
+            tau_sob, dad, exclude=vpkt_exclude
+        )
     else:
         vcum_tau = jnp.zeros((tau_sob.shape[0], 1), tau_sob.dtype)
         vcum_taunu = vcum_tau
@@ -259,7 +306,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     )
     return (cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep,
             nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation,
-            nt_ionenfrac,
+            nt_ionenfrac, nt_exc_fracdep_cum,
             tr_bins, w_bins, vcum_tau, vcum_taunu, expo_kappa, expo_pc)
 
 
@@ -339,9 +386,11 @@ class Simulation:
         self.initnucmassfrac[:, colmap[ok]] = self.model.initnucmassfrac[:, ok]
 
         # --- per-cell initial composition ---
+        self.log(f"setup: nucmassfrac done at {_time.time() - _tsetup:.1f}s")
         mgi_of_nonempty = np.asarray(self.grid.mgi_of_cell)[
             np.asarray(self.grid.cell_of_nonemptymgi)
         ]
+        self.log(f"setup: grid transfers done at {_time.time() - _tsetup:.1f}s")
         self.mgi_of_nonempty = mgi_of_nonempty
         ncells = self.grid.nonempty_npts
         abund = model_io.read_abundances(
@@ -354,6 +403,7 @@ class Simulation:
         norm = np.where(threed | (norm <= 0), 1.0, norm)
         elem_total = abund[:, self.ad.elem_z - 1] / norm[:, None]  # (npts, nelements)
 
+        self.log(f"setup: abundances read at {_time.time() - _tsetup:.1f}s")
         # untracked-stable = total - radioactive isotopes (grid.cc:228-266)
         iso_by_elem = np.zeros((self.model.npts_model, self.ad.nelements))
         for el, z in enumerate(self.ad.elem_z):
@@ -454,11 +504,23 @@ class Simulation:
             self.jblue_of_line = jnp.full((max(self.ad.nlines, 1),), -1, jnp.int32)
             self._njblue = 1
             self._njblue_cells = 1
+        self._nion_stats_cells = ncells if self.opts.track_ion_stats else 1
+        self._nion_stats_ions = (
+            max(self.ad.nions_total, 1) if self.opts.track_ion_stats else 1
+        )
+        self._nion_stats = (
+            stats_mod.N_ION_STATS if self.opts.track_ion_stats else 1
+        )
+        self._vgrid_shape = (1, 1, 1, 1, 3)  # refined after vpkt cfg is read
         self.est = zero_estimators(
             ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype,
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
             nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
             njblue=self._njblue, njblue_cells=self._njblue_cells,
+            nion_stats_cells=self._nion_stats_cells,
+            nion_stats_ions=self._nion_stats_ions,
+            nion_stats=self._nion_stats,
+            vgrid_shape=self._vgrid_shape,
         )
         self.prev_bfrate_normed = None
         self.prev_est: Estimators | None = None
@@ -558,15 +620,40 @@ class Simulation:
                 f"vpkt: {self.vpkt_cfg.nobs} observers, "
                 f"{self.vpkt_cfg.nspectra} spectra each"
             )
+        if self.opts.vpkt_on and self.vpkt_cfg is not None:
+            # the real observer/channel counts come from vpkt.txt, which is
+            # read after the estimator shapes were first sized
+            self._vspec_shape = (
+                self.vpkt_cfg.nobs, self.vpkt_cfg.nspectra,
+                self.opts.vpkt_vmtbins, self.opts.vpkt_vmnubins, 3,
+            )
+            self.est = self.est.replace(
+                vspec=jnp.zeros(self._vspec_shape,
+                                jnp.float32 if self._f32 else jnp.float64))
+        if (self.opts.vpkt_on and self.vpkt_cfg is not None
+                and self.vpkt_cfg.vgrid_on):
+            self._vgrid_shape = (
+                self.vpkt_cfg.nobs, int(self.vpkt_cfg.vgrid_numin.shape[0]),
+                self.vpkt_cfg.vgrid_ny, self.vpkt_cfg.vgrid_nz, 3,
+            )
+            # re-zero with the real map shape
+            self.est = self.est.replace(
+                vgrid=jnp.zeros(self._vgrid_shape,
+                                jnp.float32 if self._f32 else jnp.float64))
         if not hasattr(self, "_vspec_total"):  # load_checkpoint may have set it
             self._vspec_total = np.zeros(self._vspec_shape, dtype=np.float64)
+        if not hasattr(self, "_vgrid_total"):
+            self._vgrid_total = np.zeros(self._vgrid_shape, dtype=np.float64)
 
         import functools as _ft
         self._plasma_jit = jax.jit(
             _ft.partial(
-                _plasma_update_device, nlte_indices=self.nlte_indices, ntd=self.ntd
+                _plasma_update_device, nlte_indices=self.nlte_indices,
+                ntd=self.ntd,
+                vpkt_exclude=(self.vpkt_cfg.exclude
+                              if self.vpkt_cfg is not None else ())
             ),
-            static_argnames=("opts", "mode"),
+            static_argnames=("opts", "mode", "radfield_use_bins"),
         )
 
     # ------------------------------------------------------------------
@@ -726,6 +813,7 @@ class Simulation:
             jblue_normed = (self.jblue_of_line, jb_arr)
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
          tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe, nt_ionenfrac,
+         nt_exc_fracdep_cum,
          self.radfieldbin_tr, self.radfieldbin_w,
          vcum_tau, vcum_taunu, expo_kappa, expo_pc) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
@@ -734,6 +822,7 @@ class Simulation:
             binj_norm=binj_norm, binnuj_norm=binnuj_norm, bincount=bincount,
             gammaest_norm=gammaest_norm, bfrate_normed=bfrate_normed,
             jblue_normed=jblue_normed, jblue_contribcount=jblue_contribcount,
+            radfield_use_bins=bool(nts >= self.opts.first_nlte_radfield_timestep),
         )
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)
@@ -778,6 +867,12 @@ class Simulation:
             nt_frac_ion_by_ion=nt_fibi,
             nt_frac_ionization=nt_fi,
             nt_frac_excitation=nt_fe,
+            nt_exc_fracdep_cum=nt_exc_fracdep_cum,
+            nt_exc_upper=(
+                self.ntd.exc_upper.astype(jnp.int32)
+                if (self.ntd is not None and self.opts.nt_excitation_on)
+                else jnp.zeros((1,), jnp.int32)
+            ),
             jblue_of_line=self.jblue_of_line,
             nt_ionenfrac_auger=nt_ionenfrac,
             barnes_t_ineff=jnp.asarray(self._barnes_t_ineff, dtype=fdtype),
@@ -813,6 +908,10 @@ class Simulation:
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
             nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
             njblue=self._njblue, njblue_cells=self._njblue_cells,
+            nion_stats_cells=self._nion_stats_cells,
+            nion_stats_ions=self._nion_stats_ions,
+            nion_stats=self._nion_stats,
+            vgrid_shape=self._vgrid_shape,
         )
 
         t0 = _time.time()
@@ -888,6 +987,9 @@ class Simulation:
         if self.opts.vpkt_on:
             self._vspec_total = self._vspec_total + np.asarray(
                 self.est.vspec, dtype=np.float64
+            )
+            self._vgrid_total = self._vgrid_total + np.asarray(
+                self.est.vgrid, dtype=np.float64
             )
         self.gamma_dep_ts[nts] = float(jnp.sum(self.est.dep_gamma)) * self._e0
         self.cmf_lum_ts[nts] = float(self.est.cmf_lum) * self._e0
@@ -982,7 +1084,7 @@ class Simulation:
             lc_lum=self.lc_lum, lc_lumcmf=self.lc_lumcmf,
             gamma_dep_ts=self.gamma_dep_ts, cmf_lum_ts=self.cmf_lum_ts,
             escaped_counted=self._escaped_counted, spec_flux=self.spec.flux,
-            vspec_total=self._vspec_total,
+            vspec_total=self._vspec_total, vgrid_total=self._vgrid_total,
             **blob,
         )
         inputparams_io.update_parameterfile(
@@ -1015,6 +1117,10 @@ class Simulation:
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
             nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
             njblue=self._njblue, njblue_cells=self._njblue_cells,
+            nion_stats_cells=self._nion_stats_cells,
+            nion_stats_ions=self._nion_stats_ions,
+            nion_stats=self._nion_stats,
+            vgrid_shape=self._vgrid_shape,
         )
         if "est_j" in g:
             est = est.replace(**{
@@ -1034,6 +1140,8 @@ class Simulation:
         self.spec.flux[:] = g["spec_flux"]
         if "vspec_total" in g:
             self._vspec_total = np.asarray(g["vspec_total"], dtype=np.float64)
+        if "vgrid_total" in g:
+            self._vgrid_total = np.asarray(g["vgrid_total"], dtype=np.float64)
         for k in self.dep_ts:
             if f"dep_ts_{k}" in g:
                 self.dep_ts[k] = g[f"dep_ts_{k}"]
@@ -1049,6 +1157,11 @@ class Simulation:
                 os.path.join(self.rundir, "specpol_virtual.out"), self.vpkt_cfg,
                 self._vspec_total * self._e0,
             )
+            if self.vpkt_cfg.vgrid_on:
+                vpkt_mod.write_vpkt_grid(
+                    os.path.join(self.rundir, "vpkt_grid.out"), self.vpkt_cfg,
+                    self._vgrid_total * self._e0, float(self.grid.vmax),
+                )
         self.write_outputs(partial=False)
 
     def write_deposition(self):
@@ -1118,6 +1231,28 @@ class Simulation:
                     f"nne {nne[i]:g} rho {rho[i]:g} thick {int(thick[i])} "
                     f"totalcooling {cool[i]:g}\n"
                 )
+                if self.opts.track_ion_stats and self.prev_est is not None:
+                    # MC-vs-analytic per-ion rate comparison columns
+                    # (reference: update_grid.cc:424-620 TRACK_ION_STATS)
+                    ist = np.asarray(self.prev_est.ion_stats)
+                    if ist.shape[0] == self.grid.nonempty_npts:
+                        z_of_ion = np.asarray(self.ad.elem_z)[
+                            np.asarray(self.dad.ion_element)
+                        ]
+                        stage = np.asarray(self.dad.ion_stage)
+                        for ui in range(self.ad.nions_total):
+                            row = ist[i, ui]
+                            if not np.any(row):
+                                continue
+                            f.write(
+                                f"ionstats Z {int(z_of_ion[ui])} ionstage "
+                                f"{int(stage[ui])} photoion_mc {row[stats_mod.ION_PHOTOION]:g} "
+                                f"ntion_mc {row[stats_mod.ION_NTION]:g} "
+                                f"bb_absorbed {row[stats_mod.ION_BOUNDBOUND_ABSORBED]:g} "
+                                f"bb_emitted {row[stats_mod.ION_BOUNDBOUND_MACROATOM]:g} "
+                                f"ma_energy_in {row[stats_mod.ION_MACROATOM_ENERGYIN_TOTAL]:g} "
+                                f"ma_energy_out {row[stats_mod.ION_MACROATOM_ENERGYOUT_TOTAL]:g}\n"
+                            )
 
     def write_outputs(self, partial: bool):
         width = np.asarray(self.ts.width[:-1])

@@ -30,6 +30,7 @@ import jax.numpy as jnp
         "vspec",
         "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
         "alpha_dep_discrete", "bfrate", "jblue_raw", "jblue_count",
+        "ion_stats", "vgrid",
     ],
     meta_fields=[],
 )
@@ -72,6 +73,12 @@ class Estimators:
     # (1,1) placeholders when off)
     jblue_raw: jax.Array  # (ncells, njblue)
     jblue_count: jax.Array  # (ncells, njblue)
+    # per-ion-per-cell event statistics (reference: stats.h:12-44
+    # ionstattypes, stats.cc:36-154 increment_ion_stats; (1,1,1) when off)
+    ion_stats: jax.Array  # (ncells, nions, N_ION_STATS)
+    # virtual-packet velocity-grid polarisation maps
+    # (reference: vpkt.cc:66-160; (1,1,1,1,3) when off)
+    vgrid: jax.Array  # (nobs, nwl, vgrid_ny, vgrid_nz, 3)
 
     def replace(self, **kw) -> "Estimators":
         return dataclasses.replace(self, **kw)
@@ -81,7 +88,10 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
                     nradfieldbins: int = 1,
                     vspec_shape=(1, 1, 1, 1, 3),
                     nbfrate: int = 1, nbfrate_cells: int = 1,
-                    njblue: int = 1, njblue_cells: int = 1) -> Estimators:
+                    njblue: int = 1, njblue_cells: int = 1,
+                    nion_stats_cells: int = 1, nion_stats_ions: int = 1,
+                    nion_stats: int = 1,
+                    vgrid_shape=(1, 1, 1, 1, 3)) -> Estimators:
     z = jnp.zeros((), dtype)
     return Estimators(
         j=jnp.zeros(ncells, dtype),
@@ -112,6 +122,8 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
         bfrate=jnp.zeros((nbfrate_cells, nbfrate), dtype),
         jblue_raw=jnp.zeros((njblue_cells, njblue), dtype),
         jblue_count=jnp.zeros((njblue_cells, njblue), dtype),
+        ion_stats=jnp.zeros((nion_stats_cells, nion_stats_ions, nion_stats), dtype),
+        vgrid=jnp.zeros(vgrid_shape, dtype),
     )
 
 

@@ -101,7 +101,6 @@ class Options:
     vpkt_vmtbins: int = 30
     vpkt_vmnubins: int = 1000
 
-    track_ion_stats: bool = False
     minpop: float = 1e-40
 
     nu_min_r: float = 1e13  # rpkt frequency window
@@ -124,6 +123,9 @@ class Options:
     jblue_max_lowerlevel: int = 15  # radfield.cc:540
     use_lut_photoion: bool = True
     use_lut_bfheating: bool = True
+    # per-ion-per-cell event statistics (reference: TRACK_ION_STATS,
+    # stats.h:12-44); feeds the MC-vs-analytic rate columns in estimator files
+    track_ion_stats: bool = False
 
     # non-thermal solver
     # detailed per-continuum MC photoionisation-rate estimators

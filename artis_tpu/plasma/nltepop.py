@@ -182,6 +182,7 @@ def solve_element(
     nt_dep_rate_density=None,  # (ncells,) [erg/cm3/s]
     bfrate_normed=None,  # (ncells, nbfcontinua) detailed MC photoion rates
     jblue_normed=None,  # (jblue_of_line, (ncells, njblue)) detailed J_b_lu
+    corr_photoion_cells=None,  # (ncells, ncont) LUT-off on-the-fly rates
 ):
     """Solve one element's statistical equilibrium for all cells.
 
@@ -298,8 +299,13 @@ def solve_element(
         g_l = dad.level_g[lstart + ll]
         g_u = dad.level_g[lstart + ul]
 
-        gamma_lut = interpolate_lut(rc.corrphotoion, rc, ci[None, :], t_r[:, None])
-        r_ion = w[:, None] * gamma_lut
+        if corr_photoion_cells is not None:
+            # LUT-off: photoionisation integral over the current radiation
+            # field model (reference: ratecoeff.cc:731-817)
+            r_ion = corr_photoion_cells[:, ci]
+        else:
+            gamma_lut = interpolate_lut(rc.corrphotoion, rc, ci[None, :], t_r[:, None])
+            r_ion = w[:, None] * gamma_lut
         if bfrate_normed is not None:
             # detailed MC estimator IS the photoionisation rate coefficient
             # (reference: ratecoeff.cc:1218-1226 get_corrphotoioncoeff with
@@ -327,6 +333,8 @@ def solve_element(
     # the ground state of ion+1+a with the Auger-electron probability
     # P(a) (nonthermal.cc:2157-2203 nt_ionization_upperion_probability) ---
     if nt_ion_rate is not None:
+        cm_np = (np.asarray(idx.colmap) if idx.colmap is not None
+                 else np.arange(dim))
         ion_starts = [int(v) for v in idx.ion_local_start]
         nlv = [int(v) for v in idx.ion_nlevels]
         naug = nt_prob_auger.shape[2] if nt_prob_auger is not None else 1
@@ -340,7 +348,7 @@ def solve_element(
             m = m.at[:, clv, clv].add(-rate[:, None] * slv)
             maxa = min(naug, idx.nions - 1 - k)
             for a in range(maxa):
-                gup = int(cm[ion_starts[k + 1 + a]])
+                gup = int(cm_np[ion_starts[k + 1 + a]])
                 if nt_prob_auger is not None:
                     p = nt_prob_auger[:, ionidx_global, a]
                     if a == maxa - 1:
@@ -458,6 +466,7 @@ def solve_all_elements(
     nt_dep_rate_density=None,
     bfrate_normed=None,
     jblue_normed=None,
+    corr_photoion_cells=None,
 ):
     """Solve every element and return the merged (ncells, nlevels_total)
     population table plus updated ion ground pops / partition functions."""
@@ -471,6 +480,7 @@ def solve_all_elements(
             nt_dep_rate_density=nt_dep_rate_density,
             bfrate_normed=bfrate_normed,
             jblue_normed=jblue_normed,
+            corr_photoion_cells=corr_photoion_cells,
         )
         levelpops = jax.lax.dynamic_update_slice(
             levelpops, pops, (0, idx.lstart)

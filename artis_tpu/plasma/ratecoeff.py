@@ -256,3 +256,95 @@ def select_continuum_nu_batch(key, dad: DeviceAtomicData, contindex, t_e, mask):
     fracseg = jnp.where(c1 > c0, (target - c0) / jnp.maximum(c1 - c0, 1e-300), 0.0)
     nu_lower = nu[row, seg_idx] + fracseg * (nu[row, seg_idx + 1] - nu[row, seg_idx])
     return jnp.where(mask, nu_lower, 0.0)
+
+
+def radfield_bf_integrals_cells(
+    dad: DeviceAtomicData,
+    t_e: jax.Array,  # (ncells,)
+    t_r: jax.Array,  # (ncells,) full-spectrum T_R
+    w_full: jax.Array,  # (ncells,) full-spectrum W
+    bf_dep: jax.Array,  # (ncells, ncont) stimulated-recomb departure ratio
+    tr_bins=None,  # (ncells, nbins) multibin fits; None -> fullspec J only
+    w_bins=None,
+    nbins: int = 0,
+    chunk: int = 256,
+):
+    """LUT-off on-the-fly photoionisation and bf-heating coefficients against
+    the CURRENT radiation-field model (reference: ratecoeff.cc:731-817
+    calculate_corrphotoioncoeff_integral with J from radfield::radfield;
+    thermalbalance.cc:43-106 calculate_bfheatingcoeff).
+
+    Returns (corrphotoion, bfheating), each (ncells, ncont):
+      corr = 4pi p INT sigma/(h nu) J_nu max(1 - dep e^{-hnu/kTe}, 0) dnu
+      bfh  = 4pi p INT sigma (1-nu_edge/nu) J_nu (1 - e^{-hnu/kT_R}) dnu
+    evaluated by Simpson on the uniform phixs grid, batched over cells and
+    chunked over continua.
+    """
+    from .radfield import dbb, select_bin
+
+    ncont = dad.nbfcontinua
+    ncells = t_e.shape[0]
+    dtype = t_e.dtype
+    if ncont == 0:
+        z = jnp.zeros((ncells, 0), dtype)
+        return z, z
+    npts = dad.nphixspoints
+    inc = dad.nphixsnuincrement
+    kgrid = 1.0 + inc * jnp.arange(npts, dtype=dtype)
+    wsimp = jnp.asarray(_simpson_weights(npts), dtype)
+    chunk = max(min(chunk, ncont), 1)
+    nchunks = -(-ncont // chunk)
+    t_r_s = jnp.maximum(t_r, 1.0)
+    t_e_s = jnp.maximum(t_e, 1.0)
+
+    def body(carry, c):
+        corr_acc, bfh_acc = carry
+        ci = jnp.clip(c * chunk + jnp.arange(chunk), 0, ncont - 1)
+        nu_edge = dad.cont_nu_edge[ci].astype(dtype)  # (chunk,)
+        sigma = dad.allphixs[dad.cont_phixsrow[ci]].astype(dtype)  # (chunk, npts)
+        prob = dad.cont_probability[ci].astype(dtype)
+        nu = nu_edge[:, None] * kgrid[None, :]  # (chunk, npts)
+        dnu = nu_edge * inc
+
+        # J_nu from the current radiation-field model (radfield.cc:774-793)
+        if tr_bins is not None and nbins > 0:
+            b = select_bin(nu, nbins)  # (chunk, npts)
+            bsafe = jnp.clip(b, 0, nbins - 1)
+            trb = tr_bins[:, bsafe]  # (ncells, chunk, npts)
+            wb = w_bins[:, bsafe]
+            bin_ok = (b >= 0)[None, :, :] & (wb >= 0) & (trb > 0)
+            j_nu = jnp.where(
+                bin_ok, dbb(nu[None, :, :], jnp.maximum(trb, 1.0), jnp.maximum(wb, 0.0)), 0.0
+            )
+        else:
+            j_nu = dbb(nu[None, :, :], t_r_s[:, None, None], w_full[:, None, None])
+
+        hnu_kte = HOVERKB * nu[None, :, :] / t_e_s[:, None, None]
+        corrfac = jnp.maximum(
+            1.0 - bf_dep[:, ci, None] * jnp.exp(-jnp.minimum(hnu_kte, 80.0)), 0.0
+        )
+        integ_c = jnp.sum(
+            wsimp[None, None, :] * sigma[None, :, :] * ONEOVERH / nu[None, :, :]
+            * j_nu * corrfac,
+            axis=2,
+        ) * dnu[None, :]
+        corr_chunk = FOURPI * prob[None, :] * integ_c
+
+        stimfac = -jnp.expm1(-jnp.minimum(HOVERKB * nu[None, :, :] / t_r_s[:, None, None], 80.0))
+        integ_b = jnp.sum(
+            wsimp[None, None, :] * sigma[None, :, :]
+            * (1.0 - nu_edge[None, :, None] / nu[None, :, :]) * j_nu * stimfac,
+            axis=2,
+        ) * dnu[None, :]
+        bfh_chunk = FOURPI * prob[None, :] * integ_b
+
+        upd = lambda acc, v: jax.lax.dynamic_update_slice_in_dim(
+            acc, v, c * chunk, axis=1
+        )
+        return (upd(corr_acc, corr_chunk), upd(bfh_acc, bfh_chunk)), None
+
+    ncont_pad = nchunks * chunk
+    corr0 = jnp.zeros((ncells, ncont_pad), dtype)
+    bfh0 = jnp.zeros((ncells, ncont_pad), dtype)
+    (corr, bfh), _ = jax.lax.scan(body, (corr0, bfh0), jnp.arange(nchunks))
+    return corr[:, :ncont], bfh[:, :ncont]

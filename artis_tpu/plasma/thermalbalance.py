@@ -55,6 +55,9 @@ def compute_heating_cooling(
     ffheating_norm: jax.Array,  # normalised ff-heating estimator (ncells,)
     dep_heating: jax.Array,  # non-thermal deposition heating rate (ncells,)
     bfheat_renorm: jax.Array | None = None,  # (ncells, nbfcontinua_ground)
+    bfheating_cells: jax.Array | None = None,  # (ncells, ncont) LUT-off
+    # on-the-fly bf-heating coefficients vs the current radiation field
+    # (reference: thermalbalance.cc:43-106; replaces n*W*LUT(T_R)*renorm)
     trans_chunk: int = 4096,
     cont_chunk: int = 1024,
 ) -> HeatingCoolingRates:
@@ -140,10 +143,14 @@ def compute_heating_cooling(
             n_ll = levelpops[:, ll]
 
             # bf heating: n_level * W * LUT(T_R) * renorm (thermalbalance.cc:246-289)
-            bfh = interpolate_lut(rc.bfheating, rc, ci[None, :], t_r[:, None])
-            gidx = jnp.clip(dad.cont_groundindex[ci], 0, max(dad.nbfcontinua_ground - 1, 0))
-            renorm = bfheat_renorm[:, gidx]
-            heat_bf = heat_bf + jnp.sum(wv * n_ll * w[:, None] * bfh * renorm, axis=1)
+            # or, LUT-off, n_level * (on-the-fly radfield integral)
+            if bfheating_cells is not None:
+                heat_bf = heat_bf + jnp.sum(wv * n_ll * bfheating_cells[:, ci], axis=1)
+            else:
+                bfh = interpolate_lut(rc.bfheating, rc, ci[None, :], t_r[:, None])
+                gidx = jnp.clip(dad.cont_groundindex[ci], 0, max(dad.nbfcontinua_ground - 1, 0))
+                renorm = bfheat_renorm[:, gidx]
+                heat_bf = heat_bf + jnp.sum(wv * n_ll * w[:, None] * bfh * renorm, axis=1)
 
             # fb cooling (kpkt.cc:147-171)
             bfcool = interpolate_lut(rc.bfcooling, rc, ci[None, :], t_e[:, None])
@@ -198,6 +205,7 @@ def call_t_e_finder(
     ffheating_norm: jax.Array,
     dep_heating: jax.Array,
     bfheat_renorm: jax.Array | None = None,
+    bfheating_cells: jax.Array | None = None,
     niter: int = 24,
 ):
     """Batched bisection for T_e in [mintemp, maxtemp] with the reference's
@@ -217,7 +225,7 @@ def call_t_e_finder(
         nnion = get_nnion(dad, trial)
         hc = compute_heating_cooling(
             dad, rc, trial, opts, levelpops, nnion, t_current, ffheating_norm,
-            dep_heating, bfheat_renorm,
+            dep_heating, bfheat_renorm, bfheating_cells=bfheating_cells,
         )
         heat = hc.heating_ff + hc.heating_bf + hc.heating_collisional + hc.heating_dep
         cool = hc.cooling_ff + hc.cooling_fb + hc.cooling_collisional + hc.cooling_adiabatic
@@ -255,6 +263,6 @@ def call_t_e_finder(
     nnion = get_nnion(dad, out)
     hc = compute_heating_cooling(
         dad, rc, out, opts, levelpops, nnion, t_current, ffheating_norm,
-        dep_heating, bfheat_renorm,
+        dep_heating, bfheat_renorm, bfheating_cells=bfheating_cells,
     )
     return out, hc

@@ -149,6 +149,7 @@ def compute_process_rates(
     t_mid: float,
     corrphotoionrenorm: jax.Array | None = None,  # (ncells, nbfcontinua_ground)
     jblue_normed=None,  # (jblue_of_line, (ncells, njblue)) detailed J_b_lu
+    corr_photoion_cells=None,  # (ncells, ncont) LUT-off on-the-fly rates
     trans_chunk: int = 4096,
     cont_chunk: int = 1024,
 ) -> ProcessRates:
@@ -317,13 +318,17 @@ def compute_process_rates(
             ma = ma.at[:, ul, MA_ACTION_COLRECOMB].add(wv * c_rec * eps_trans[None, :])
             ma = ma.at[:, ul, MA_ACTION_INTERNALDOWNLOWER].add(v_rec_tot)
 
-            # ionisation rates (per n_lowerlevel)
-            gamma_lut = interpolate_lut(
-                rc.corrphotoion, rc, idx_safe[None, :], jnp.maximum(t_r, rc.mintemp)[:, None]
-            )
-            gidx = jnp.clip(dad.cont_groundindex[idx_safe], 0, max(dad.nbfcontinua_ground - 1, 0))
-            renorm = corrphotoionrenorm[:, gidx]
-            r_ion = w[:, None] * gamma_lut * renorm
+            # ionisation rates (per n_lowerlevel); LUT-off mode uses the
+            # on-the-fly radiation-field integral (ratecoeff.cc:731-817)
+            if corr_photoion_cells is not None:
+                r_ion = corr_photoion_cells[:, idx_safe]
+            else:
+                gamma_lut = interpolate_lut(
+                    rc.corrphotoion, rc, idx_safe[None, :], jnp.maximum(t_r, rc.mintemp)[:, None]
+                )
+                gidx = jnp.clip(dad.cont_groundindex[idx_safe], 0, max(dad.nbfcontinua_ground - 1, 0))
+                renorm = corrphotoionrenorm[:, gidx]
+                r_ion = w[:, None] * gamma_lut * renorm
             c_ion = col_ionization_ratecoeff(
                 te, ne, sigma_edge[None, :], eps_trans[None, :], lower_stage[None, :]
             )

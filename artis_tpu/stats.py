@@ -83,3 +83,54 @@ def format_counters(counters) -> str:
     return "\n".join(
         f"  {name}: {int(v)}" for name, v in zip(COUNTER_NAMES, vals) if v != 0
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-ion-per-cell statistics (reference: stats.h:12-44 ionstattypes).
+# Accumulated into the (ncells, nions, N_ION_STATS) estimator when
+# Options.track_ion_stats is on; indices mirror the reference enum.
+# ---------------------------------------------------------------------------
+ION_RADRECOMB_MACROATOM = 0
+ION_RADRECOMB_KPKT = 1
+ION_RADRECOMB_ABSORBED = 2
+ION_BOUNDBOUND_MACROATOM = 3
+ION_BOUNDBOUND_ABSORBED = 4
+ION_NTION = 5
+ION_PHOTOION = 6
+ION_PHOTOION_FROMBOUNDFREE = 7
+ION_PHOTOION_FROMBFSAMEELEMENT = 8
+ION_PHOTOION_FROMBFIONPLUSONE = 9
+ION_PHOTOION_FROMBFIONPLUSTWO = 10
+ION_PHOTOION_FROMBFIONPLUSTHREE = 11
+ION_PHOTOION_FROMBFLOWERSUPERLEVEL = 12
+ION_PHOTOION_FROMBOUNDBOUND = 13
+ION_PHOTOION_FROMBOUNDBOUNDIONPLUSONE = 14
+ION_PHOTOION_FROMBOUNDBOUNDIONPLUSTWO = 15
+ION_PHOTOION_FROMBOUNDBOUNDIONPLUSTHREE = 16
+ION_MACROATOM_ENERGYOUT_RADDEEXC = 17
+ION_MACROATOM_ENERGYOUT_RADRECOMB = 18
+ION_MACROATOM_ENERGYOUT_COLLDEEXC = 19
+ION_MACROATOM_ENERGYOUT_COLLRECOMB = 20
+ION_MACROATOM_ENERGYIN_RADEXC = 21
+ION_MACROATOM_ENERGYIN_PHOTOION = 22
+ION_MACROATOM_ENERGYIN_COLLEXC = 23
+ION_MACROATOM_ENERGYIN_COLLION = 24
+ION_MACROATOM_ENERGYIN_NTCOLLEXC = 25
+ION_MACROATOM_ENERGYIN_NTCOLLION = 26
+ION_MACROATOM_ENERGYIN_TOTAL = 27
+ION_MACROATOM_ENERGYOUT_TOTAL = 28
+ION_MACROATOM_ENERGYIN_INTERNAL = 29
+ION_MACROATOM_ENERGYOUT_INTERNAL = 30
+N_ION_STATS = 31
+
+
+def ion_add(ion_stats, mgi, ion, stat: int, value, active):
+    """Scatter-add per-packet contributions into the per-ion stats array
+    (replaces the reference's atomicadd, stats.cc:147-154)."""
+    import jax.numpy as jnp
+
+    ok = active & (mgi >= 0)
+    c = jnp.where(ok, mgi, ion_stats.shape[0])
+    i = jnp.where(ok, ion, 0)
+    v = jnp.where(ok, value, 0.0)
+    return ion_stats.at[c, i, stat].add(v, mode="drop")

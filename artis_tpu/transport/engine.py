@@ -54,7 +54,8 @@ from ..decay import (
         "elem_numberdens", "xcom_energy", "xcom_sigma",
         "vpkt_cum_tau", "vpkt_cum_taunu", "vpkt_cfg",
         "nt_frac_ion_by_ion", "nt_frac_ionization", "nt_ionenfrac_auger",
-        "nt_frac_excitation", "jblue_of_line",
+        "nt_frac_excitation", "nt_exc_fracdep_cum", "nt_exc_upper",
+        "jblue_of_line",
         "barnes_t_ineff", "barnes_tau_ineff_lepton",
         "barnes_tau_ineff_alpha", "rho_t_mgi", "rho_tmin_mgi",
         "tmin", "gammaline_energy",
@@ -86,6 +87,10 @@ class StepContext:
     nt_ionenfrac_auger: jax.Array  # (ncells, nions, naug) energy-weighted
     # Auger upper-ion probabilities (nonthermal.cc:2157-2203)
     nt_frac_excitation: jax.Array  # (ncells,)
+    # NT excitation channel (nonthermal.cc:2353-2380): per-cell cumulative
+    # frac_deposition over the stored excitation transitions + upper levels
+    nt_exc_fracdep_cum: jax.Array  # (ncells, nexc)
+    nt_exc_upper: jax.Array  # (nexc,)
     jblue_of_line: jax.Array  # (nlines,) detailed-line index or -1
     gammaline_energy: jax.Array  # (nnuc, maxlines) [erg]
     gammaline_cumfrac: jax.Array  # (nnuc, maxlines)
@@ -813,17 +818,24 @@ def _vpkt_spawn(key, st, est, ctx, grid, dad, cells, opts, mask, is_scatter,
     iteration has no interactions."""
     cfg = ctx.vpkt_cfg
 
-    def run(vspec):
+    def run(vspec, vgrid):
         return vpkt_mod.trace_vpkts(
             cfg, vspec, dad, grid, cells, ctx, ctx.vpkt_cum_tau,
             ctx.vpkt_cum_taunu, st.pos, st.dir, st.prop_time, st.where,
             nu_cmf, st.e_cmf, st.stokes[:, 1:3],
             jnp.broadcast_to(jnp.asarray(is_scatter), mask.shape), mask,
             opacity_case,
+            vgrid_acc=vgrid if cfg.vgrid_on else None,
         )
 
-    vspec = jax.lax.cond(jnp.any(mask), run, lambda v: v, est.vspec)
-    return est.replace(vspec=vspec)
+    def run2(vspec, vgrid):
+        vs, vg = run(vspec, vgrid)
+        return vs, (vg if vg is not None else vgrid)
+
+    vspec, vgrid = jax.lax.cond(
+        jnp.any(mask), run2, lambda v, g: (v, g), est.vspec, est.vgrid
+    )
+    return est.replace(vspec=vspec, vgrid=vgrid)
 
 
 def rpkt_step(
@@ -1456,6 +1468,38 @@ def _rpkt_apply_events(
     ma_mask = ev_bb | ma_from_bf
     ma_activating_line = jnp.where(ev_bb, act_line, -99)
 
+    if opts.track_ion_stats:
+        # per-ion absorption statistics (reference: rpkt.cc:487-535,
+        # stats.cc:36-154)
+        e = st.e_cmf
+        ion_bb = dad.line_ion[jnp.clip(ev_act_line, 0, dad.nlines - 1)].astype(jnp.int32)
+        ist = stats.ion_add(
+            est.ion_stats, nonemptymgi, ion_bb,
+            stats.ION_MACROATOM_ENERGYIN_RADEXC, e, ev_bb,
+        )
+        emt = st.emissiontype
+        ion_em = dad.line_ion[jnp.clip(emt, 0, dad.nlines - 1)].astype(jnp.int32)
+        ist = stats.ion_add(
+            ist, nonemptymgi, ion_em, stats.ION_BOUNDBOUND_ABSORBED, e,
+            ev_bb & (emt >= 0),
+        )
+        if dad.nbfcontinua > 0:
+            ion_bf = dad.cont_ion[bf_contindex].astype(jnp.int32)
+            ion_bf_up = jnp.minimum(ion_bf + 1, dad.nions_total - 1)
+            eps = (H * dad.cont_nu_edge[bf_contindex]).astype(e.dtype)
+            ist = stats.ion_add(
+                ist, nonemptymgi, ion_bf, stats.ION_PHOTOION,
+                e / jnp.maximum(eps, 1e-300), ev_bf,
+            )
+            ist = stats.ion_add(
+                ist, nonemptymgi, ion_bf, stats.ION_RADRECOMB_ABSORBED, e, ev_bf,
+            )
+            ist = stats.ion_add(
+                ist, nonemptymgi, ion_bf_up,
+                stats.ION_MACROATOM_ENERGYIN_PHOTOION, e, ma_from_bf,
+            )
+        est = est.replace(ion_stats=ist)
+
     return st, est, ma_mask, ma_level, ma_activating_line
 
 
@@ -1601,18 +1645,62 @@ def transport_timestep(
                     lowerion + 1 + n_auger.astype(jnp.int32), topion[lowerion]
                 )
                 upper_ground = dad.ion_level_start[upperion].astype(jnp.int32)
+                # NT excitation channel: activate the macro-atom at the
+                # excitation transition's upper level, selected by the
+                # frac_deposition distribution; shortfall of the stored list
+                # falls through to k-packet (nonthermal.cc:2353-2385)
+                if opts.nt_excitation_on:
+                    frac_exc = ctx.nt_frac_excitation[mgi_c]
+                    rows_e = ctx.nt_exc_fracdep_cum[mgi_c]  # (npkts, nexc)
+                    u_rel = u - frac_ion
+                    maybe_exc = (
+                        nt_dep & ~thick_c & ~to_ion & (u < frac_ion + frac_exc)
+                    )
+                    tsel = jnp.sum(
+                        (rows_e <= u_rel[:, None]).astype(jnp.int32), axis=1
+                    )
+                    in_list = (tsel < rows_e.shape[1]) & (
+                        u_rel < rows_e[:, -1]
+                    )
+                    to_exc = maybe_exc & in_list
+                    exc_level = ctx.nt_exc_upper[
+                        jnp.minimum(tsel, rows_e.shape[1] - 1)
+                    ].astype(jnp.int32)
+                else:
+                    to_exc = jnp.zeros_like(to_ion)
+                    exc_level = jnp.zeros_like(st.ma_level)
+                to_ma = to_ion | to_exc
                 st = st.replace(
-                    ptype=jnp.where(to_ion, TYPE_MA,
+                    ptype=jnp.where(to_ma, TYPE_MA,
                                     jnp.where(nt_dep, TYPE_KPKT, st.ptype)),
-                    ma_level=jnp.where(to_ion, upper_ground, st.ma_level),
+                    ma_level=jnp.where(
+                        to_ion, upper_ground,
+                        jnp.where(to_exc, exc_level, st.ma_level)),
                     trueemissiontype=jnp.where(
-                        to_ion, EMTYPE_NOTSET, st.trueemissiontype
+                        to_ma, EMTYPE_NOTSET, st.trueemissiontype
                     ),
                 )
                 cnt = stats.bump(est.counters, stats.NT_STAT_TO_IONIZATION, to_ion)
                 cnt = stats.bump(cnt, stats.MA_STAT_ACTIVATION_NTCOLLION, to_ion)
-                cnt = stats.bump(cnt, stats.NT_STAT_TO_KPKT, nt_dep & ~to_ion)
+                cnt = stats.bump(cnt, stats.NT_STAT_TO_EXCITATION, to_exc)
+                cnt = stats.bump(cnt, stats.MA_STAT_ACTIVATION_NTCOLLEXC, to_exc)
+                cnt = stats.bump(cnt, stats.NT_STAT_TO_KPKT, nt_dep & ~to_ma)
                 est = est.replace(counters=cnt)
+                if opts.track_ion_stats:
+                    # reference: nonthermal.cc:2340-2347 TRACK_ION_STATS
+                    mgi_s = jnp.take(grid.nonemptymgi_of_cell, st.where)
+                    eps_ion = (
+                        dad.ion_eps0[upperion] - dad.ion_eps0[lowerion]
+                    ).astype(st.e_cmf.dtype)
+                    ist = stats.ion_add(
+                        est.ion_stats, mgi_s, lowerion, stats.ION_NTION,
+                        st.e_cmf / jnp.maximum(eps_ion, 1e-300), to_ion,
+                    )
+                    ist = stats.ion_add(
+                        ist, mgi_s, upperion,
+                        stats.ION_MACROATOM_ENERGYIN_NTCOLLION, st.e_cmf, to_ion,
+                    )
+                    est = est.replace(ion_stats=ist)
             else:
                 st = st.replace(ptype=jnp.where(nt_dep, TYPE_KPKT, st.ptype))
             return st, est
@@ -1662,6 +1750,14 @@ def transport_timestep(
             cnt = stats.bump(est.counters, stats.K_STAT_TO_R_FF, kpkt_rad)
             cnt = stats.bump(cnt, stats.K_STAT_TO_MA_COLLEXC, ma_mask_k)
             est = est.replace(counters=cnt)
+            if opts.track_ion_stats:
+                ion_k = dad.level_ion[
+                    jnp.clip(ma_level_k, 0, dad.nlevels_total - 1)
+                ].astype(jnp.int32)
+                est = est.replace(ion_stats=stats.ion_add(
+                    est.ion_stats, nonemptymgi, ion_k,
+                    stats.ION_MACROATOM_ENERGYIN_COLLEXC, st.e_cmf, ma_mask_k,
+                ))
             return st, est, ma_mask_k, ma_level_k
 
         st, est, ma_mask_k, ma_level_k = jax.lax.cond(
@@ -1758,6 +1854,52 @@ def transport_timestep(
             cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_FB, kindf == 2)
             cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_COLLDEEXC, kindf == 3)
             est = est.replace(counters=cnt)
+            if opts.track_ion_stats:
+                # reference: macroatom.cc:341 energy-in at activation,
+                # 405-433 energy-out by deactivation channel
+                mgi_s = jnp.take(grid.nonemptymgi_of_cell, st.where)
+                e = st.e_cmf
+                ion_act = dad.level_ion[
+                    jnp.clip(ma_level, 0, dad.nlevels_total - 1)
+                ].astype(jnp.int32)
+                ist = stats.ion_add(
+                    est.ion_stats, mgi_s, ion_act,
+                    stats.ION_MACROATOM_ENERGYIN_TOTAL, e, resolved_mask,
+                )
+                level_out = expand(ma_res_c["level"], jnp.int32(0))
+                ion_out = dad.level_ion[
+                    jnp.clip(level_out, 0, dad.nlevels_total - 1)
+                ].astype(jnp.int32)
+                is_bb_d = resolved_mask & (kindf == 1)
+                is_fb_d = resolved_mask & (kindf == 2)
+                is_cd_d = resolved_mask & (kindf == 3)
+                ist = stats.ion_add(
+                    ist, mgi_s, ion_out,
+                    stats.ION_MACROATOM_ENERGYOUT_RADDEEXC, e, is_bb_d,
+                )
+                emline = ma_res["emissiontype"]
+                eps_line = (H * dad.line_nu[
+                    jnp.clip(emline, 0, dad.nlines - 1)
+                ]).astype(e.dtype)
+                ist = stats.ion_add(
+                    ist, mgi_s, ion_out, stats.ION_BOUNDBOUND_MACROATOM,
+                    e / jnp.maximum(eps_line, 1e-300), is_bb_d & (emline >= 0),
+                )
+                ion_up_fb = jnp.minimum(ion_out + 1, dad.nions_total - 1)
+                ist = stats.ion_add(
+                    ist, mgi_s, ion_up_fb,
+                    stats.ION_RADRECOMB_MACROATOM, e, is_fb_d,
+                )
+                ist = stats.ion_add(
+                    ist, mgi_s, ion_out,
+                    stats.ION_MACROATOM_ENERGYOUT_COLLDEEXC, e, is_cd_d,
+                )
+                ist = stats.ion_add(
+                    ist, mgi_s, ion_out,
+                    stats.ION_MACROATOM_ENERGYOUT_TOTAL, e,
+                    is_bb_d | is_fb_d | is_cd_d,
+                )
+                est = est.replace(ion_stats=ist)
             # unresolved (jump cap) and unselected (buffer overflow) macro
             # atoms persist in the packet state for the next iteration
             level_full = expand(ma_res_c["level"], jnp.int32(0))

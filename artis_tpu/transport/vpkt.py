@@ -38,9 +38,11 @@ from . import opacity
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["obsdirs", "numin", "numax"],
+    data_fields=["obsdirs", "numin", "numax", "vgrid_numin", "vgrid_numax"],
     meta_fields=["nobs", "nspectra", "exclude", "tmin", "tmax", "tau_max",
-                 "vmtbins", "vmnubins", "specnumin", "specnumax"],
+                 "vmtbins", "vmnubins", "specnumin", "specnumax",
+                 "vgrid_on", "vgrid_tmin", "vgrid_tmax", "vgrid_ny",
+                 "vgrid_nz"],
 )
 @dataclasses.dataclass(frozen=True)
 class VpktConfig:
@@ -57,6 +59,14 @@ class VpktConfig:
     vmnubins: int
     specnumin: float  # spectral grid (log-nu bins)
     specnumax: float
+    # velocity-grid polarisation maps (reference: vpkt.cc:66-160)
+    vgrid_numin: jax.Array = None  # (nwlbins,) frequency selection per map
+    vgrid_numax: jax.Array = None
+    vgrid_on: bool = False
+    vgrid_tmin: float = 0.0  # arrival-time selection [s]
+    vgrid_tmax: float = 0.0
+    vgrid_ny: int = 50  # reference: VGRID_NY/VGRID_NZ (vpkt.h)
+    vgrid_nz: int = 50
 
 
 def read_vpkt_config(path: str, tmin: float, tmax: float,
@@ -93,15 +103,37 @@ def read_vpkt_config(path: str, tmin: float, tmax: float,
         numax = np.array([2.99792458e18 / min(a, b) for a, b in ranges])
     else:
         numin, numax = np.array([1e14]), np.array([5e15])
+    # reference order (vpkt.cc:741-790): thick-cell override pair, tau_max,
+    # then the velocity-grid map section; parse leniently for short files
+    tau_max = 10.0
+    vgrid_on = False
+    vg_t0 = t0
+    vg_t1 = t1
+    vg_numin = np.array([1e14])
+    vg_numax = np.array([5e15])
     try:
+        rest = [float(next(it))]
+        rest.append(float(next(it)))
+        # "override_thickcell cell_thick_tau" pair consumed; next is tau_max
         tau_max = float(next(it))
+        vgrid_on = int(float(next(it))) != 0
+        if vgrid_on:
+            vg_t0 = float(next(it)) * DAY
+            vg_t1 = float(next(it)) * DAY
+            nrg = int(float(next(it)))
+            pairs = [(float(next(it)), float(next(it))) for _ in range(nrg)]
+            vg_numin = np.array([2.99792458e18 / max(a, b) for a, b in pairs])
+            vg_numax = np.array([2.99792458e18 / min(a, b) for a, b in pairs])
     except StopIteration:
-        tau_max = 10.0
+        if "rest" in dir() and rest:
+            tau_max = rest[0] if len(rest) >= 1 and tau_max == 10.0 else tau_max
     return VpktConfig(
         obsdirs=jnp.asarray(dirs), numin=jnp.asarray(numin),
         numax=jnp.asarray(numax), nobs=nobs, nspectra=nspectra,
         exclude=exclude, tmin=float(t0), tmax=float(t1), tau_max=tau_max,
         vmtbins=vmtbins, vmnubins=vmnubins, specnumin=1e14, specnumax=5e15,
+        vgrid_numin=jnp.asarray(vg_numin), vgrid_numax=jnp.asarray(vg_numax),
+        vgrid_on=vgrid_on, vgrid_tmin=float(vg_t0), vgrid_tmax=float(vg_t1),
     )
 
 
@@ -114,6 +146,7 @@ def default_vpkt_config(tmin: float, tmax: float, nobs: int = 1,
         numax=jnp.asarray([5e15]), nobs=nobs, nspectra=1, exclude=(0,),
         tmin=tmin, tmax=tmax, tau_max=10.0, vmtbins=vmtbins,
         vmnubins=vmnubins, specnumin=1e14, specnumax=5e15,
+        vgrid_numin=jnp.asarray([1e14]), vgrid_numax=jnp.asarray([5e15]),
     )
 
 
@@ -122,16 +155,39 @@ def zero_vspectra(cfg: VpktConfig, dtype=jnp.float32):
     return jnp.zeros((cfg.nobs, cfg.nspectra, cfg.vmtbins, cfg.vmnubins, 3), dtype)
 
 
-def build_vpkt_tables(tau_sob_factor, dad):
+def exclusion_tables_spec(exclude: tuple) -> tuple:
+    """Unique excluded element Zs, defining extra line-opacity tables
+    (table 0 = all lines; table 1+i = lines of Z=zs[i] removed)."""
+    return tuple(sorted({z for z in exclude if z > 0}))
+
+
+def build_vpkt_tables(tau_sob_factor, dad, exclude: tuple = ()):
     """Cumulative line-opacity tables for closed-form segment tau
-    (per timestep): (ncells, nlines+1) cumsum of tau_factor and of
-    tau_factor * nu over the nu-DESCENDING linelist."""
+    (per timestep): (ntab, ncells, nlines+1) cumsum of tau_factor and of
+    tau_factor * nu over the nu-DESCENDING linelist. Table 0 includes all
+    lines; one extra table per excluded element Z zeroes that element's
+    lines (reference: vpkt.cc:330-340 per-element bb exclusion)."""
     tf = tau_sob_factor
     nu = dad.line_nu[None, :].astype(tf.dtype)
     zero = jnp.zeros((tf.shape[0], 1), tf.dtype)
-    cum_tau = jnp.concatenate([zero, jnp.cumsum(tf, axis=1)], axis=1)
-    cum_taunu = jnp.concatenate([zero, jnp.cumsum(tf * nu, axis=1)], axis=1)
-    return cum_tau, cum_taunu
+
+    def cums(tfk):
+        ct = jnp.concatenate([zero, jnp.cumsum(tfk, axis=1)], axis=1)
+        cn = jnp.concatenate([zero, jnp.cumsum(tfk * nu, axis=1)], axis=1)
+        return ct, cn
+
+    tabs_t = []
+    tabs_n = []
+    ct, cn = cums(tf)
+    tabs_t.append(ct)
+    tabs_n.append(cn)
+    for z in exclusion_tables_spec(exclude):
+        line_z = dad.elem_z[dad.ion_element[dad.line_ion]]
+        keep = (line_z != z)[None, :]
+        ct, cn = cums(jnp.where(keep, tf, 0.0))
+        tabs_t.append(ct)
+        tabs_n.append(cn)
+    return jnp.stack(tabs_t), jnp.stack(tabs_n)
 
 
 def _segment_bb_tau(dad, cum_tau, cum_taunu, cellidx, nu_start, nu_end,
@@ -170,9 +226,13 @@ def trace_vpkts(
     opacity_case: int,
     e_scale: float = 1.0,
     max_crossings: int = 512,
+    vgrid_acc=None,  # (nobs, nwl, ny, nz, 3) velocity-grid Stokes maps
 ):
     """Launch virtual packets from K interaction sites toward every observer
-    and accumulate exp(-tau)-weighted Stokes fluxes."""
+    and accumulate exp(-tau)-weighted Stokes fluxes. With cfg.vgrid_on and a
+    vgrid accumulator, also bins each ray's emission velocity projected onto
+    the observer plane into polarisation maps (reference: vpkt.cc:66-160),
+    returning (vspec, vgrid)."""
     K = pos.shape[0]
     nobs = cfg.nobs
     dtype = pos.dtype
@@ -278,14 +338,20 @@ def trace_vpkts(
         nu_rf_ray = nu_c / geometry.doppler_nucmf_on_nurf(p, obs, t, False)
         nu_cmf_end = nu_rf_ray * dop_end
         dndl = jnp.minimum((nu_cmf_end - nu_c) / jnp.maximum(sdist, 1e-300), -1e-300)
-        tau_bb = _segment_bb_tau(
-            dad, cum_tau, cum_taunu, safe_mgi, nu_c, nu_cmf_end, t, dndl
-        )
-        tau_bb = jnp.where(live & ~thick, tau_bb, 0.0)
-        # bb applies to channels not excluding lines (exclude != -1);
-        # per-element exclusion (Z>0) falls back to full bb here
+        zs = exclusion_tables_spec(cfg.exclude)
+        tau_bb_tab = {}
+        for tabi in sorted({0, *(1 + zs.index(e) for e in cfg.exclude if e > 0)}):
+            tb = _segment_bb_tau(
+                dad, cum_tau[tabi], cum_taunu[tabi], safe_mgi, nu_c,
+                nu_cmf_end, t, dndl,
+            )
+            tau_bb_tab[tabi] = jnp.where(live & ~thick, tb, 0.0)
+        # bb per channel: none for -1, element-excluded table for Z>0
+        # (reference: vpkt.cc:330-340), full lines otherwise
         bb_chan = jnp.stack(
-            [jnp.zeros_like(tau_bb) if cfg.exclude[ind] == -1 else tau_bb
+            [jnp.zeros_like(tau_bb_tab[0]) if cfg.exclude[ind] == -1
+             else tau_bb_tab[1 + zs.index(cfg.exclude[ind])]
+             if cfg.exclude[ind] > 0 else tau_bb_tab[0]
              for ind in range(nspec)], axis=1,
         )
         tau_new = tau + jnp.where(
@@ -330,7 +396,54 @@ def trace_vpkts(
         nubin[:, None, None],
         stokesidx[None, None, :],
     ].add(vals.astype(vspec.dtype), mode="drop")
-    return vspec
+
+    if cfg.vgrid_on and vgrid_acc is not None:
+        # emission velocity rotated into (n_obs, ref1, ref2)
+        # (reference: vpkt.cc:114-160 add_to_vpkt_grid)
+        vel0 = rpos / rt[:, None]
+        ox, oy, oz = obs[:, 0], obs[:, 1], obs[:, 2]
+        denom = jnp.maximum(1.0 + ox, 1e-6)
+        sq = jnp.sqrt(jnp.maximum(1.0 - ox * ox, 1e-12))
+        vref1 = (
+            -oy * vel0[:, 0] + (ox + oz * oz / denom) * vel0[:, 1]
+            - oy * oz * (1.0 - ox) / sq * vel0[:, 2]
+        )
+        vref2 = (
+            -oz * vel0[:, 0] - oy * oz * (1.0 - ox) / sq * vel0[:, 1]
+            + (ox + oy * oy / denom) * vel0[:, 2]
+        )
+        # observer along +x: (vref1, vref2) = (vy, vz) exactly
+        on_x = jnp.abs(ox) > 0.999999
+        vref1 = jnp.where(on_x, jnp.sign(ox) * vel0[:, 1], vref1)
+        vref2 = jnp.where(on_x, jnp.sign(ox) * vel0[:, 2], vref2)
+        vmax = jnp.asarray(grid.vmax, dtype)
+        ny_b = jnp.floor((vmax - vref1) / (2.0 * vmax / cfg.vgrid_ny)).astype(jnp.int32)
+        nz_b = jnp.floor((vmax - vref2) / (2.0 * vmax / cfg.vgrid_nz)).astype(jnp.int32)
+        ok_v = (
+            ractive
+            & (jnp.abs(vref1) < vmax) & (jnp.abs(vref2) < vmax)
+            & (t_arrive >= cfg.vgrid_tmin) & (t_arrive <= cfg.vgrid_tmax)
+        )
+        # channel 0 (full opacity) weights the map (vpkt.cc:404-413)
+        w0 = jnp.exp(-jnp.where(jnp.isfinite(tau[:, 0]), tau[:, 0], jnp.inf))
+        amp = e_rf * e_scale * w0
+        svals = amp[:, None] * stokes  # (n, 3)
+        nwl = vgrid_acc.shape[1]
+        in_wl = (
+            (nu_rf[:, None] > cfg.vgrid_numin[None, :].astype(dtype))
+            & (nu_rf[:, None] < cfg.vgrid_numax[None, :].astype(dtype))
+        )  # (n, nwl)
+        ny_s = jnp.where(ok_v, jnp.clip(ny_b, 0, cfg.vgrid_ny - 1), cfg.vgrid_ny)
+        wl_idx = jnp.arange(nwl, dtype=jnp.int32)
+        vg_vals = jnp.where(in_wl[:, :, None], svals[:, None, :], 0.0)
+        vgrid_acc = vgrid_acc.at[
+            obsidx[:, None, None],
+            wl_idx[None, :, None],
+            ny_s[:, None, None],
+            jnp.clip(nz_b, 0, cfg.vgrid_nz - 1)[:, None, None],
+            stokesidx[None, None, :],
+        ].add(vg_vals.astype(vgrid_acc.dtype), mode="drop")
+    return vspec, vgrid_acc
 
 
 def write_vspecpol(path: str, cfg: VpktConfig, vspec, nprocs: int = 1):
@@ -361,3 +474,28 @@ def write_vspecpol(path: str, cfg: VpktConfig, vspec, nprocs: int = 1):
                             val = arr[iobs, ispec, itb, inu, stokes_i]
                             row.append(f"{val * norm / dt[itb] / dnu[inu]:g}")
                         f.write(" ".join(row) + "\n")
+
+
+def write_vpkt_grid(path: str, cfg: VpktConfig, vgrid, vmax: float,
+                    nprocs: int = 1):
+    """Velocity-grid polarisation map file (reference: vpkt.cc:527-560
+    write_vpkt_grid): one row per (obsdir, wlbin, ny, nz) with the bin's
+    central (vref1, vref2) and summed Stokes I, Q, U."""
+    import numpy as np
+
+    vg = np.asarray(vgrid, dtype=np.float64) / nprocs
+    nobs, nwl, ny, nz, _ = vg.shape
+    ybin = 2.0 * vmax / ny
+    zbin = 2.0 * vmax / nz
+    with open(path, "w") as f:
+        f.write("#obsdirindex wlbin vref1 vref2 I Q U\n")
+        for o in range(nobs):
+            for wl in range(nwl):
+                for n in range(ny):
+                    vref1 = vmax - (n + 0.5) * ybin
+                    for m in range(nz):
+                        vref2 = vmax - (m + 0.5) * zbin
+                        i, q, u = vg[o, wl, n, m]
+                        f.write(
+                            f"{o} {wl} {vref1:g} {vref2:g} {i:g} {q:g} {u:g}\n"
+                        )

@@ -18,6 +18,9 @@ os.environ["XLA_FLAGS"] = (
 # XLA:CPU AOT cache is machine-feature-fragile); the jax.config call below is
 # still required because sitecustomize forces the axon platform
 os.environ["JAX_PLATFORMS"] = "cpu"
+# don't let the axon plugin open tunnel connections from CPU-only test
+# processes (a concurrent benchmark process may hold the remote TPU)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 
 import jax  # noqa: E402
 

@@ -124,3 +124,42 @@ def test_estimators_sane(simrun):
     assert np.all((te >= opts.mintemp) & (te <= opts.maxtemp))
     nne = np.asarray(sim.cells.nne)
     assert np.all(nne > 0)
+
+
+@pytest.mark.slow
+def test_ion_stats_tracking(tmp_path):
+    """TRACK_ION_STATS equivalent: per-ion-per-cell energy statistics
+    (reference: stats.h:12-44) accumulate during transport, balance the
+    macro-atom energy flows, and appear in the estimator files."""
+    import numpy as np
+    from make_run import make_run
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, kilonova_lte
+    from artis_tpu import stats
+
+    d = str(tmp_path)
+    make_run(d, ncells=6, ntimesteps=4, tmax_days=2.0, ngreyts=0)
+    opts = kilonova_lte(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=64,
+        track_ion_stats=True,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    for ts in range(3):
+        sim.do_timestep(ts)
+    ist = np.asarray(sim.prev_est.ion_stats)
+    assert ist.shape == (sim.grid.nonempty_npts, sim.ad.nions_total,
+                         stats.N_ION_STATS)
+    assert np.all(np.isfinite(ist)) and np.all(ist >= 0)
+    # macro-atom activations happened and energy-in is accounted per ion
+    e_in = ist[:, :, stats.ION_MACROATOM_ENERGYIN_TOTAL].sum()
+    e_out = ist[:, :, stats.ION_MACROATOM_ENERGYOUT_TOTAL].sum()
+    if e_in > 0:
+        # every resolved macro atom deactivates radiatively or collisionally;
+        # only jump-capped stragglers can carry energy across the boundary
+        assert e_out <= e_in * 1.0000001
+        assert e_out >= 0.5 * e_in
+    # the per-ion lines appear in the estimator file
+    txt = open(f"{d}/estimators_0002.out").read()
+    if e_in > 0:
+        assert "ionstats Z" in txt

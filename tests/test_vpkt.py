@@ -46,7 +46,7 @@ def test_segment_bb_tau_closed_form(tmp_path):
     dndl = np.array([-1e-3, -2e-3])
     cellidx = jnp.asarray([0, 1])
     got = np.asarray(vpkt._segment_bb_tau(
-        dad, cum_tau, cum_taunu, cellidx, jnp.asarray(nu_start),
+        dad, cum_tau[0], cum_taunu[0], cellidx, jnp.asarray(nu_start),
         jnp.asarray(nu_end), jnp.asarray(t0), jnp.asarray(dndl),
     ))
     tf = np.asarray(tau_factor)
@@ -91,7 +91,7 @@ def test_vpkt_isotropic_contribution_thin(tmp_path):
         vpkt_cum_tau=jnp.zeros_like(ctx.vpkt_cum_tau),
         vpkt_cum_taunu=jnp.zeros_like(ctx.vpkt_cum_taunu),
     )
-    vspec = vpkt.trace_vpkts(
+    vspec, _ = vpkt.trace_vpkts(
         cfg, vspec, sim.dad, sim.grid, sim.cells.replace(
             nne=jnp.zeros_like(sim.cells.nne),
             thick=jnp.zeros_like(sim.cells.thick),
@@ -107,3 +107,78 @@ def test_vpkt_isotropic_contribution_thin(tmp_path):
     assert total_i == pytest.approx(n / (4 * PI), rel=1e-2)
     assert abs(v[..., 1].sum()) < 1e-12
     assert abs(v[..., 2].sum()) < 1e-12
+
+
+def test_vgrid_config_parsing(tmp_path):
+    """Full reference vpkt.txt format incl. the velocity-grid section
+    (reference: vpkt.cc:741-790)."""
+    p = tmp_path / "vpkt.txt"
+    p.write_text(
+        "1\n0.0\n0.0\n1\n2\n0 26\n1 1.0 3.0\n0\n"
+        "0 100\n"       # override_thickcell cell_thick_tau
+        "8.0\n"          # tau_max
+        "1\n"            # vgrid_on
+        "1.2 2.8\n"      # tmin_grid tmax_grid [days]
+        "2\n3000 6000\n6000 10000\n"
+    )
+    cfg = vpkt.read_vpkt_config(str(p), 1e5, 1e6)
+    assert cfg.tau_max == 8.0
+    assert cfg.vgrid_on
+    assert cfg.exclude == (0, 26)
+    assert cfg.vgrid_tmin == pytest.approx(1.2 * 86400.0)
+    assert cfg.vgrid_numin.shape == (2,)
+    # wavelength 3000-6000 A -> nu from c/6000A to c/3000A
+    np.testing.assert_allclose(
+        float(cfg.vgrid_numin[0]), 2.99792458e18 / 6000, rtol=1e-12
+    )
+
+
+def test_per_element_exclusion_tables(tmp_path):
+    """Excluding an element's lines must lower the bb optical depth; with a
+    single-element atom the excluded channel sees zero line opacity."""
+    from artis_tpu.synthdata import write_synthetic_atomicdata
+
+    write_synthetic_atomicdata(tmp_path, elements=((26, 2),), nlevels_per_ion=6)
+    ad = atomicdata.read_atomicdata(str(tmp_path))
+    dad = atomic.to_device(ad)
+    rng = np.random.default_rng(2)
+    tau_factor = jnp.asarray(10.0 ** rng.uniform(-22, -18, (2, ad.nlines)))
+    cum_tau, cum_taunu = vpkt.build_vpkt_tables(tau_factor, dad, exclude=(0, 26))
+    assert cum_tau.shape[0] == 2  # full + Fe-excluded
+    # the only element is Fe, so its exclusion table must be all zero
+    np.testing.assert_allclose(np.asarray(cum_tau[1]), 0.0)
+    assert np.asarray(cum_tau[0]).max() > 0
+
+
+@pytest.mark.slow
+def test_vgrid_maps_accumulate(tmp_path):
+    """End-to-end: classic-style vpkt run with vgrid_on produces finite,
+    populated velocity-grid polarisation maps and the map output file."""
+    import os
+    from artis_tpu.driver import Simulation
+    from artis_tpu.synthdata import make_run
+
+    d = str(tmp_path)
+    make_run(d, ncells=4, ntimesteps=4, tmax_days=2.0, ngreyts=0)
+    with open(os.path.join(d, "vpkt.txt"), "w") as f:
+        f.write(
+            "1\n0.0\n0.0\n1\n2\n0 26\n"
+            "0 0 0\n"            # override_tminmax tmin tmax (use defaults)
+            "1\n1\n500 20000\n"  # custom freq: 1 range, 500-20000 A
+            "0 100\n30.0\n1\n0.001 2.0\n1\n500 20000\n"
+        )
+    opts = kilonova_lte(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=12, vpkt_on=True,
+        vpkt_vmnubins=100, vpkt_vmtbins=8, linewalk_chunk=64,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    assert sim.vpkt_cfg.vgrid_on
+    for ts in range(3):
+        sim.do_timestep(ts)
+    vg = sim._vgrid_total
+    assert vg.shape[0] == 1 and vg.shape[4] == 3
+    assert np.all(np.isfinite(vg))
+    assert vg[..., 0].sum() > 0, "no vgrid contributions accumulated"
+    sim.finish()
+    assert os.path.exists(os.path.join(d, "vpkt_grid.out"))
