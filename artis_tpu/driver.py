@@ -357,9 +357,10 @@ class Simulation:
 
         # --- ejecta model + grid ---
         self.model = model_io.read_model(os.path.join(rundir, "model.txt"), p.tmin)
-        self.grid = grid_mod.grid_init(
+        self.grid, self.grid_host = grid_mod.grid_init(
             self.model, p.tmin, self.opts.grid_type,
             (self.opts.ncoordgrid_x, self.opts.ncoordgrid_y, self.opts.ncoordgrid_z),
+            with_host=True,
         )
         if self._f32:
             self.grid = demote_to_f32(self.grid)
@@ -387,10 +388,9 @@ class Simulation:
 
         # --- per-cell initial composition ---
         self.log(f"setup: nucmassfrac done at {_time.time() - _tsetup:.1f}s")
-        mgi_of_nonempty = np.asarray(self.grid.mgi_of_cell)[
-            np.asarray(self.grid.cell_of_nonemptymgi)
+        mgi_of_nonempty = self.grid_host.mgi_of_cell[
+            self.grid_host.cell_of_nonemptymgi
         ]
-        self.log(f"setup: grid transfers done at {_time.time() - _tsetup:.1f}s")
         self.mgi_of_nonempty = mgi_of_nonempty
         ncells = self.grid.nonempty_npts
         abund = model_io.read_abundances(
@@ -457,6 +457,7 @@ class Simulation:
         self.pellet_tables = packets_mod.make_pellet_tables(
             self.grid, self.dec, self.initnucmassfrac,
             self.model.initenergyq, self.opts, p.tmin, p.tmax,
+            grid_host=self.grid_host,
         )
         if self._f32:
             self.pellet_tables = demote_to_f32(self.pellet_tables)
@@ -469,6 +470,36 @@ class Simulation:
             packets_mod.packet_init, static_argnames=("opts",)
         )(jax.random.fold_in(self.base_key, 0), self.grid, self.pellet_tables, self.opts)
         self.log(f"packets {self.opts.npkts} etot {self.pellet_tables.norm:g} erg")
+
+        # timesteps.out (reference: input.cc:1980-1988 write_timestep_file)
+        with open(os.path.join(rundir, "timesteps.out"), "w") as f:
+            f.write("#timestep tstart_days tmid_days twidth_days\n")
+            for n in range(p.ntimesteps):
+                f.write(
+                    f"{n} {self.ts.start[n] / DAY:g} {self.ts.mid[n] / DAY:g} "
+                    f"{self.ts.width[n] / DAY:g}\n"
+                )
+        # grid.out (reference: grid.cc:2258-2267): propcell -> modelgridindex
+        with open(os.path.join(rundir, "grid.out"), "w") as f:
+            mgi_all = self.grid_host.mgi_of_cell
+            for n in range(int(self.grid.ngrid)):
+                if mgi_all[n] != self.model.npts_model:
+                    f.write(f"{n} {int(mgi_all[n])}\n")
+        if self.opts.record_linestat and not p.simulation_continued_from_saved:
+            # linestat.out header rows (reference: sn3d.cc:64-98)
+            with open(os.path.join(rundir, "linestat.out"), "w") as f:
+                lam = CLIGHT / np.asarray(self.ad.line_nu)
+                zrow = np.asarray(self.ad.elem_z)[np.asarray(self.ad.line_element)]
+                uii = np.asarray(self.ad.elem_ion_start)[
+                    np.asarray(self.ad.line_element)] + np.asarray(self.ad.line_ion)
+                stages = np.concatenate([
+                    np.arange(s0, s0 + n)
+                    for s0, n in zip(self.ad.elem_ion_stage0, self.ad.elem_nions)
+                ])[uii] if hasattr(self.ad, "elem_ion_stage0") else np.asarray(self.dad.ion_stage)[uii]
+                for row in (lam, zrow, stages,
+                            np.asarray(self.ad.line_upper) + 1,
+                            np.asarray(self.ad.line_lower) + 1):
+                    f.write(" ".join(f"{v:g}" for v in row) + "\n")
 
         # estimators & spectra
         self._nradbins = self.opts.radfieldbincount if self.opts.multibin_radfield else 1
@@ -512,6 +543,9 @@ class Simulation:
             stats_mod.N_ION_STATS if self.opts.track_ion_stats else 1
         )
         self._vgrid_shape = (1, 1, 1, 1, 3)  # refined after vpkt cfg is read
+        self._nlinestat = (
+            max(self.ad.nlines, 1) if self.opts.record_linestat else 1
+        )
         self.est = zero_estimators(
             ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype,
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
@@ -521,8 +555,10 @@ class Simulation:
             nion_stats_ions=self._nion_stats_ions,
             nion_stats=self._nion_stats,
             vgrid_shape=self._vgrid_shape,
+            nlinestat=self._nlinestat,
         )
         self.prev_bfrate_normed = None
+        self._last_levelpops = None
         self.prev_est: Estimators | None = None
         self.lc_lum = np.zeros(p.ntimesteps)
         self.lc_lumcmf = np.zeros(p.ntimesteps)
@@ -552,15 +588,15 @@ class Simulation:
         # analytic-thermalisation scalars (reference: grid.h:131-142
         # get_ejecta_kinetic_energy; gammapkt.cc:832-837; update_packets.cc:44)
         from .transport import thermalisation as therm_mod
-        vol_tmin_all = np.asarray(grid_mod.get_cell_volume_tmin(self.grid))
+        vol_tmin_all = grid_mod.get_cell_volume_tmin(self.grid, self.grid_host)
         assoc_vol_mgi = np.zeros(self.grid.npts_model + 1)
-        np.add.at(assoc_vol_mgi, np.asarray(self.grid.mgi_of_cell), vol_tmin_all)
+        np.add.at(assoc_vol_mgi, self.grid_host.mgi_of_cell, vol_tmin_all)
         self._assoc_vol_model = assoc_vol_mgi[: self.model.npts_model]
         m_cell = self.model.rho_tmin * self._assoc_vol_model
         self.mtot_input = float(m_cell.sum())
-        radial_pos_avg = np.asarray(self.grid.initial_radial_pos_sum_mgi)[
+        radial_pos_avg = self.grid_host.initial_radial_pos_sum_mgi[
             : self.model.npts_model
-        ] / np.maximum(np.asarray(self.grid.numpropcells_mgi)[: self.model.npts_model], 1)
+        ] / np.maximum(self.grid_host.numpropcells_mgi[: self.model.npts_model], 1)
         self.e_kin = float(np.sum(0.5 * m_cell * (radial_pos_avg / p.tmin) ** 2))
         self._barnes_t_ineff = therm_mod.barnes_t_ineff(max(self.mtot_input, 1e-30), max(self.e_kin, 1e-30))
         self._barnes_tau_lepton = therm_mod.barnes_tau_ineff_particle(
@@ -718,7 +754,7 @@ class Simulation:
         # radioactive abundances (host, vectorised over cells)
         elem_massfrac, elem_meanweight = decay_mod.update_abundances(
             self.dec, self.initnucmassfrac[mgi], self.stable_initabund,
-            np.asarray(self.dad.elem_meanweight_init), np.asarray(self.ad.elem_z), tmid,
+            self.ad.elem_meanweight_init, np.asarray(self.ad.elem_z), tmid,
         )
         self.cells = self.cells.replace(
             elem_massfrac=jnp.asarray(elem_massfrac),
@@ -739,9 +775,9 @@ class Simulation:
             nts_prev = nts - 1
             deltat = float(self.ts.width[nts_prev])
             if not hasattr(self, "_assoc_vol"):
-                vol_tmin = np.asarray(grid_mod.get_cell_volume_tmin(self.grid))
+                vol_tmin = grid_mod.get_cell_volume_tmin(self.grid, self.grid_host)
                 assoc_vol = np.zeros(self.grid.npts_model + 1)
-                np.add.at(assoc_vol, np.asarray(self.grid.mgi_of_cell), vol_tmin)
+                np.add.at(assoc_vol, self.grid_host.mgi_of_cell, vol_tmin)
                 self._assoc_vol = assoc_vol
             deltav = self._assoc_vol[mgi] * (float(self.ts.mid[nts_prev]) / p.tmin) ** 3
             norm4pi = self._e0 * ONEOVER4PI / (deltav * deltat)  # nprocs folded into psum
@@ -827,9 +863,9 @@ class Simulation:
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)
         kappagrey = self._kappagrey_np
-        assoc_cells = np.asarray(self.grid.numpropcells_mgi)[mgi]
+        assoc_cells = self.grid_host.numpropcells_mgi[mgi]
         radial_pos = (
-            np.asarray(self.grid.initial_radial_pos_sum_mgi)[mgi] * tratmid / assoc_cells
+            self.grid_host.initial_radial_pos_sum_mgi[mgi] * tratmid / assoc_cells
         )
         dist_to_obs = np.maximum(0.0, self.grid.rmax * tratmid - radial_pos)
         grey_depth = kappagrey * rho * dist_to_obs
@@ -845,6 +881,7 @@ class Simulation:
             self.cells = demote_to_f32(self.cells)
 
         fdtype = jnp.float32 if self._f32 else jnp.float64
+        self._last_levelpops = levelpops
         ctx = engine_mod.StepContext(
             levelpops=levelpops,
             nnion=nnion,
@@ -912,6 +949,7 @@ class Simulation:
             nion_stats_ions=self._nion_stats_ions,
             nion_stats=self._nion_stats,
             vgrid_shape=self._vgrid_shape,
+            nlinestat=self._nlinestat,
         )
 
         t0 = _time.time()
@@ -1030,6 +1068,16 @@ class Simulation:
             self._escaped_counted |= esc
         if self.opts.write_estimator_files:
             self.write_estimators(nts)
+        if self.opts.record_linestat:
+            # per-timestep emission/absorption count rows (sn3d.cc:640-660)
+            with open(os.path.join(self.rundir, "linestat.out"), "a") as f:
+                for row in (np.asarray(self.est.line_emisscount),
+                            np.asarray(self.est.line_absorbcount)):
+                    f.write(" ".join(str(int(v)) for v in row) + "\n")
+        if self.opts.nlte_enabled and self.opts.write_estimator_files:
+            self.write_nltepops(nts)
+        if self.opts.multibin_radfield and self.opts.write_estimator_files:
+            self.write_radfield(nts)
         counter_txt = stats_mod.format_counters(self.est.counters)
         if counter_txt:
             self.log(f"timestep {nts} event counters:\n{counter_txt}")
@@ -1121,6 +1169,7 @@ class Simulation:
             nion_stats_ions=self._nion_stats_ions,
             nion_stats=self._nion_stats,
             vgrid_shape=self._vgrid_shape,
+            nlinestat=self._nlinestat,
         )
         if "est_j" in g:
             est = est.replace(**{
@@ -1253,6 +1302,69 @@ class Simulation:
                                 f"ma_energy_in {row[stats_mod.ION_MACROATOM_ENERGYIN_TOTAL]:g} "
                                 f"ma_energy_out {row[stats_mod.ION_MACROATOM_ENERGYOUT_TOTAL]:g}\n"
                             )
+
+    def write_nltepops(self, nts: int):
+        """nlte_0000.out (reference: nltepop.cc:1076-1130
+        nltepop_write_to_file): per cell per ion per level LTE vs NLTE pops."""
+        path = os.path.join(self.rundir, "nlte_0000.out")
+        mode = "a" if nts > 0 and os.path.exists(path) else "w"
+        if self._last_levelpops is None:
+            return
+        lp = np.asarray(self._last_levelpops)
+        boltz = np.asarray(ltepop_mod.calculate_levelpops(self.dad, self.cells, self.opts))
+        z_of_ion = np.asarray(self.ad.elem_z)[np.asarray(self.dad.ion_element)]
+        stage = np.asarray(self.dad.ion_stage)
+        lvl_start = np.asarray(self.dad.ion_level_start)
+        nlv = np.asarray(self.dad.ion_nlevels)
+        ionpop = np.zeros((lp.shape[0], self.ad.nions_total))
+        np.add.at(ionpop.T, np.asarray(self.dad.level_ion), lp.T)
+        with open(path, mode) as f:
+            if mode == "w":
+                f.write("timestep modelgridindex Z ionstage level n_LTE n_NLTE ion_popfrac\n")
+            for i in range(lp.shape[0]):
+                mgi = int(self.mgi_of_nonempty[i])
+                for ui in range(self.ad.nions_total):
+                    tot = ionpop[i].sum()
+                    frac = ionpop[i, ui] / tot if tot > 0 else 0.0
+                    for l in range(int(nlv[ui])):
+                        g = int(lvl_start[ui]) + l
+                        f.write(
+                            f"{nts} {mgi} {int(z_of_ion[ui])} {int(stage[ui])} "
+                            f"{l} {boltz[i, g]:.5e} {lp[i, g]:.5e} {frac:.4e}\n"
+                        )
+
+    def write_radfield(self, nts: int):
+        """radfield_0000.out (reference: radfield.cc:427-487 write_to_file):
+        per cell per bin nu range, J, nuJ, contribcount, fitted T_R and W."""
+        path = os.path.join(self.rundir, "radfield_0000.out")
+        mode = "a" if nts > 0 and os.path.exists(path) else "w"
+        if self.prev_est is None or self.radfieldbin_tr is None:
+            return
+        nb = self.opts.radfieldbincount
+        jb = np.asarray(self.prev_est.radfieldbin_j)
+        nujb = np.asarray(self.prev_est.radfieldbin_nuj)
+        cb = np.asarray(self.prev_est.radfieldbin_count)
+        trb = np.asarray(self.radfieldbin_tr)
+        wb = np.asarray(self.radfieldbin_w)
+        lower = np.asarray(radfield_mod.bin_nu_lower(nb))
+        upper = np.asarray(radfield_mod.bin_nu_upper(nb))
+        tr_full = np.asarray(self.cells.TR)
+        w_full = np.asarray(self.cells.W)
+        with open(path, mode) as f:
+            if mode == "w":
+                f.write("timestep modelgridindex bin_num nu_lower nu_upper nuJ J J_nu_avg ncontrib T_R W\n")
+            for i in range(jb.shape[0]):
+                mgi = int(self.mgi_of_nonempty[i])
+                f.write(
+                    f"{nts} {mgi} -1 0 0 0 0 0 0 {tr_full[i]:.1f} {w_full[i]:.5e}\n"
+                )
+                for b in range(nb):
+                    dnu = max(upper[b] - lower[b], 1e-30)
+                    f.write(
+                        f"{nts} {mgi} {b} {lower[b]:.5e} {upper[b]:.5e} "
+                        f"{nujb[i, b]:.3e} {jb[i, b]:.3e} {jb[i, b] / dnu:.3e} "
+                        f"{int(cb[i, b])} {trb[i, b]:.1f} {wb[i, b]:.5e}\n"
+                    )
 
     def write_outputs(self, partial: bool):
         width = np.asarray(self.ts.width[:-1])

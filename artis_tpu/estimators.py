@@ -30,7 +30,7 @@ import jax.numpy as jnp
         "vspec",
         "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
         "alpha_dep_discrete", "bfrate", "jblue_raw", "jblue_count",
-        "ion_stats", "vgrid",
+        "ion_stats", "vgrid", "line_emisscount", "line_absorbcount",
     ],
     meta_fields=[],
 )
@@ -79,6 +79,10 @@ class Estimators:
     # virtual-packet velocity-grid polarisation maps
     # (reference: vpkt.cc:66-160; (1,1,1,1,3) when off)
     vgrid: jax.Array  # (nobs, nwl, vgrid_ny, vgrid_nz, 3)
+    # per-line emission/absorption counters (reference: RECORD_LINESTAT,
+    # sn3d.cc:64-98, 640-660 linestat.out; (1,) when off)
+    line_emisscount: jax.Array  # (nlines,)
+    line_absorbcount: jax.Array  # (nlines,)
 
     def replace(self, **kw) -> "Estimators":
         return dataclasses.replace(self, **kw)
@@ -91,7 +95,8 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
                     njblue: int = 1, njblue_cells: int = 1,
                     nion_stats_cells: int = 1, nion_stats_ions: int = 1,
                     nion_stats: int = 1,
-                    vgrid_shape=(1, 1, 1, 1, 3)) -> Estimators:
+                    vgrid_shape=(1, 1, 1, 1, 3),
+                    nlinestat: int = 1) -> Estimators:
     z = jnp.zeros((), dtype)
     return Estimators(
         j=jnp.zeros(ncells, dtype),
@@ -124,6 +129,8 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
         jblue_count=jnp.zeros((njblue_cells, njblue), dtype),
         ion_stats=jnp.zeros((nion_stats_cells, nion_stats_ions, nion_stats), dtype),
         vgrid=jnp.zeros(vgrid_shape, dtype),
+        line_emisscount=jnp.zeros((nlinestat,), jnp.int32),
+        line_absorbcount=jnp.zeros((nlinestat,), jnp.int32),
     )
 
 

@@ -86,7 +86,17 @@ class GridData:
         return min(1e35, self.rmax / 10.0)
 
 
-def grid_init(model: ModelData, tmin: float, grid_type: GridType, ncoordgrid_xyz=(50, 50, 50)) -> GridData:
+class GridHost:
+    """Host (numpy) mirrors of the GridData index/geometry arrays the driver
+    needs, avoiding device->host transfers during setup (each transfer over
+    the tunneled TPU backend is expensive and, mid-worker-restart, hangs)."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+def grid_init(model: ModelData, tmin: float, grid_type: GridType,
+              ncoordgrid_xyz=(50, 50, 50), with_host: bool = False):
     """Build the propagation grid and map model cells onto it
     (reference: grid.cc:2206-2325 grid_init, 1048-1137 setup_grid_*)."""
     vmax = model.vmax
@@ -201,7 +211,16 @@ def grid_init(model: ModelData, tmin: float, grid_type: GridType, ncoordgrid_xyz
     initial_radial_pos_sum = np.zeros(npts + 1)
     np.add.at(initial_radial_pos_sum, mgi_of_cell, radial_mid)
 
-    return GridData(
+    host = GridHost(
+        cell_pos_min=np.asarray(pos_min, dtype=np.float64),
+        cell_pos_max=np.asarray(pos_max, dtype=np.float64),
+        mgi_of_cell=mgi_of_cell,
+        nonemptymgi_of_cell=nonemptymgi_of_cell,
+        cell_of_nonemptymgi=cell_of_nonemptymgi,
+        numpropcells_mgi=numpropcells,
+        initial_radial_pos_sum_mgi=initial_radial_pos_sum,
+    )
+    gd = GridData(
         cell_pos_min=jnp.asarray(pos_min),
         cell_pos_max=jnp.asarray(pos_max),
         mgi_of_cell=jnp.asarray(mgi_of_cell),
@@ -220,6 +239,9 @@ def grid_init(model: ModelData, tmin: float, grid_type: GridType, ncoordgrid_xyz
         rmax=float(rmax),
         vmax=float(vmax),
     )
+    if with_host:
+        return gd, host
+    return gd
 
 
 def cellcoordpointnum(grid: GridData, cellindex: jax.Array, axis: int) -> jax.Array:
@@ -443,7 +465,7 @@ def get_cellindex_from_pos(grid: GridData, pos, time):
     return jnp.clip(idx, 0, grid.ngrid - 1).astype(jnp.int32)
 
 
-def get_cell_volume_tmin(grid: GridData) -> np.ndarray:
+def get_cell_volume_tmin(grid: GridData, host=None) -> np.ndarray:
     """Propagation-cell volumes at tmin, (ngrid,) (reference: grid.cc:1358-1366).
 
     Host-side float64: r**3 at CGS scales (1e42+) overflows float32, and
@@ -452,8 +474,12 @@ def get_cell_volume_tmin(grid: GridData) -> np.ndarray:
     if grid.grid_type == GridType.CARTESIAN3D:
         wid = 2.0 * float(grid.rmax) / grid.ncoordgrid[0]
         return np.full((grid.ngrid,), wid**3)
-    pos_min = np.asarray(grid.cell_pos_min, dtype=np.float64)
-    pos_max = np.asarray(grid.cell_pos_max, dtype=np.float64)
+    if host is not None:
+        pos_min = host.cell_pos_min
+        pos_max = host.cell_pos_max
+    else:
+        pos_min = np.asarray(grid.cell_pos_min, dtype=np.float64)
+        pos_max = np.asarray(grid.cell_pos_max, dtype=np.float64)
     if grid.grid_type == GridType.CYLINDRICAL2D:
         dz = pos_max[:, 1] - pos_min[:, 1]
         return dz * PI * (pos_max[:, 0] ** 2 - pos_min[:, 0] ** 2)

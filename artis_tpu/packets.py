@@ -155,6 +155,7 @@ def make_pellet_tables(
     opts: Options,
     tmin: float,
     tmax: float,
+    grid_host=None,
 ) -> PelletTables:
     """Build sampling tables (reference: packet.cc:103-128, decay.cc:1311-1334).
 
@@ -177,7 +178,7 @@ def make_pellet_tables(
     if has_init_en:
         q_mgi = q_mgi + initenergyq_mgi
 
-    vol = np.asarray(get_cell_volume_tmin(grid), dtype=np.float64)
+    vol = np.asarray(get_cell_volume_tmin(grid, grid_host), dtype=np.float64)
     rho = np.asarray(grid.rho_tmin_mgi, dtype=np.float64)[mgi_of_cell]
     q_cell = np.where(mgi_of_cell < npts, np.concatenate([q_mgi, [0.0]])[mgi_of_cell], 0.0)
     cell_en = vol * rho * q_cell

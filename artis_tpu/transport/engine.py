@@ -1468,6 +1468,13 @@ def _rpkt_apply_events(
     ma_mask = ev_bb | ma_from_bf
     ma_activating_line = jnp.where(ev_bb, act_line, -99)
 
+    if opts.record_linestat:
+        # per-line absorption counters (reference: RECORD_LINESTAT,
+        # rpkt.cc:530-535 acounter)
+        la = est.line_absorbcount.at[
+            jnp.where(ev_bb, ev_act_line, est.line_absorbcount.shape[0])
+        ].add(1, mode="drop")
+        est = est.replace(line_absorbcount=la)
     if opts.track_ion_stats:
         # per-ion absorption statistics (reference: rpkt.cc:487-535,
         # stats.cc:36-154)
@@ -1850,6 +1857,15 @@ def transport_timestep(
                     jax.random.fold_in(k, 111), st, est, ctx, grid, dad, cells,
                     opts, rad_m, False, ma_res["nu_cmf"], opacity_case,
                 )
+            if opts.record_linestat:
+                # per-line emission counters (macroatom.cc:404-410 ecounter)
+                emline_ls = jnp.where(
+                    resolved_mask & (kindf == 1), ma_res["emissiontype"],
+                    est.line_emisscount.shape[0],
+                )
+                est = est.replace(line_emisscount=est.line_emisscount.at[
+                    emline_ls
+                ].add(1, mode="drop"))
             cnt = stats.bump(est.counters, stats.MA_STAT_DEACTIVATION_BB, kindf == 1)
             cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_FB, kindf == 2)
             cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_COLLDEEXC, kindf == 3)
