@@ -906,6 +906,21 @@ def rpkt_step(
 # test hook: (tau_minuslogu, sel_u) arrays injected into the Pallas kernel
 _PALLAS_TEST_INJECT = None
 
+from .expansionopacity import NBINS as _EXPO_NBINS
+
+
+def _expo_kappa_padded(ctx, ncells: int, f32, opts):
+    """(ncells, NBINS padded to 128) binned expansion opacities for the
+    kernel; a (ncells, 128) zero placeholder when the mode is off."""
+    if not opts.expansionopacities_on:
+        return jnp.zeros((ncells, 128), f32)
+    nb = ctx.expopac_kappa.shape[1]
+    nbpad = -(-nb // 128) * 128
+    k = ctx.expopac_kappa.astype(f32)
+    if nbpad > nb:
+        k = jnp.pad(k, ((0, 0), (0, nbpad - nb)))
+    return k
+
 
 def rpkt_step_pallas(
     key, st: PacketState, est: Estimators, ctx: StepContext, grid: GridData,
@@ -988,6 +1003,7 @@ def rpkt_step_pallas(
         cont_gmap=cont_gmap if dad.nbfcontinua else jnp.zeros((1, ngc), f32),
         gc_nu_edge=dad.groundcont_nu_edge.astype(f32)
         if dad.nbfcontinua_ground else jnp.zeros((1,), f32),
+        expo_kappa=_expo_kappa_padded(ctx, ncells, f32, opts),
     )
 
     seed = jax.random.randint(jax.random.fold_in(key, 7777), (), 0, 2**31 - 1,
@@ -1011,6 +1027,8 @@ def rpkt_step_pallas(
         last_nuovernuedge=float(dad.last_phixs_nuovernuedge),
         want_gamma=opts.use_lut_photoion, want_bfheat=opts.use_lut_bfheating,
         test_mode=test_mode, block=block,
+        expansion_mode=opts.expansionopacities_on,
+        nbins_expo=_EXPO_NBINS if opts.expansionopacities_on else 0,
     )
     (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
      owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,

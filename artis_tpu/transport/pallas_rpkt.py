@@ -82,7 +82,11 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         return False
     if grid.grid_type != GridType.SPHERICAL1D:
         return False
-    if opts.expansionopacities_on or opts.multibin_radfield:
+    if opts.multibin_radfield:
+        return False
+    if opts.expansionopacities_on and opts.rpkt_boundbound_thermalisation_probability < 0:
+        # the Planck-sampled thermalisation lives in the XLA event pass and
+        # requires the fixed-probability mode (rpkt.cc:700-713)
         return False
     if opts.detailed_bf_estimators_on or opts.detailed_line_estimators_on:
         return False
@@ -125,6 +129,7 @@ def _kernel(
     cont_phixs,  # (Cpad, P)
     cont_gmap,  # (Cpad, ngc) one-hot ground map (f32)
     gc_nu_edge,  # (ngc,)
+    expo_kappa,  # (ncells, NBpad) binned expansion opacities [cm2/g]
     consts,  # (1, 4) SMEM f32: [t2, tmin, -, -] (traced per timestep)
     # outputs
     o_posx, o_posy, o_posz, o_dirx, o_diry, o_dirz, o_nu_rf, o_nu_cmf,
@@ -152,6 +157,8 @@ def _kernel(
     want_bfheat: bool,
     test_mode: bool,
     block: int,
+    expansion_mode: bool = False,
+    nbins_expo: int = 0,
 ):
     B = block
     blk = pl.program_id(0)
@@ -399,130 +406,196 @@ def _kernel(
         chi_cont_cmf = chi_escat + chi_ff + chi_bf
         chi_cont = chi_cont_cmf * doppler
 
-        # --- Sobolev line walk (port of linewalk.get_event_batch) ---
-        # initial cursor: count of lines with nu > nu_cmf (descending list)
-        def count_body(bidx, acc):
-            l0 = bidx * line_chunk
-            nu_k = line_nu[0, pl.ds(l0, line_chunk)]
-            valid = (jax.lax.broadcasted_iota(I32, (1, line_chunk), 1)[0]
-                     + l0) < nlines
-            cnt = jnp.sum(
-                jnp.where(valid[None, :] & (nu_k[None, :] > nu[:, None]), 1, 0),
-                axis=1, dtype=I32,
+        if expansion_mode:
+            # --- binned expansion-opacity walk (port of
+            # expansionopacity.get_event_expansion_batch; reference:
+            # rpkt.cc:199-290) ---
+            nb = expo_kappa.shape[-1]
+            safe_chi = jnp.maximum(chi_cont, 1e-30)
+            bidx = jax.lax.broadcasted_iota(F32, (1, nb), 1)
+            valid_bin = bidx < jnp.float32(nbins_expo)
+            # bin b's lower-nu edge at lambda = LMIN + (b+1) dl
+            from .expansionopacity import DELTA_LAMBDA, LAMBDA_MIN
+            lam_lo = LAMBDA_MIN + (bidx + 1.0) * DELTA_LAMBDA
+            lam_hi = LAMBDA_MIN + bidx * DELTA_LAMBDA
+            nu_lo_e = jnp.float32(1e8 * CLIGHT) / lam_lo  # (1, nb)
+            nu_hi_e = jnp.where(
+                bidx > 0, jnp.float32(1e8 * CLIGHT) / jnp.maximum(lam_hi, 1e-3),
+                jnp.float32(0.0),
             )
-            return acc + cnt
-
-        searched = jax.lax.fori_loop(0, nlineblocks, count_body,
-                                     jnp.zeros((B,), I32))
-        cursor0 = jnp.where(s["ntr"] > 0, s["ntr"], searched)
-        cond_nolines = (s["ntr"] > nlines - 1) | (nu < line_nu[0, nlines - 1])
-        cursor0 = jnp.where(cond_nolines, nlines,
-                            jnp.minimum(cursor0, nlines)).astype(I32)
-        fresh_nolines = cursor0 >= nlines
-        no_lines = cursor0 >= nlines
-
-        safe_chi = jnp.maximum(chi_cont, 1e-30)
-        nl_contdist = jnp.maximum(tau_next / safe_chi, 0.0)
-        nl_cont = no_lines & need_chi & (nl_contdist <= abort_dist)
-        nl_noev = no_lines & need_chi & ~nl_cont
-
-        lw = dict(
-            tau_cum=jnp.zeros((B,), F32),
-            lastD=jnp.zeros((B,), F32),
-            done=(~need_chi | no_lines).astype(I32),
-            edist=jnp.where(nl_cont, nl_contdist, big),
-            ntr=jnp.where(
-                nl_cont, jnp.int32(nlines + 1),
-                jnp.where(nl_noev & ~fresh_nolines, jnp.int32(nlines),
-                          s["ntr"])).astype(I32),
-            isbb=jnp.zeros((B,), I32),
-            act=jnp.full((B,), -99, I32),
-        )
-
-        karange = jax.lax.broadcasted_iota(I32, (B, line_chunk), 1)
-
-        def walk_body(bidx, w):
-            l0 = bidx * line_chunk
-            nu_k = line_nu[0, pl.ds(l0, line_chunk)][None, :]
-            tau_blk_all = tau_factor[:, pl.ds(l0, line_chunk)]
-            tau_blk = jnp.dot(oh, tau_blk_all, preferred_element_type=F32)
-            l_glob = karange + l0
-            below = l_glob < cursor0[:, None]
-            beyond = l_glob > nlines - 1
-            wdone = w["done"] > 0
-            validk = ~below & ~beyond & ~_col(wdone)
             if relativistic:
-                relD = (nu_k - nu[:, None]) / dnudl[:, None]
+                d_edge = (nu_lo_e - nu[:, None]) / dnudl[:, None]
+                d_prev = jnp.where(
+                    bidx > 0, (nu_hi_e - nu[:, None]) / dnudl[:, None], 0.0
+                )
             else:
-                relD = CLIGHT_PROP * tstart[:, None] * (nu[:, None] / nu_k - 1.0)
-            # clamp: dnudl ~ -0 when abort_dist ~ 0 would give inf here, and
-            # 0 * inf then NaN-poisons the whole walk
-            relD = jnp.clip(relD, 0.0, 1e30)
-            relD = jnp.where(validk, relD, 0.0)
-            relD_prev = jnp.concatenate(
-                [w["lastD"][:, None], relD[:, :-1]], axis=1)
-            t_prev = tstart[:, None] + relD_prev / CLIGHT_PROP
-            tau_line = jnp.where(validk, tau_blk * t_prev, 0.0)
-            s_cum = _cumsum_rows(tau_line) - tau_line + w["tau_cum"][:, None]
-            # clamp: at the first terminal line the numerator is >= 0 in
-            # exact arithmetic, but a -ulp rounding over 1e-30 opacity would
-            # give a huge negative event distance
-            contdist = jnp.maximum(
-                (tau_next[:, None] - s_cum) / safe_chi[:, None], 0.0)
-            # logical form: Mosaic cannot select between i1 vectors
-            ev_cont = (validk & (contdist <= relD)) | (
-                ~validk & (contdist <= abort_dist[:, None]))
-            ev_abort = validk & (nu_k < nu_cmf_abort[:, None])
-            ev_bb = validk & (
-                tau_next[:, None] - s_cum <= safe_chi[:, None] * relD + tau_line)
-            terminal = ~below & (ev_cont | ev_abort | ev_bb | beyond) \
-                & ~_col(wdone)
-            any_term = jnp.any(terminal, axis=1)
-            jsel = _first_true_idx(terminal, line_chunk)
-            ohj = (karange == jsel[:, None])
+                d_edge = CLIGHT_PROP * tstart[:, None] * (nu[:, None] / nu_lo_e - 1.0)
+                d_prev = jnp.where(
+                    bidx > 0,
+                    CLIGHT_PROP * tstart[:, None]
+                    * (nu[:, None] / jnp.maximum(nu_hi_e, 1.0) - 1.0),
+                    0.0,
+                )
+            d_edge = jnp.clip(d_edge, 0.0, 1e30)
+            d_prev = jnp.clip(d_prev, 0.0, 1e30)
+            seg = jnp.where(valid_bin, jnp.maximum(d_edge - d_prev, 0.0), 0.0)
+            kap_rows = jnp.dot(oh, expo_kappa[:, :],
+                               preferred_element_type=F32)  # (B, nb)
+            chi_bb_b = kap_rows * (rho_p * doppler)[:, None]
+            chi_t_b = safe_chi[:, None] + chi_bb_b
+            dtau = chi_t_b * seg
+            cum = _cumsum_rows(dtau) - dtau
+            hit = ((cum + dtau) >= tau_next[:, None]) & (seg > 0)
+            any_hit = jnp.any(hit, axis=1)
+            jsel_e = _first_true_idx(hit, nb)
+            ohje = (jax.lax.broadcasted_iota(I32, (B, nb), 1)
+                    == jsel_e[:, None])
 
-            def pick(x):
-                return jnp.sum(jnp.where(ohj, x, 0), axis=1)
+            def picke(x):
+                return jnp.sum(jnp.where(ohje, x, 0.0), axis=1)
 
-            def pickb(x):
-                return jnp.any(ohj & x, axis=1)
+            edist_x = picke(d_prev) + (tau_next - picke(cum)) / jnp.maximum(
+                picke(chi_t_b), 1e-30
+            )
+            bb_frac = jnp.where(
+                any_hit,
+                picke(chi_bb_b) / jnp.maximum(picke(chi_t_b), 1e-30), 0.0,
+            )
+            if test_mode:
+                u_bb = sel_u
+            else:
+                u_bb = _u01((B,))
+            ev_edist = jnp.where(any_hit & need_chi,
+                                 jnp.maximum(edist_x, 0.0), big)
+            ev_isbb = any_hit & need_chi & (u_bb <= bb_frac)
+            ev_ntr = jnp.full((B,), -1, I32)
+            ev_act = jnp.full((B,), -99, I32)
 
-            j_valid = pickb(validk)
-            j_cont = pickb(ev_cont)
-            j_abort = pickb(ev_abort) & ~j_cont
-            j_bb = pickb(ev_bb) & ~j_cont & ~j_abort & j_valid
-            j_cont_invalid = ~j_valid & j_cont
-            j_noevent = ~j_valid & ~j_cont
-            lineindex_j = jnp.clip(l0 + jsel, 0, nlines - 1).astype(I32)
-            contdist_j = pick(contdist)
-            relD_j = pick(relD)
-            newly = any_term & ~wdone
-            edist = jnp.where(newly & (j_cont | j_cont_invalid), contdist_j,
-                              w["edist"])
-            edist = jnp.where(newly & j_bb, relD_j, edist)
-            ntr = w["ntr"]
-            ntr = jnp.where(newly & j_valid & (j_cont | j_abort), lineindex_j, ntr)
-            ntr = jnp.where(newly & j_bb, lineindex_j + 1, ntr)
-            ntr = jnp.where(newly & j_cont_invalid, jnp.int32(nlines + 1), ntr)
-            ntr = jnp.where(
-                newly & j_noevent,
-                jnp.where(fresh_nolines, w["ntr"], lineindex_j), ntr)
-            isbb = (newly & j_bb) | (~newly & (w["isbb"] > 0))
-            act = jnp.where(newly & j_bb, lineindex_j, w["act"])
-            not_term = ~any_term & ~wdone
-            tau_cum = jnp.where(
-                not_term, w["tau_cum"] + jnp.sum(tau_line, axis=1), w["tau_cum"])
-            lastD = jnp.where(
-                not_term, jnp.maximum(w["lastD"], jnp.max(relD, axis=1)),
-                w["lastD"])
-            return dict(tau_cum=tau_cum, lastD=lastD,
-                        done=(wdone | any_term).astype(I32), edist=edist,
-                        ntr=ntr, isbb=isbb.astype(I32), act=act)
+        if not expansion_mode:
+            # --- Sobolev line walk (port of linewalk.get_event_batch) ---
+            # initial cursor: count of lines with nu > nu_cmf (descending list)
+            def count_body(bidx, acc):
+                l0 = bidx * line_chunk
+                nu_k = line_nu[0, pl.ds(l0, line_chunk)]
+                valid = (jax.lax.broadcasted_iota(I32, (1, line_chunk), 1)[0]
+                         + l0) < nlines
+                cnt = jnp.sum(
+                    jnp.where(valid[None, :] & (nu_k[None, :] > nu[:, None]), 1, 0),
+                    axis=1, dtype=I32,
+                )
+                return acc + cnt
 
-        lw = jax.lax.fori_loop(0, nlineblocks, walk_body, lw)
+            searched = jax.lax.fori_loop(0, nlineblocks, count_body,
+                                         jnp.zeros((B,), I32))
+            cursor0 = jnp.where(s["ntr"] > 0, s["ntr"], searched)
+            cond_nolines = (s["ntr"] > nlines - 1) | (nu < line_nu[0, nlines - 1])
+            cursor0 = jnp.where(cond_nolines, nlines,
+                                jnp.minimum(cursor0, nlines)).astype(I32)
+            fresh_nolines = cursor0 >= nlines
+            no_lines = cursor0 >= nlines
 
-        ev_edist, ev_ntr, ev_isbb, ev_act = (
-            lw["edist"], lw["ntr"], lw["isbb"] > 0, lw["act"])
+            safe_chi = jnp.maximum(chi_cont, 1e-30)
+            nl_contdist = jnp.maximum(tau_next / safe_chi, 0.0)
+            nl_cont = no_lines & need_chi & (nl_contdist <= abort_dist)
+            nl_noev = no_lines & need_chi & ~nl_cont
+
+            lw = dict(
+                tau_cum=jnp.zeros((B,), F32),
+                lastD=jnp.zeros((B,), F32),
+                done=(~need_chi | no_lines).astype(I32),
+                edist=jnp.where(nl_cont, nl_contdist, big),
+                ntr=jnp.where(
+                    nl_cont, jnp.int32(nlines + 1),
+                    jnp.where(nl_noev & ~fresh_nolines, jnp.int32(nlines),
+                              s["ntr"])).astype(I32),
+                isbb=jnp.zeros((B,), I32),
+                act=jnp.full((B,), -99, I32),
+            )
+
+            karange = jax.lax.broadcasted_iota(I32, (B, line_chunk), 1)
+
+            def walk_body(bidx, w):
+                l0 = bidx * line_chunk
+                nu_k = line_nu[0, pl.ds(l0, line_chunk)][None, :]
+                tau_blk_all = tau_factor[:, pl.ds(l0, line_chunk)]
+                tau_blk = jnp.dot(oh, tau_blk_all, preferred_element_type=F32)
+                l_glob = karange + l0
+                below = l_glob < cursor0[:, None]
+                beyond = l_glob > nlines - 1
+                wdone = w["done"] > 0
+                validk = ~below & ~beyond & ~_col(wdone)
+                if relativistic:
+                    relD = (nu_k - nu[:, None]) / dnudl[:, None]
+                else:
+                    relD = CLIGHT_PROP * tstart[:, None] * (nu[:, None] / nu_k - 1.0)
+                # clamp: dnudl ~ -0 when abort_dist ~ 0 would give inf here, and
+                # 0 * inf then NaN-poisons the whole walk
+                relD = jnp.clip(relD, 0.0, 1e30)
+                relD = jnp.where(validk, relD, 0.0)
+                relD_prev = jnp.concatenate(
+                    [w["lastD"][:, None], relD[:, :-1]], axis=1)
+                t_prev = tstart[:, None] + relD_prev / CLIGHT_PROP
+                tau_line = jnp.where(validk, tau_blk * t_prev, 0.0)
+                s_cum = _cumsum_rows(tau_line) - tau_line + w["tau_cum"][:, None]
+                # clamp: at the first terminal line the numerator is >= 0 in
+                # exact arithmetic, but a -ulp rounding over 1e-30 opacity would
+                # give a huge negative event distance
+                contdist = jnp.maximum(
+                    (tau_next[:, None] - s_cum) / safe_chi[:, None], 0.0)
+                # logical form: Mosaic cannot select between i1 vectors
+                ev_cont = (validk & (contdist <= relD)) | (
+                    ~validk & (contdist <= abort_dist[:, None]))
+                ev_abort = validk & (nu_k < nu_cmf_abort[:, None])
+                ev_bb = validk & (
+                    tau_next[:, None] - s_cum <= safe_chi[:, None] * relD + tau_line)
+                terminal = ~below & (ev_cont | ev_abort | ev_bb | beyond) \
+                    & ~_col(wdone)
+                any_term = jnp.any(terminal, axis=1)
+                jsel = _first_true_idx(terminal, line_chunk)
+                ohj = (karange == jsel[:, None])
+
+                def pick(x):
+                    return jnp.sum(jnp.where(ohj, x, 0), axis=1)
+
+                def pickb(x):
+                    return jnp.any(ohj & x, axis=1)
+
+                j_valid = pickb(validk)
+                j_cont = pickb(ev_cont)
+                j_abort = pickb(ev_abort) & ~j_cont
+                j_bb = pickb(ev_bb) & ~j_cont & ~j_abort & j_valid
+                j_cont_invalid = ~j_valid & j_cont
+                j_noevent = ~j_valid & ~j_cont
+                lineindex_j = jnp.clip(l0 + jsel, 0, nlines - 1).astype(I32)
+                contdist_j = pick(contdist)
+                relD_j = pick(relD)
+                newly = any_term & ~wdone
+                edist = jnp.where(newly & (j_cont | j_cont_invalid), contdist_j,
+                                  w["edist"])
+                edist = jnp.where(newly & j_bb, relD_j, edist)
+                ntr = w["ntr"]
+                ntr = jnp.where(newly & j_valid & (j_cont | j_abort), lineindex_j, ntr)
+                ntr = jnp.where(newly & j_bb, lineindex_j + 1, ntr)
+                ntr = jnp.where(newly & j_cont_invalid, jnp.int32(nlines + 1), ntr)
+                ntr = jnp.where(
+                    newly & j_noevent,
+                    jnp.where(fresh_nolines, w["ntr"], lineindex_j), ntr)
+                isbb = (newly & j_bb) | (~newly & (w["isbb"] > 0))
+                act = jnp.where(newly & j_bb, lineindex_j, w["act"])
+                not_term = ~any_term & ~wdone
+                tau_cum = jnp.where(
+                    not_term, w["tau_cum"] + jnp.sum(tau_line, axis=1), w["tau_cum"])
+                lastD = jnp.where(
+                    not_term, jnp.maximum(w["lastD"], jnp.max(relD, axis=1)),
+                    w["lastD"])
+                return dict(tau_cum=tau_cum, lastD=lastD,
+                            done=(wdone | any_term).astype(I32), edist=edist,
+                            ntr=ntr, isbb=isbb.astype(I32), act=act)
+
+            lw = jax.lax.fori_loop(0, nlineblocks, walk_body, lw)
+
+            ev_edist, ev_ntr, ev_isbb, ev_act = (
+                lw["edist"], lw["ntr"], lw["isbb"] > 0, lw["act"])
 
         # thick cells: grey opacity
         chi_grey = kgrey_p * rho_p * doppler
@@ -763,6 +836,7 @@ def _kernel(
         "nlines", "ncont", "nprop", "ncells", "ngc", "nphixs", "line_chunk",
         "max_inner", "relativistic", "want_gamma", "want_bfheat",
         "test_mode", "block", "phixs_dnu", "last_nuovernuedge",
+        "expansion_mode", "nbins_expo",
     ),
 )
 def propagate_blocked(
@@ -775,6 +849,7 @@ def propagate_blocked(
     *, nlines, ncont, nprop, ncells, ngc, nphixs, line_chunk, max_inner,
     relativistic, phixs_dnu, last_nuovernuedge,
     want_gamma, want_bfheat, test_mode, block,
+    expansion_mode=False, nbins_expo=0,
 ):
     n = lane_f32["posx"].shape[0]
     assert n % block == 0
@@ -804,12 +879,12 @@ def propagate_blocked(
         tables["tau_factor"], tables["cont_nu_edge"],
     ]
     # bf_a, bf_dep, cont_phixs, cont_gmap, gc_nu_edge appended below
-    in_specs += [table_spec] * 5 + [
+    in_specs += [table_spec] * 6 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)
     ]
     table_list += [
         tables["bf_a"], tables["bf_dep"], tables["cont_phixs"],
-        tables["cont_gmap"], tables["gc_nu_edge"],
+        tables["cont_gmap"], tables["gc_nu_edge"], tables["expo_kappa"],
         jnp.stack([t2.astype(F32), jnp.asarray(tmin, F32),
                    jnp.asarray(max_path_step, F32),
                    jnp.zeros((), F32)]).reshape(1, 4),
