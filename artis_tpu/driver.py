@@ -58,6 +58,19 @@ def _count_active(state, t2):
     )
 
 
+@jax.jit
+def _pack_counts(it_c, ns_c, state, t2):
+    """Stack the per-chunk scalars into one device array so the driver pays a
+    single host round-trip per chunk (the tunnel round-trip is ~40ms; three
+    separate int() fetches were 3x that)."""
+    n_act = jnp.sum(
+        ((state.prop_time < t2) & (state.ptype != TYPE_ESCAPE)).astype(jnp.int32)
+    )
+    return jnp.stack([
+        it_c.astype(jnp.int32), ns_c.astype(jnp.int32), n_act,
+    ])
+
+
 from functools import partial as _partial
 
 
@@ -290,9 +303,18 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         expo_kappa, expo_pc = expo_mod.build_expansion_opacities(
             tau_sob, dad, cells.rho, cells.TR, t_mid
         )
+        if opts.rpkt_boundbound_thermalisation_probability < 0:
+            expo_wcum, expo_binoff = expo_mod.build_line_selection(
+                tau_sob, dad, t_mid
+            )
+        else:
+            expo_wcum = jnp.zeros((tau_sob.shape[0], 1), tau_sob.dtype)
+            expo_binoff = jnp.zeros((2,), jnp.int32)
     else:
         expo_kappa = jnp.zeros((tau_sob.shape[0], 1), tau_sob.dtype)
         expo_pc = expo_kappa
+        expo_wcum = expo_kappa
+        expo_binoff = jnp.zeros((2,), jnp.int32)
     if opts.vpkt_on:
         from .transport import vpkt as vpkt_device_mod
         vcum_tau, vcum_taunu = vpkt_device_mod.build_vpkt_tables(
@@ -307,7 +329,8 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     return (cells, levelpops, nnion, chi_ff_part, rates, tau_sob, bf_a, bf_dep,
             nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation,
             nt_ionenfrac, nt_exc_fracdep_cum,
-            tr_bins, w_bins, vcum_tau, vcum_taunu, expo_kappa, expo_pc)
+            tr_bins, w_bins, vcum_tau, vcum_taunu, expo_kappa, expo_pc,
+            expo_wcum, expo_binoff)
 
 
 class Simulation:
@@ -851,7 +874,8 @@ class Simulation:
          tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe, nt_ionenfrac,
          nt_exc_fracdep_cum,
          self.radfieldbin_tr, self.radfieldbin_w,
-         vcum_tau, vcum_taunu, expo_kappa, expo_pc) = self._plasma_jit(
+         vcum_tau, vcum_taunu, expo_kappa, expo_pc,
+         expo_wcum, expo_binoff) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
@@ -891,6 +915,8 @@ class Simulation:
             bf_dep=bf_dep,
             expopac_kappa=expo_kappa,
             expopac_planck_cum=expo_pc,
+            expopac_wcum=expo_wcum,
+            expopac_binoffsets=expo_binoff,
             elem_numberdens=(
                 self.cells.elem_numberdens()
                 if self.opts.use_xcom_gammaphotoion
@@ -933,14 +959,9 @@ class Simulation:
         return ctx
 
     # ------------------------------------------------------------------
-    def do_timestep(self, nts: int):
-        p = self.params
-        t0 = _time.time()
-        ctx = self.update_grid(nts)
-        self.log(f"timestep {nts}: grid update took {_time.time() - t0:.1f}s")
-
+    def _zero_est(self):
         dtype = jnp.float32 if self._f32 else jnp.float64
-        self.est = zero_estimators(
+        return zero_estimators(
             self.grid.nonempty_npts, max(self.ad.nbfcontinua_ground, 1), dtype=dtype,
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
             nbfrate=self._nbfrate, nbfrate_cells=self._nbfrate_cells,
@@ -952,6 +973,74 @@ class Simulation:
             nlinestat=self._nlinestat,
         )
 
+    def _tail_plan(self):
+        """The descending tail-width ladder and its per-width options."""
+        npkts = self.opts.npkts
+        tail_w = max(1024, 1 << max(npkts // max(self.opts.tail_width_divisor, 1) - 1, 0).bit_length())
+        tail_widths = [tail_w] if tail_w < npkts else []
+        while tail_widths and tail_widths[-1] // 4 >= max(self.opts.tail_min_width, 256):
+            tail_widths.append(tail_widths[-1] // 4)
+
+        def _tail_opts(w):
+            return self.opts.replace(
+                rpkt_crossings_per_dispatch=self.opts.tail_crossings_per_dispatch,
+                npkts=w, pallas_block=min(self.opts.pallas_block, w),
+            )
+
+        return tail_widths, _tail_opts
+
+    def _transport_kwargs(self, nts: int):
+        p = self.params
+        return dict(
+            gamma_kappagrey=float(p.gamma_kappagrey),
+            opacity_case=int(p.opacity_case),
+            kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
+            apply_kpkt_diffusion=bool(nts < p.n_kpktdiffusion_timesteps),
+        )
+
+    def warm_transport(self, nts: int):
+        """Pre-compile every transport program do_timestep(nts) can dispatch:
+        the full-width program plus each tail-width program in the ladder.
+
+        Each program is invoked on an all-escaped packet buffer, so the
+        transport while_loop exits at the first cond check — the call costs
+        one compile (served from the persistent cache when warm) plus
+        microseconds of device time. Benchmarks call this so no compile
+        lands inside the measured window."""
+        from .packets import TYPE_ESCAPE as _ESC
+
+        ctx = self.update_grid(nts)
+        est = self._zero_est()
+        kwargs = self._transport_kwargs(nts)
+        tail_widths, _tail_opts = self._tail_plan()
+        key = jax.random.PRNGKey(0)
+        dead = self.state.replace(
+            ptype=jnp.full_like(self.state.ptype, _ESC))
+        t0 = _time.time()
+        self._transport_jit(
+            key, dead, est, self.grid, self.dad, self.aux, self.rc,
+            self.rates, self.cells, ctx, self.opts,
+            max_iters=self.opts.dispatch_chunk_iters, **kwargs)
+        for w in tail_widths:
+            sub = jax.tree_util.tree_map(lambda x: x[:w], dead)
+            self._transport_jit(
+                key, sub, est, self.grid, self.dad, self.aux, self.rc,
+                self.rates, self.cells, ctx, _tail_opts(w),
+                max_iters=self.opts.tail_chunk_iters, **kwargs)
+        self.log(
+            f"warm_transport: {1 + len(tail_widths)} programs compiled in "
+            f"{_time.time() - t0:.1f}s (widths {[self.opts.npkts] + tail_widths})"
+        )
+
+    # ------------------------------------------------------------------
+    def do_timestep(self, nts: int):
+        p = self.params
+        t0 = _time.time()
+        ctx = self.update_grid(nts)
+        self.log(f"timestep {nts}: grid update took {_time.time() - t0:.1f}s")
+
+        self.est = self._zero_est()
+
         t0 = _time.time()
         base_key = jax.random.fold_in(self.base_key, 1000 + nts)
         chunk_iters = self.opts.dispatch_chunk_iters
@@ -962,23 +1051,21 @@ class Simulation:
 
         # tail mode: stragglers (diffusion-trapped packets needing millions of
         # scatters) gathered into a narrow buffer running a second compiled
-        # program with many more in-kernel crossings per iteration
-        npkts = self.opts.npkts
-        tail_w = max(1024, 1 << max(npkts // max(self.opts.tail_width_divisor, 1) - 1, 0).bit_length())
-        use_tail = tail_w < npkts
-        tail_opts = self.opts.replace(
-            rpkt_crossings_per_dispatch=self.opts.tail_crossings_per_dispatch,
-            npkts=tail_w,
-        )
+        # program with many more in-kernel crossings per iteration; the
+        # descending width ladder re-gathers into 4x narrower buffers as the
+        # active count shrinks (kernel wall time scales with buffer width)
+        tail_widths, _tail_opts = self._tail_plan()
+        use_tail = bool(tail_widths)
+
+        def _pick_width(n):
+            fit = [w for w in tail_widths if w >= max(n, 1)]
+            return fit[-1] if fit else None
+
         mode_tail = False
+        cur_w = None
         sub = None
         tail_idx = None
-        transport_kwargs = dict(
-            gamma_kappagrey=float(p.gamma_kappagrey),
-            opacity_case=int(p.opacity_case),
-            kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
-            apply_kpkt_diffusion=bool(nts < p.n_kpktdiffusion_timesteps),
-        )
+        transport_kwargs = self._transport_kwargs(nts)
         for chunk in range(65536):  # hard backstop; each chunk advances or drains
             key = jax.random.fold_in(base_key, chunk)
             if not mode_tail:
@@ -987,28 +1074,79 @@ class Simulation:
                     self.rc, self.rates, self.cells, ctx, self.opts,
                     max_iters=chunk_iters, **transport_kwargs,
                 )
-                n_act = int(_count_active(self.state, t2dev))
+                counts = np.asarray(_pack_counts(it_c, ns_c, self.state, t2dev))
             else:
                 sub, self.est, it_c, ns_c = self._transport_jit(
                     key, sub, self.est, self.grid, self.dad, self.aux,
-                    self.rc, self.rates, self.cells, ctx, tail_opts,
+                    self.rc, self.rates, self.cells, ctx, _tail_opts(cur_w),
                     max_iters=self.opts.tail_chunk_iters, **transport_kwargs,
                 )
-                n_act = int(_count_active(sub, t2dev))
-            it_c = int(it_c)
+                counts = np.asarray(_pack_counts(it_c, ns_c, sub, t2dev))
+            it_c, ns_c, n_act = (int(v) for v in counts)
             iters += it_c
-            nsteps += int(ns_c)
+            nsteps += ns_c
             if os.environ.get("ARTIS_DEBUG_CHUNKS"):
                 self.log(
                     f"  chunk {chunk}{' (tail)' if mode_tail else ''}: iters "
                     f"{it_c} steps {int(ns_c)} active {n_act} "
                     f"elapsed {_time.time() - t0:.0f}s"
                 )
+            if (os.environ.get("ARTIS_DEBUG_STUCK") and n_act
+                    and 0 < n_act <= 4 and chunk >= 40):
+                src = sub if mode_tail else self.state
+                gat, _ = _gather_active(src, t2dev, 4)
+                rows = {
+                    f.name: np.asarray(getattr(gat, f.name))[:n_act]
+                    for f in dataclasses.fields(gat)
+                    if isinstance(getattr(gat, f.name), jnp.ndarray)
+                    and getattr(gat, f.name).ndim in (1, 2)
+                }
+                self.log(f"  STUCK dump (t2={t2v}): " + "; ".join(
+                    f"{k}={v.tolist()}" for k, v in sorted(rows.items())))
+                self.log(
+                    "  STUCK cells: nne="
+                    + str(np.asarray(self.cells.nne).tolist())
+                    + " thick=" + str(np.asarray(self.cells.thick).tolist())
+                )
+                if self.opts.expansionopacities_on:
+                    from .transport import expansionopacity as _expo
+                    nu = rows["nu_cmf"]
+                    lam = 1e8 * CLIGHT / np.maximum(nu, 1.0)
+                    bb = np.clip(
+                        ((lam - _expo.LAMBDA_MIN) / _expo.DELTA_LAMBDA
+                         ).astype(int), 0, _expo.NBINS - 1)
+                    cell = np.asarray(
+                        self.grid.nonemptymgi_of_cell)[rows["where"]]
+                    kap = np.asarray(ctx.expopac_kappa)
+                    rho = np.asarray(self.cells.rho)[np.maximum(cell, 0)]
+                    krow = kap[np.maximum(cell, 0)]
+                    chibb = krow[np.arange(len(bb)), bb] * rho
+                    r = np.linalg.norm(rows["pos"], axis=1)
+                    self.log(
+                        f"  STUCK expo: lam={lam.tolist()} bin={bb.tolist()} "
+                        f"kappa={krow[np.arange(len(bb)), bb].tolist()} "
+                        f"rho={rho.tolist()} chibb={chibb.tolist()} "
+                        f"mfp={(1.0 / np.maximum(chibb, 1e-300)).tolist()} "
+                        f"pos_ulp={(r / 2**24).tolist()} "
+                        f"kapnb={[krow[np.arange(len(bb)), np.clip(bb + o, 0, _expo.NBINS - 1)].tolist() for o in (-1, 1)]}"
+                    )
             if n_act == 0:
                 break
-            if use_tail and not mode_tail and n_act <= tail_w:
-                sub, tail_idx = _gather_active(self.state, t2dev, tail_w)
-                mode_tail = True
+            if (self.opts.transport_wall_budget > 0
+                    and _time.time() - t0 > self.opts.transport_wall_budget):
+                self.log(
+                    f"timestep {nts}: transport wall budget reached with "
+                    f"{n_act} packets still active (benchmark mode)"
+                )
+                break
+            if use_tail and n_act > 0:
+                want_w = _pick_width(n_act)
+                if want_w is not None and (not mode_tail or want_w < cur_w):
+                    if mode_tail:
+                        self.state = _scatter_back(self.state, sub, tail_idx)
+                    sub, tail_idx = _gather_active(self.state, t2dev, want_w)
+                    cur_w = want_w
+                    mode_tail = True
         if mode_tail:
             self.state = _scatter_back(self.state, sub, tail_idx)
         jax.block_until_ready(self.state.ptype)

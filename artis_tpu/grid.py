@@ -46,7 +46,7 @@ BOUNDARY_ESCAPE = -99
         "vout_model",
         "initial_radial_pos_sum_mgi",
     ],
-    meta_fields=["grid_type", "ncoordgrid", "ngrid", "npts_model", "nonempty_npts", "tmin", "rmax", "vmax"],
+    meta_fields=["grid_type", "ncoordgrid", "ngrid", "npts_model", "nonempty_npts", "tmin", "rmax", "vmax", "model_dim"],
 )
 @dataclasses.dataclass(frozen=True)
 class GridData:
@@ -73,6 +73,8 @@ class GridData:
     tmin: float
     rmax: float
     vmax: float
+    model_dim: int = 0  # dimensionality of the INPUT model (1D model on a
+    # 3D grid keeps radial cell->model mapping, grid.cc:470-487)
 
     @property
     def ndim(self) -> int:
@@ -238,6 +240,7 @@ def grid_init(model: ModelData, tmin: float, grid_type: GridType,
         tmin=float(tmin),
         rmax=float(rmax),
         vmax=float(vmax),
+        model_dim=int(model.dim),
     )
     if with_host:
         return gd, host

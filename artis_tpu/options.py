@@ -206,6 +206,15 @@ class Options:
     tail_width_divisor: int = 16
     tail_crossings_per_dispatch: int = 1024
     tail_chunk_iters: int = 8
+    # smallest buffer in the descending tail-width ladder (each 4x step down
+    # is its own compiled program; kernel wall time scales with buffer width)
+    tail_min_width: int = 256
+    # wall-clock cap per timestep's transport (seconds; <=0 = no cap). For
+    # BENCHMARKING only: stragglers past the cap stay mid-timestep. The f32
+    # fast path cannot advance packets whose scatter step falls below the
+    # float32 ulp of absolute time (~0.03s at t~5d) — use float64 transport
+    # when that regime matters physically.
+    transport_wall_budget: float = -1.0
     # whole-body compaction: when the total active packet count fits in
     # npkts//wavefront_compact_divisor lanes, the entire wavefront iteration
     # runs on a compacted buffer (one gather/scatter for all phases)

@@ -391,6 +391,14 @@ def write_packets_text(filename: str, st: PacketState, e_scale: float = 1.0) -> 
         np.asarray(st.trueemissionvelocity), np.asarray(st.trueem_time),
         np.asarray(st.pellet_nucindex),
     ]
+    kinds = "".join(
+        "i" if (np.asarray(c).dtype.kind in "ib") else "f" for c in cols
+    )
+    from .io import packetio
+
+    # native C row formatter (native/packetio.c); Python fallback below
+    if packetio.write_text_table(filename, _TEXT_HEADER, cols, kinds):
+        return
     with open(filename, "w") as f:
         f.write(_TEXT_HEADER + "\n")
         for row in zip(*cols):

@@ -51,6 +51,7 @@ from ..decay import (
     data_fields=[
         "levelpops", "nnion", "chi_ff_nnionpart", "tau_sob_factor",
         "bf_a", "bf_dep", "expopac_kappa", "expopac_planck_cum",
+        "expopac_wcum", "expopac_binoffsets",
         "elem_numberdens", "xcom_energy", "xcom_sigma",
         "vpkt_cum_tau", "vpkt_cum_taunu", "vpkt_cfg",
         "nt_frac_ion_by_ion", "nt_frac_ionization", "nt_ionenfrac_auger",
@@ -76,6 +77,8 @@ class StepContext:
     bf_dep: jax.Array  # (ncells, nbfcontinua)
     expopac_kappa: jax.Array  # (ncells, NBINS) expansion opacities [cm2/g]
     expopac_planck_cum: jax.Array  # (ncells, NBINS) Planck-weighted cumulative
+    expopac_wcum: jax.Array  # (ncells, nlines) cumulative bb-line weights
+    expopac_binoffsets: jax.Array  # (NBINS+1,) line segment offsets per bin
     elem_numberdens: jax.Array  # (ncells, nelements) for XCOM gamma photoion
     xcom_energy: jax.Array  # (nelements, L) [MeV]
     xcom_sigma: jax.Array  # (nelements, L) [barn]
@@ -933,7 +936,9 @@ def rpkt_step_pallas(
     n = st.npkts
     # 1D f32 VMEM tiling is 1024-wide: the in-kernel lane slices need
     # 1024-aligned offsets, so the block must be a multiple of 1024
-    block = -(-max(opts.pallas_block, 1024) // 1024) * 1024
+    # narrow tail buffers use proportionally narrow kernel blocks (kernel
+    # wall time scales with block width; f32 min tile is (8, 128))
+    block = -(-max(opts.pallas_block, 256) // 256) * 256
     npad = -(-n // block) * block
     f32 = jnp.float32
 
@@ -961,7 +966,14 @@ def rpkt_step_pallas(
 
     # static table geometry
     ncells = cells.Te.shape[0]
-    nprop = int(grid.ncoordgrid[0])
+    from ..grid import GridType as _GT
+    cart3d = grid.grid_type == _GT.CARTESIAN3D
+    if cart3d:
+        # the 3D kernel derives cell geometry from the index; the prop-table
+        # slots carry the 1D-model shell tables for the radial mgi mapping
+        nprop = int(grid.npts_model) + 1
+    else:
+        nprop = int(grid.ncoordgrid[0])
     nlines = dad.nlines
     ncont = max(dad.nbfcontinua, 1)
     ngc = max(dad.nbfcontinua_ground, 1)
@@ -982,10 +994,28 @@ def rpkt_step_pallas(
     cont_gmap = (
         (gidx[:, None] == jnp.arange(ngc)[None, :]) & (gidx[:, None] >= 0)
     ).astype(f32)
+    if cart3d:
+        # cellmin0 slot: vout_model padded +inf; cellmax0 slot:
+        # nonemptymgi_of_mgi (same assignment order as grid_init)
+        npts = int(grid.npts_model)
+        isne = (grid.numpropcells_mgi[:npts] > 0) & (grid.rho_tmin_mgi[:npts] > 0)
+        ne_idx = jnp.cumsum(isne.astype(jnp.int32)) - 1
+        ne_of_mgi = jnp.where(isne, ne_idx, -1).astype(f32)
+        t_mgi = jnp.zeros((nprop,), f32)
+        t_cmin = jnp.concatenate(
+            [grid.vout_model[:npts].astype(f32), jnp.full((nprop - npts,), jnp.inf, f32)]
+        )
+        t_cmax = jnp.concatenate(
+            [ne_of_mgi, jnp.full((nprop - npts,), -1.0, f32)]
+        )
+    else:
+        t_mgi = grid.nonemptymgi_of_cell[:nprop].astype(f32)
+        t_cmin = grid.cell_pos_min[:nprop, 0].astype(f32)
+        t_cmax = grid.cell_pos_max[:nprop, 0].astype(f32)
     tables = dict(
-        mgi_of_cell=grid.nonemptymgi_of_cell[:nprop].astype(f32),
-        cellmin0=grid.cell_pos_min[:nprop, 0].astype(f32),
-        cellmax0=grid.cell_pos_max[:nprop, 0].astype(f32),
+        mgi_of_cell=t_mgi,
+        cellmin0=t_cmin,
+        cellmax0=t_cmax,
         nne=cells.nne.astype(f32), Te=cells.Te.astype(f32),
         kappagrey=cells.kappagrey.astype(f32), rho=cells.rho.astype(f32),
         thick=cells.thick.astype(f32),
@@ -1029,6 +1059,9 @@ def rpkt_step_pallas(
         test_mode=test_mode, block=block,
         expansion_mode=opts.expansionopacities_on,
         nbins_expo=_EXPO_NBINS if opts.expansionopacities_on else 0,
+        cart3d=cart3d,
+        nx=int(grid.ncoordgrid[0]), ny=int(grid.ncoordgrid[1]),
+        nz=int(grid.ncoordgrid[2]), rmax=float(grid.rmax),
     )
     (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
      owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,
@@ -1409,23 +1442,42 @@ def _rpkt_apply_events(
 
     # thick-cell grey scatter + electron scatter: coherent isotropic re-emission
     if opts.expansionopacities_on:
-        # bound-bound interactions scatter coherently or thermalise with a
-        # fixed probability (reference: rpkt.cc:700-713)
-        p_therm = opts.rpkt_boundbound_thermalisation_probability
-        thermalise = ev_bb & (
-            _uniform(key, 56, n, dtype) < jnp.asarray(max(p_therm, 0.0), dtype)
-        )
         from . import expansionopacity as expo
-        nu_resample = expo.sample_planck_times_expansion_opacity(
-            jax.random.fold_in(key, 57), ctx.expopac_planck_cum,
-            jnp.maximum(nonemptymgi, 0), thermalise,
-        )
-        st = st.replace(
-            nu_cmf=jnp.where(thermalise, nu_resample, st.nu_cmf),
-            emissiontype=jnp.where(thermalise, EMTYPE_FREEFREE, st.emissiontype),
-        )
-        iso_mask = ev_thick | ev_bb
-        ev_bb = jnp.zeros_like(ev_bb)  # no macro-atom activations in this mode
+        p_therm = opts.rpkt_boundbound_thermalisation_probability
+        if p_therm >= 0.0:
+            # bound-bound interactions scatter coherently or thermalise with
+            # a fixed probability (reference: rpkt.cc:706-713)
+            thermalise = ev_bb & (
+                _uniform(key, 56, n, dtype) < jnp.asarray(p_therm, dtype)
+            )
+            nu_resample = expo.sample_planck_times_expansion_opacity(
+                jax.random.fold_in(key, 57), ctx.expopac_planck_cum,
+                jnp.maximum(nonemptymgi, 0), thermalise,
+            )
+            st = st.replace(
+                nu_cmf=jnp.where(thermalise, nu_resample, st.nu_cmf),
+                emissiontype=jnp.where(thermalise, EMTYPE_FREEFREE, st.emissiontype),
+            )
+            iso_mask = ev_thick | ev_bb
+            ev_bb = jnp.zeros_like(ev_bb)  # no macro-atom activations
+        else:
+            # THERMALISATION_PROBABILITY < 0 (all reference presets): the
+            # bb event activates the macro-atom on a line resolved within
+            # the hit wavelength bin (reference re-traces the bin
+            # line-by-line, rpkt.cc:238-262 + 703-705; we draw the line by
+            # its contribution to the bin opacity). Without this, a packet
+            # in a high-kappa bin coherent-scatters ~tau^2 times and never
+            # escapes (the "immortal packet" failure mode).
+            sel_line, sel_ok = expo.sample_bb_line(
+                jax.random.fold_in(key, 56), ctx.expopac_wcum,
+                ctx.expopac_binoffsets, jnp.maximum(nonemptymgi, 0),
+                st.nu_cmf, ev_bb, chunk=min(opts.linewalk_chunk, dad.nlines),
+            )
+            ev_act_line = jnp.where(ev_bb & sel_ok, sel_line, ev_act_line)
+            # zero-weight bin (pure continuum drift into the bin edge):
+            # coherent scatter keeps the packet moving
+            iso_mask = ev_thick | (ev_bb & ~sel_ok)
+            ev_bb = ev_bb & sel_ok
     else:
         iso_mask = ev_thick
     scatter_mask = iso_mask | ev_escat

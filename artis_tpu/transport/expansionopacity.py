@@ -58,6 +58,82 @@ def build_expansion_opacities(tau_sob_factor, dad, rho, t_r, t_mid):
     return kappa, pc
 
 
+def build_line_selection(tau_sob_factor, dad, t_mid):
+    """Per-cell cumulative line weights for resolving WHICH line a
+    bound-bound expansion-opacity event activates (reference with
+    RPKT_BOUNDBOUND_THERMALISATION_PROBABILITY < 0 re-traces the hit bin
+    line-by-line, rpkt.cc:238-262; we draw the line from its contribution
+    (lambda/dlambda)(1-exp(-tau)) to the bin opacity — the same summand
+    build_expansion_opacities bins, and the leading-order probability of
+    the reference's in-bin walk).
+
+    Returns (wcum, binoffsets): wcum is the (ncells, nlines) per-cell
+    cumulative of the weights along the descending-frequency line list;
+    binoffsets is (NBINS+1,) line-index offsets of each wavelength bin's
+    contiguous segment in that list.
+    """
+    lam = 1e8 * CLIGHT / dad.line_nu  # ascending (line list is nu-descending)
+    tau = tau_sob_factor * t_mid  # (ncells, nlines)
+    in_range = (lam >= LAMBDA_MIN) & (lam < LAMBDA_MAX)
+    w = jnp.where(
+        in_range[None, :],
+        (lam / DELTA_LAMBDA)[None, :].astype(tau.dtype) * -jnp.expm1(-tau),
+        0.0,
+    )
+    wcum = jnp.cumsum(w, axis=1)
+    edges = LAMBDA_MIN + DELTA_LAMBDA * jnp.arange(NBINS + 1, dtype=lam.dtype)
+    binoffsets = jnp.searchsorted(lam, edges).astype(jnp.int32)
+    return wcum, binoffsets
+
+
+def sample_bb_line(key, wcum, binoffsets, cellidx, nu_cmf, mask, chunk=1024):
+    """Draw the activating line for a bound-bound expansion-opacity event.
+
+    The event's wavelength bin is recovered from the packet's comoving
+    frequency at the event point; the line is drawn within that bin's
+    contiguous line segment proportionally to its bin-opacity weight.
+    Returns (lineidx, ok): ok=False when the bin holds no line weight
+    (caller falls back to coherent scatter)."""
+    n = cellidx.shape[0]
+    dtype = wcum.dtype
+    nlines = wcum.shape[1]
+    lam_ev = 1e8 * CLIGHT / jnp.maximum(nu_cmf, 1.0)
+    b = jnp.clip(
+        jnp.floor((lam_ev - LAMBDA_MIN) / DELTA_LAMBDA).astype(jnp.int32),
+        0, NBINS - 1,
+    )
+    start = binoffsets[b]
+    end = binoffsets[b + 1]
+    cellc = jnp.maximum(cellidx, 0)
+    w_lo = jnp.where(start > 0, wcum[cellc, jnp.maximum(start - 1, 0)], 0.0)
+    w_hi = jnp.where(end > 0, wcum[cellc, jnp.maximum(end - 1, 0)], 0.0)
+    ok = mask & (w_hi > w_lo)
+    u = jax.random.uniform(key, (n,), dtype)
+    target = w_lo + u * (w_hi - w_lo)
+
+    # wcum rows are monotone: the selected line is start + #(entries in the
+    # segment with wcum <= target); chunked so no (npkts, nlines) buffer
+    nblocks = -(-nlines // chunk)
+
+    def body(i, acc):
+        l0 = i * chunk
+        blk = jax.lax.dynamic_slice_in_dim(wcum, l0, chunk, axis=1)[cellc]
+        gidx = (l0 + jnp.arange(chunk)[None, :]).astype(jnp.int32)
+        inseg = (gidx >= start[:, None]) & (gidx < end[:, None])
+        return (acc + jnp.sum(
+            (inseg & (blk <= target[:, None])).astype(jnp.int32), axis=1,
+        )).astype(jnp.int32)
+
+    if nblocks * chunk == nlines:
+        cnt = jax.lax.fori_loop(0, nblocks, body, jnp.zeros((n,), jnp.int32))
+    else:
+        pad = nblocks * chunk - nlines
+        wcum = jnp.pad(wcum, ((0, 0), (0, pad)), constant_values=jnp.inf)
+        cnt = jax.lax.fori_loop(0, nblocks, body, jnp.zeros((n,), jnp.int32))
+    lineidx = jnp.clip(start + cnt, 0, nlines - 1)
+    return lineidx, ok
+
+
 def get_event_expansion_batch(
     kappa_rho_dop,  # (npkts, NBINS): kappa[cell] * rho * doppler, precomputed
     nu_cmf0, prop_time0, chi_cont, tau_rnd, abort_dist, nu_cmf_abort,
@@ -79,7 +155,12 @@ def get_event_expansion_batch(
         d_edge = (nu_lo_edges - nu_cmf0[:, None]) / d_nu_on_d_l[:, None]
     else:
         d_edge = CLIGHT_PROP * prop_time0[:, None] * (nu_cmf0[:, None] / nu_lo_edges - 1.0)
-    d_edge = jnp.maximum(d_edge, 0.0)  # edges already passed contribute zero
+    # clamp: when the d_nu_on_d_l secant degenerates (guarded to -1e-300 at
+    # abort_dist ~ 0, or an inconsistent nu_cmf), d_edge overflows to +inf and
+    # seg/cum then produce inf-inf = NaN, silently dropping the event; a large
+    # finite cap keeps the whole remaining tau budget in the current bin
+    # instead (the Pallas kernel clips identically)
+    d_edge = jnp.clip(d_edge, 0.0, 1e30)  # edges already passed contribute zero
     d_prev = jnp.concatenate([jnp.zeros_like(d_edge[:, :1]), d_edge[:, :-1]], axis=1)
     seg = jnp.maximum(d_edge - d_prev, 0.0)  # path length inside each bin
 

@@ -53,6 +53,23 @@ def _cumsum_rows(x):
     return jnp.dot(x, tri, preferred_element_type=x.dtype)
 
 
+def _cumsum_rows_excl(x):
+    """Row-wise EXCLUSIVE cumulative sum via a strict-triangular MXU matmul.
+
+    Never compute the exclusive sum as inclusive-minus-last: the MXU matmul
+    carries bf16-grade rounding, so for a large element (e.g. a Sobolev
+    tau ~ 1e5) the subtraction leaves an O(x * 2^-10) residue instead of 0.
+    That residue once made (tau_next - s_cum) spuriously negative, turning an
+    optically-thick bound-bound encounter into a zero-distance continuum
+    event the packet repeated forever (the "immortal packet" bench stall)."""
+    n = x.shape[1]
+    tri = (
+        jax.lax.broadcasted_iota(I32, (n, n), 0)
+        < jax.lax.broadcasted_iota(I32, (n, n), 1)
+    ).astype(x.dtype)
+    return jnp.dot(x, tri, preferred_element_type=x.dtype)
+
+
 def _col(b):
     """Bool (B,) -> (B,1): Mosaic only inserts minor dims on 32-bit types."""
     return b.astype(I32)[:, None] > 0
@@ -80,7 +97,14 @@ def supported(opts, dad, grid, ncells: int) -> bool:
     """Host-side check that this configuration fits the v1 kernel."""
     if not opts.use_pallas_rpkt:
         return False
-    if grid.grid_type != GridType.SPHERICAL1D:
+    if grid.grid_type == GridType.SPHERICAL1D:
+        pass
+    elif (grid.grid_type == GridType.CARTESIAN3D
+          and getattr(grid, "model_dim", 0) == 1):
+        # 3D uniform Cartesian grid with radial (1D-model) cell mapping:
+        # geometry derives from the cell index in-kernel (grid.cc:470-487)
+        pass
+    else:
         return False
     if opts.multibin_radfield:
         return False
@@ -95,7 +119,10 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         return False
     if dad.nlines == 0:
         return False
-    npropcells = int(grid.ncoordgrid[0])
+    if grid.grid_type == GridType.CARTESIAN3D:
+        npropcells = int(grid.npts_model) + 1
+    else:
+        npropcells = int(grid.ncoordgrid[0])
     # VMEM budget guards
     if ncells > 1024 or npropcells > 1024:
         return False
@@ -159,6 +186,10 @@ def _kernel(
     block: int,
     expansion_mode: bool = False,
     nbins_expo: int = 0,
+    cart3d: bool = False,
+    nx: int = 1,
+    ny: int = 1,
+    nz: int = 1,
 ):
     B = block
     blk = pl.program_id(0)
@@ -180,6 +211,13 @@ def _kernel(
         nurf=lane(nu_rf), nucmf=lane(nu_cmf), erf=lane(e_rf),
         ecmf=lane(e_cmf),
         t=lane(prop_time),
+        # Kahan compensation for the time accumulator: diffusion-trapped
+        # packets take scatter steps with dt below the float32 ulp of the
+        # absolute time (~0.06s at t~6d); without compensation t never
+        # advances and the packet becomes immortal. The residual is carried
+        # across the in-kernel crossings of one dispatch (at most ~1 ulp of
+        # drift is lost between dispatches).
+        terr=jnp.zeros((B,), F32),
         cell=lane(where_i),
         ntr=lane(next_trans_i),
         moving=(lane(moving_i) > 0).astype(I32),
@@ -208,11 +246,42 @@ def _kernel(
 
     def one_crossing(it, s):
         mask = s["moving"] > 0
-        # --- cell-table gathers via one-hot MXU matmuls ---
-        oh_prop = (propiota == s["cell"][:, None]).astype(F32)  # (B, nprop)
-        mgi_f = jnp.dot(oh_prop, mgi_of_cell[0].reshape(nprop, 1),
-                        preferred_element_type=F32)[:, 0]
-        mgi = jnp.round(mgi_f).astype(I32)
+        tstart_e = s["t"]
+        if cart3d:
+            # --- 3D Cartesian: cell coords from the index (uniform cubic
+            # grid, grid.cc:1419-1445); model cell by MIDPOINT radius shell
+            # search, replicating grid.cc:470-487 map_1dmodelto3dgrid ---
+            rmax_c = consts[0, 3]
+            cellf = s["cell"].astype(F32)
+            nxy = float(nx * ny)
+            i2f = jnp.floor(cellf / nxy)
+            remf = cellf - i2f * nxy
+            i1f = jnp.floor(remf / float(nx))
+            i0f = remf - i1f * float(nx)
+            wid = 2.0 * rmax_c / float(nx)
+            pmin0 = -rmax_c + i0f * wid
+            pmin1 = -rmax_c + i1f * wid
+            pmin2 = -rmax_c + i2f * wid
+            m0 = pmin0 + 0.5 * wid
+            m1 = pmin1 + 0.5 * wid
+            m2 = pmin2 + 0.5 * wid
+            cellvmid = jnp.sqrt(m0 * m0 + m1 * m1 + m2 * m2) / tmin
+            # cellmin0 slot holds vout_model (pad +inf); cellmax0 slot holds
+            # nonemptymgi_of_mgi (float, -1 for empty; pad -1)
+            mgi_model = jnp.sum(
+                jnp.where(cellmin0[0][None, :] < cellvmid[:, None], 1, 0),
+                axis=1, dtype=I32,
+            )
+            oh_mgi = (propiota == mgi_model[:, None]).astype(F32)
+            ne_f = jnp.dot(oh_mgi, cellmax0[0].reshape(nprop, 1),
+                           preferred_element_type=F32)[:, 0]
+            mgi = jnp.round(ne_f).astype(I32)
+        else:
+            # --- cell-table gathers via one-hot MXU matmuls ---
+            oh_prop = (propiota == s["cell"][:, None]).astype(F32)  # (B, nprop)
+            mgi_f = jnp.dot(oh_prop, mgi_of_cell[0].reshape(nprop, 1),
+                            preferred_element_type=F32)[:, 0]
+            mgi = jnp.round(mgi_f).astype(I32)
         nonempty = mgi >= 0
         safe_mgi = jnp.maximum(mgi, 0)
         oh = (celliota == safe_mgi[:, None]).astype(F32)  # (B, ncells)
@@ -227,9 +296,10 @@ def _kernel(
         )
         thick = nonempty & (thickf_p > 0.5)
 
-        gb = jnp.dot(oh_prop, jnp.stack([cellmin0[0], cellmax0[0]], axis=1),
-                     preferred_element_type=F32)  # (B, 2)
-        coordmin0, coordmax0 = gb[:, 0], gb[:, 1]
+        if not cart3d:
+            gb = jnp.dot(oh_prop, jnp.stack([cellmin0[0], cellmax0[0]], axis=1),
+                         preferred_element_type=F32)  # (B, 2)
+            coordmin0, coordmax0 = gb[:, 0], gb[:, 1]
 
         # --- optical depth target ---
         if test_mode:
@@ -244,65 +314,103 @@ def _kernel(
         tstart = s["t"]
         big = jnp.float32(3.0e38)
 
-        def shell(radius_t, inner):
-            a = 1.0 - (radius_t / tstart / speed) ** 2
-            b = 2.0 * (pdotd - radius_t**2 / tstart / speed)
-            c = pos2 - radius_t**2
-            disc = b * b - 4.0 * a * c
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            d1 = (-b + sq) / 2.0 / a
-            d2 = (-b - sq) / 2.0 / a
+        if cart3d:
+            # --- 3D Cartesian boundary distance (grid.cc:2448-2597): the
+            # six cell planes expand homologously; distance to the plane the
+            # packet moves toward along each axis, min over axes ---
+            sdist = big
+            snext = jnp.full((B,), -1, I32)
+            incs = (1, nx, nx * ny)
+            nsz = (nx, ny, nz)
+            pvals = (s["px"], s["py"], s["pz"])
+            dvals = (s["dx"], s["dy"], s["dz"])
+            ivals = (i0f, i1f, i2f)
+            pmins = (pmin0, pmin1, pmin2)
+            for ax in range(3):
+                pd = pvals[ax]
+                veld = dvals[ax] * CLIGHT_PROP
+                up = (veld * tstart) > pd
+                cb = jnp.where(up, pmins[ax] + wid, pmins[ax])
+                # t_bound = (pd - veld t)/(cb - veld tmin) * tmin - t
+                # (grid.cc:2448+ cellcrossing time in homologous coords)
+                denom = cb - veld * tmin
+                t_bound = (pd - veld * tstart) / jnp.where(
+                    jnp.abs(denom) > 0, denom, 1e-30
+                ) * tmin - tstart
+                db = CLIGHT_PROP * t_bound
+                ok = (db >= 0) & (db < sdist)
+                at_edge = jnp.where(
+                    up, ivals[ax] >= float(nsz[ax] - 1), ivals[ax] <= 0.0
+                )
+                stp = jnp.where(up, jnp.int32(incs[ax]), jnp.int32(-incs[ax]))
+                sdist = jnp.where(ok, db, sdist)
+                snext = jnp.where(
+                    ok,
+                    jnp.where(at_edge, jnp.int32(BOUNDARY_ESCAPE),
+                              s["cell"] + stp),
+                    snext,
+                )
+        else:
+            def shell(radius_t, inner):
+                a = 1.0 - (radius_t / tstart / speed) ** 2
+                b = 2.0 * (pdotd - radius_t**2 / tstart / speed)
+                c = pos2 - radius_t**2
+                disc = b * b - 4.0 * a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                d1 = (-b + sq) / 2.0 / a
+                d2 = (-b - sq) / 2.0 / a
 
-            def radial(d):
-                fx = s["px"] + d * s["dx"]
-                fy = s["py"] + d * s["dy"]
-                fz = s["pz"] + d * s["dz"]
-                r = jnp.sqrt(fx * fx + fy * fy + fz * fz)
-                vr = (s["dx"] * fx + s["dy"] * fy + s["dz"] * fz) * speed \
-                    / jnp.maximum(r, 1.0)
-                return vr
+                def radial(d):
+                    fx = s["px"] + d * s["dx"]
+                    fy = s["py"] + d * s["dy"]
+                    fz = s["pz"] + d * s["dz"]
+                    r = jnp.sqrt(fx * fx + fy * fy + fz * fz)
+                    vr = (s["dx"] * fx + s["dy"] * fy + s["dz"] * fz) * speed \
+                        / jnp.maximum(r, 1.0)
+                    return vr
 
-            vshell = radius_t / tstart
-            if inner:
-                bad1 = radial(d1) > vshell
-                bad2 = radial(d2) > vshell
-            else:
-                bad1 = radial(d1) < vshell
-                bad2 = radial(d2) < vshell
-            # float32 ping-pong guard: a packet sitting on the shell it
-            # just crossed re-intersects it at d ~ roundoff and never
-            # advances in time; intersections closer than a few ulps of the
-            # shell radius are not physical (the reference runs in float64,
-            # grid.cc:1222-1312)
-            eps = 2e-6 * radius_t
-            d1 = jnp.where(bad1 | (d1 < eps), -1.0, d1)
-            d2 = jnp.where(bad2 | (d2 < eps), -1.0, d2)
-            both_neg = (d1 < 0) & (d2 < 0)
-            dmin = jnp.where(
-                (d1 >= 0) & ((d2 < 0) | (d1 <= d2)), d1, d2
+                vshell = radius_t / tstart
+                if inner:
+                    bad1 = radial(d1) > vshell
+                    bad2 = radial(d2) > vshell
+                else:
+                    bad1 = radial(d1) < vshell
+                    bad2 = radial(d2) < vshell
+                # float32 ping-pong guard: a packet sitting on the shell it
+                # just crossed re-intersects it at d ~ roundoff and never
+                # advances in time; intersections closer than a few ulps of the
+                # shell radius are not physical (the reference runs in float64,
+                # grid.cc:1222-1312)
+                eps = 2e-6 * radius_t
+                d1 = jnp.where(bad1 | (d1 < eps), -1.0, d1)
+                d2 = jnp.where(bad2 | (d2 < eps), -1.0, d2)
+                both_neg = (d1 < 0) & (d2 < 0)
+                dmin = jnp.where(
+                    (d1 >= 0) & ((d2 < 0) | (d1 <= d2)), d1, d2
+                )
+                res = jnp.where(both_neg, -1.0, dmin)
+                # disc <= 0: no (or tangential) intersection (grid.cc:1240)
+                return jnp.where(disc > 0, res, -1.0)
+
+            r_outer = coordmax0 * tstart / tmin
+            d_max = shell(r_outer, False)
+            sdist = jnp.where((d_max >= 0) & (d_max < big), d_max, big)
+            at_outer = s["cell"] == (nprop - 1)
+            snext = jnp.where(
+                d_max >= 0,
+                jnp.where(at_outer, jnp.int32(BOUNDARY_ESCAPE), s["cell"] + 1),
+                jnp.int32(-1),
             )
-            res = jnp.where(both_neg, -1.0, dmin)
-            # disc <= 0: no (or tangential) intersection (grid.cc:1240)
-            return jnp.where(disc > 0, res, -1.0)
+            r_inner = coordmin0 * tstart / tmin
+            d_min = jnp.where(r_inner > 0, shell(r_inner, True), -1.0)
+            take_min = (d_min >= 0) & (d_min < sdist)
+            sdist = jnp.where(take_min, d_min, sdist)
+            snext = jnp.where(
+                take_min,
+                jnp.where(s["cell"] == 0, jnp.int32(BOUNDARY_ESCAPE), s["cell"] - 1),
+                snext,
+            )
 
-        r_outer = coordmax0 * tstart / tmin
-        d_max = shell(r_outer, False)
-        sdist = jnp.where((d_max >= 0) & (d_max < big), d_max, big)
-        at_outer = s["cell"] == (nprop - 1)
-        snext = jnp.where(
-            d_max >= 0,
-            jnp.where(at_outer, jnp.int32(BOUNDARY_ESCAPE), s["cell"] + 1),
-            jnp.int32(-1),
-        )
-        r_inner = coordmin0 * tstart / tmin
-        d_min = jnp.where(r_inner > 0, shell(r_inner, True), -1.0)
-        take_min = (d_min >= 0) & (d_min < sdist)
-        sdist = jnp.where(take_min, d_min, sdist)
-        snext = jnp.where(
-            take_min,
-            jnp.where(s["cell"] == 0, jnp.int32(BOUNDARY_ESCAPE), s["cell"] - 1),
-            snext,
-        )
         # intra-cell step cap (grid.cc:2592-2594)
         capped = sdist > max_path_step
         sdist = jnp.where(capped, max_path_step, sdist)
@@ -444,7 +552,7 @@ def _kernel(
             chi_bb_b = kap_rows * (rho_p * doppler)[:, None]
             chi_t_b = safe_chi[:, None] + chi_bb_b
             dtau = chi_t_b * seg
-            cum = _cumsum_rows(dtau) - dtau
+            cum = _cumsum_rows_excl(dtau)
             hit = ((cum + dtau) >= tau_next[:, None]) & (seg > 0)
             any_hit = jnp.any(hit, axis=1)
             jsel_e = _first_true_idx(hit, nb)
@@ -536,7 +644,7 @@ def _kernel(
                     [w["lastD"][:, None], relD[:, :-1]], axis=1)
                 t_prev = tstart[:, None] + relD_prev / CLIGHT_PROP
                 tau_line = jnp.where(validk, tau_blk * t_prev, 0.0)
-                s_cum = _cumsum_rows(tau_line) - tau_line + w["tau_cum"][:, None]
+                s_cum = _cumsum_rows_excl(tau_line) + w["tau_cum"][:, None]
                 # clamp: at the first terminal line the numerator is >= 0 in
                 # exact arithmetic, but a -ulp rounding over 1e-30 opacity would
                 # give a huge negative event distance
@@ -688,8 +796,15 @@ def _kernel(
         nucmf2 = jnp.minimum(s["nurf"] * dop2, nucmf1)
         ecmf2 = s["erf"] * dop2
 
+        # compensated t += dist/c (ft is kept for positions/doppler; it can
+        # differ from the Kahan-accurate time by at most one ulp)
+        kah_y = dist / CLIGHT_PROP - s["terr"]
+        kah_t = tstart + kah_y
+        kah_err = (kah_t - tstart) - kah_y
         new_t = jnp.where(take_tlimit, t2,
-                          jnp.where(mask, ft, s["t"]))
+                          jnp.where(mask, kah_t, s["t"]))
+        new_terr = jnp.where(take_tlimit, 0.0,
+                             jnp.where(mask, kah_err, s["terr"]))
         px = jnp.where(mask, fx, s["px"])
         py = jnp.where(mask, fy, s["py"])
         pz = jnp.where(mask, fz, s["pz"])
@@ -750,7 +865,7 @@ def _kernel(
             nucmf=nucmf_out,
             erf=jnp.where(inkscat, ecmf_out / dop_sc, s["erf"]),
             ecmf=ecmf_out,
-            t=new_t, cell=cell_out,
+            t=new_t, terr=new_terr, cell=cell_out,
             ntr=ntr_keep,
             em_x=jnp.where(inkscat, fx, s["em_x"]),
             em_y=jnp.where(inkscat, fy, s["em_y"]),
@@ -836,7 +951,7 @@ def _kernel(
         "nlines", "ncont", "nprop", "ncells", "ngc", "nphixs", "line_chunk",
         "max_inner", "relativistic", "want_gamma", "want_bfheat",
         "test_mode", "block", "phixs_dnu", "last_nuovernuedge",
-        "expansion_mode", "nbins_expo",
+        "expansion_mode", "nbins_expo", "cart3d", "nx", "ny", "nz",
     ),
 )
 def propagate_blocked(
@@ -850,6 +965,7 @@ def propagate_blocked(
     relativistic, phixs_dnu, last_nuovernuedge,
     want_gamma, want_bfheat, test_mode, block,
     expansion_mode=False, nbins_expo=0,
+    cart3d=False, nx=1, ny=1, nz=1, rmax=0.0,
 ):
     n = lane_f32["posx"].shape[0]
     assert n % block == 0
@@ -887,7 +1003,7 @@ def propagate_blocked(
         tables["cont_gmap"], tables["gc_nu_edge"], tables["expo_kappa"],
         jnp.stack([t2.astype(F32), jnp.asarray(tmin, F32),
                    jnp.asarray(max_path_step, F32),
-                   jnp.zeros((), F32)]).reshape(1, 4),
+                   jnp.asarray(rmax, F32)]).reshape(1, 4),
     ]
 
     f32_out = jax.ShapeDtypeStruct((n,), F32)
@@ -933,6 +1049,8 @@ def propagate_blocked(
         relativistic=relativistic, phixs_dnu=phixs_dnu,
         last_nuovernuedge=last_nuovernuedge, want_gamma=want_gamma,
         want_bfheat=want_bfheat, test_mode=test_mode, block=block,
+        expansion_mode=expansion_mode, nbins_expo=nbins_expo,
+        cart3d=cart3d, nx=nx, ny=ny, nz=nz,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -25,24 +25,35 @@ def main() -> None:
     # packet does real line+continuum transport work and the wavefront stays
     # at high lane occupancy, so the number measures transport throughput
     # rather than the straggler-diffusion tail
-    make_run(d, ncells=16, ntimesteps=5, tmin_days=5.0, tmax_days=9.0, ngreyts=1,
-             logrho0=-8.0, logrho_slope=-0.15)
+    # inner-cell electron-scattering tau ~ tens: every packet random-walks
+    # through O(tau^2) ~ hundreds of crossings before escaping, the per-scatter
+    # time step stays far above the f32 time ulp, and the wavefront holds high
+    # lane occupancy for the whole measured window
+    make_run(d, ncells=16, ntimesteps=6, tmin_days=5.0, tmax_days=9.0, ngreyts=1,
+             logrho0=-9.0, logrho_slope=-0.15)
     opts = kilonova_lte(
         npkts=npkts, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
         maxtemp=20000.0, tablesize=20, transport_dtype="float32",
-        dispatch_chunk_iters=256,
+        # keep every device dispatch well under the remote relay's execution
+        # deadline (a single >100s execution kills the worker)
+        dispatch_chunk_iters=24,
         use_pallas_rpkt=True, rpkt_crossings_per_dispatch=64,
-        tail_crossings_per_dispatch=1024, tail_chunk_iters=8,
+        tail_crossings_per_dispatch=1024, tail_chunk_iters=4,
+        transport_wall_budget=180.0,
     )
     sim = Simulation(d, opts, datadir="/root/reference/data")
 
-    # timestep 0 is mostly pellet decays + compile warm-up; timesteps 1-2
-    # exercise the full rpkt/kpkt/macro-atom loop
+    # warm-up: pre-compile the full-width transport program and every
+    # tail-width program (persistent-cache hits when warm), then run
+    # timesteps 0-1 so the measured window (timesteps 2-3) starts from a
+    # physically evolved wavefront with zero compiles inside it
+    sim.warm_transport(0)
     sim.do_timestep(0)
+    sim.do_timestep(1)
     sim.total_rpkt_steps = 0
     sim.total_transport_seconds = 0.0
-    sim.do_timestep(1)
     sim.do_timestep(2)
+    sim.do_timestep(3)
 
     steps_per_sec = sim.total_rpkt_steps / max(sim.total_transport_seconds, 1e-9)
     target = 5e6

@@ -184,8 +184,10 @@ def scene_expo(tmp_path_factory):
     """Same scene with binned expansion opacities on (reference:
     rpkt.cc:199-290; the kilonova CI configs use this mode)."""
     d = str(tmp_path_factory.mktemp("pallas_expo"))
+    # denser scene so the binned line opacity actually drives events (a thin
+    # scene degenerates to pure-continuum and cannot discriminate the walks)
     make_run(d, ncells=8, ntimesteps=4, tmin_days=2.0, tmax_days=4.0, ngreyts=0,
-             logrho0=-8.0)
+             logrho0=-6.8)
     from artis_tpu.driver import Simulation
 
     opts = kilonova_lte(
@@ -231,13 +233,19 @@ def test_kernel_expansion_mode_matches_xla(scene_expo, max_inner):
     st_x, est_x, mam_x, *_rest_x, nadv_x = _run_xla(sc, st0, tau_u, max_inner, sel_u=0.5)
     st_p, est_p, mam_p, *_rest_p, nadv_p = _run_pallas(sc, st0, tau_u, max_inner)
 
-    # per-crossing bin-edge ties flip for ~3% of lanes (f32 kernel vs f64 XLA
-    # reference path); divergence compounds with the crossing count
-    thresh = 0.95 if max_inner <= 1 else 0.85
+    # per-crossing bin-edge ties can flip a few lanes (f32 kernel vs f64 XLA
+    # reference path; 971 edge comparisons per event); divergence compounds
+    # with the crossing count
+    thresh = 0.97 if max_inner <= 1 else 0.9
     cell_agree = np.mean(np.asarray(st_x.where) == np.asarray(st_p.where))
     assert cell_agree > thresh, f"cell agreement {cell_agree}"
     ptype_agree = np.mean(np.asarray(st_x.ptype) == np.asarray(st_p.ptype))
     assert ptype_agree > thresh
+    # the scene must actually produce bound-bound (bin) events, otherwise
+    # this test cannot tell the bin walk from the line walk
+    from artis_tpu import stats as stats_mod
+    n_bb = int(np.asarray(est_x.counters)[stats_mod.MA_STAT_ACTIVATION_BB])
+    assert n_bb > 5, n_bb
 
     both = (np.asarray(st_x.where) == np.asarray(st_p.where)) & (
         np.asarray(st_x.ptype) == np.asarray(st_p.ptype)
@@ -249,9 +257,177 @@ def test_kernel_expansion_mode_matches_xla(scene_expo, max_inner):
         a = np.asarray(getattr(st_x, name))[both]
         b = np.asarray(getattr(st_p, name))[both]
         rel = np.abs(b - a) / np.maximum(np.abs(a), 1e-30)
-        assert np.mean(rel < 3e-3) > (0.95 if max_inner <= 1 else 0.85), (
-            name, np.mean(rel < 3e-3))
+        # f32 in-bin distance solves carry ~5e-3 relative slop on top of the
+        # decision flips; 1e-2 separates noise from real divergence
+        assert np.mean(rel < 1e-2) > thresh, (name, np.mean(rel < 1e-2))
+    for name in ("j", "nuj"):
+        a = np.asarray(getattr(est_x, name)).sum()
+        b = np.asarray(getattr(est_p, name)).sum()
+        # diverged-lane path integrals move the totals slightly without bias
+        assert b == pytest.approx(a, rel=2e-2 if max_inner <= 1 else 1e-1), name
+
+
+@pytest.fixture(scope="module")
+def scene_3d(tmp_path_factory):
+    """1D model mapped onto a 3D Cartesian grid (the kilonova_1d_3dgrid CI
+    shape, reference: grid.cc:470-487)."""
+    d = str(tmp_path_factory.mktemp("pallas_3d"))
+    make_run(d, ncells=8, ntimesteps=4, tmin_days=2.0, tmax_days=4.0, ngreyts=0,
+             logrho0=-8.0)
+    from artis_tpu.driver import Simulation
+
+    opts = kilonova_lte(
+        npkts=512, grid_type=GridType.CARTESIAN3D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=128,
+        pallas_block=256, rpkt_crossings_per_dispatch=4,
+        ncoordgrid_x=16, ncoordgrid_y=16, ncoordgrid_z=16,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    captured = {}
+    orig = sim._transport_jit
+
+    def capture(*a, **kw):
+        captured["a"] = a
+        captured["kw"] = kw
+        return orig(*a, **kw)
+
+    sim._transport_jit = capture
+    sim.do_timestep(0)
+    (key, st, est, grid, dad, aux, rc, rates, cells, ctx) = captured["a"][:10]
+    kw = captured["kw"]
+    return dict(key=key, st=st, est=est, grid=grid, dad=dad, cells=cells,
+                ctx=ctx, opts=opts, kw=kw)
+
+
+def _force_rpkt_state_3d(sc, seed=0):
+    rng = np.random.default_rng(seed)
+    st = sc["st"]
+    n = st.npkts
+    ctx = sc["ctx"]
+    grid = sc["grid"]
+    from artis_tpu.grid import get_cellindex_from_pos
+
+    t0 = float(ctx.ts)
+    rmax_t = float(grid.rmax) * t0 / float(grid.tmin)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    r = rmax_t * rng.uniform(0.1, 0.75, n) ** (1 / 3)
+    pos = u * r[:, None]
+    cell = np.asarray(get_cellindex_from_pos(
+        grid, jnp.asarray(pos), jnp.full(n, t0)
+    ))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    nu = 10 ** rng.uniform(14.2, 15.4, n)
+    f64 = np.float64
+    return st.replace(
+        ptype=jnp.full(n, TYPE_RPKT, jnp.int32),
+        pos=jnp.asarray(pos, f64),
+        dir=jnp.asarray(d, f64),
+        where=jnp.asarray(cell, jnp.int32),
+        prop_time=jnp.full(n, t0, f64),
+        nu_rf=jnp.asarray(nu, f64),
+        nu_cmf=jnp.asarray(nu * 0.98, f64),
+        e_rf=jnp.ones(n, f64),
+        e_cmf=jnp.full(n, 0.98, f64),
+        next_trans=jnp.zeros(n, jnp.int32),
+    )
+
+
+@pytest.mark.parametrize("max_inner", [1, 4])
+def test_kernel_3d_cartesian_matches_xla(scene_3d, max_inner):
+    """The in-kernel 3D Cartesian boundary geometry + radial model mapping
+    must reproduce the XLA path."""
+    from artis_tpu.transport import pallas_rpkt as pk
+
+    sc = scene_3d
+    assert pk.supported(
+        sc["opts"].replace(use_pallas_rpkt=True), sc["dad"], sc["grid"],
+        int(sc["cells"].Te.shape[0]),
+    )
+    st0 = _force_rpkt_state_3d(sc)
+    n = st0.npkts
+    rng = np.random.default_rng(11)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    st_x, est_x, mam_x, *_x, nadv_x = _run_xla(sc, st0, tau_u, max_inner)
+    st_p, est_p, mam_p, *_p, nadv_p = _run_pallas(sc, st0, tau_u, max_inner)
+
+    thresh = 0.95 if max_inner <= 1 else 0.9
+    cell_agree = np.mean(np.asarray(st_x.where) == np.asarray(st_p.where))
+    assert cell_agree > thresh, f"cell agreement {cell_agree}"
+    ptype_agree = np.mean(np.asarray(st_x.ptype) == np.asarray(st_p.ptype))
+    assert ptype_agree > thresh
+
+    both = (np.asarray(st_x.where) == np.asarray(st_p.where)) & (
+        np.asarray(st_x.ptype) == np.asarray(st_p.ptype)
+    )
+    for name in ("prop_time", "nu_cmf", "e_cmf"):
+        a = np.asarray(getattr(st_x, name))[both]
+        b = np.asarray(getattr(st_p, name))[both]
+        rel = np.abs(b - a) / np.maximum(np.abs(a), 1e-30)
+        assert np.mean(rel < 3e-3) > thresh, (name, np.mean(rel < 3e-3))
     for name in ("j", "nuj"):
         a = np.asarray(getattr(est_x, name)).sum()
         b = np.asarray(getattr(est_p, name)).sum()
         assert b == pytest.approx(a, rel=5e-2 if max_inner <= 1 else 2e-1), name
+
+
+def test_thick_line_just_passed_activates_macroatom(scene):
+    """Immortal-packet regression (r2 bench stall): a packet whose nu_cmf sits
+    a few f32 ulps BELOW an optically-thick line it is cursored on must take a
+    zero-distance bound-bound event and activate the macro-atom — exactly as
+    the XLA oracle does (reference: rpkt.cc closest_transition handles the
+    nu_cmf >= nu_trans rounding case with ldist = 0).
+
+    The original kernel computed the exclusive line-tau cumsum as
+    inclusive-minus-last on the MXU; the bf16-grade rounding residue
+    (~tau * 2^-10) made the remaining tau budget spuriously negative, so the
+    event degraded to a zero-distance in-kernel electron scatter that
+    repeated forever. The fix (_cumsum_rows_excl) is exact for this case."""
+    sc = scene
+    tau_fac = np.asarray(sc["ctx"].tau_sob_factor)
+    # thickest (cell, line) pair: Sobolev tau = tau_factor * t >> 1
+    cell, line = np.unravel_index(np.argmax(tau_fac), tau_fac.shape)
+    t0 = float(sc["ctx"].ts)
+    assert tau_fac[cell, line] * t0 > 100.0, "scene has no thick line"
+
+    st0 = _force_rpkt_state(sc)
+    nu_line = float(np.asarray(sc["dad"].line_nu)[line])
+    grid = sc["grid"]
+    rmin = float(grid.cell_pos_min[cell, 0]) * t0 / float(grid.tmin)
+    rmax = float(grid.cell_pos_max[cell, 0]) * t0 / float(grid.tmin)
+    r = 0.5 * (rmin + rmax)
+    pos = np.zeros(3); pos[2] = r
+    dirv = np.array([0.6, 0.0, 0.8])
+    from artis_tpu.constants import CLIGHT
+    ndotv = float(dirv @ pos) / t0
+    beta2 = (r / t0) ** 2 / CLIGHT**2
+    dop = (1.0 - ndotv / CLIGHT) / np.sqrt(1.0 - beta2)
+    nu_cmf = np.float32(nu_line) * (1.0 - 3e-7)  # a few f32 ulps below
+
+    def set0(arr, val):
+        a = np.asarray(arr).copy()
+        a[0] = val
+        return jnp.asarray(a)
+
+    st0 = st0.replace(
+        pos=set0(st0.pos, pos), dir=set0(st0.dir, dirv),
+        where=set0(st0.where, cell),
+        nu_cmf=set0(st0.nu_cmf, nu_cmf),
+        nu_rf=set0(st0.nu_rf, nu_cmf / dop),
+        next_trans=set0(st0.next_trans, line),
+        prop_time=set0(st0.prop_time, t0),
+    )
+    n = st0.npkts
+    tau_u = np.full(n, 0.5)  # tau_next = 0.693 << tau_line
+
+    st_x, _, mam_x, _, mal_x, *_ = _run_xla(sc, st0, tau_u, 1)
+    st_p, _, mam_p, _, mal_p, *_ = _run_pallas(sc, st0, tau_u, 1)
+
+    assert bool(np.asarray(mam_x)[0]), "oracle must activate the macro-atom"
+    assert bool(np.asarray(mam_p)[0]), "kernel lost the thick-line bb event"
+    assert int(np.asarray(mal_x)[0]) == line
+    assert int(np.asarray(mal_p)[0]) == line
+    assert int(np.asarray(st_p.next_trans)[0]) == line + 1
+    assert int(np.asarray(st_p.nscatterings)[0]) == int(np.asarray(st_x.nscatterings)[0])

@@ -1,0 +1,50 @@
+"""Production-scale capability: a ~10^5-line synthetic atom through the full
+pipeline (VERDICT round-1 item: the reference routinely handles 1e5-1e7
+lines, SURVEY.md §7 'hard parts').
+
+The chunked Sobolev walk, the per-timestep (ncells, nlines) tau tables and
+the NLTE superlevel compression are the mechanisms that keep this tractable;
+this test proves they work beyond toy sizes (the Pallas kernel's VMEM cap
+falls back to the XLA path automatically at this scale).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+
+@pytest.mark.slow
+def test_hundred_thousand_line_atom(tmp_path):
+    from artis_tpu import atomic
+    from artis_tpu.io import atomicdata
+    from artis_tpu.options import GridType, kilonova_lte
+    from artis_tpu.synthdata import write_synthetic_atomicdata, make_run
+    from artis_tpu.driver import Simulation
+
+    d = str(tmp_path)
+    make_run(d, ncells=6, ntimesteps=3, tmax_days=2.0, ngreyts=0)
+    # overwrite the default small atom: ~3 x 260^2/2 = ~100k transitions
+    write_synthetic_atomicdata(d, elements=((26, 3),), nlevels_per_ion=260)
+
+    ad = atomicdata.read_atomicdata(d, nlevels_requiretransitions=lambda z, s: 0)
+    assert ad.nlines > 80_000, ad.nlines
+
+    opts = kilonova_lte(
+        npkts=256, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=12, linewalk_chunk=1024,
+        nlte_enabled=True, nlte_outer_iters=1,
+        nlte_all_levels=False, nlte_maxlevel=40, nlte_maxlevel_fe2=40,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    assert sim.ad.nlines > 80_000
+
+    # superlevels collapse the NLTE matrix far below the raw level count
+    for ix in sim.nlte_indices:
+        assert ix.dim_reduced < ix.dim / 3
+
+    for ts in range(2):
+        sim.do_timestep(ts)
+
+    assert np.all(np.isfinite(np.asarray(sim.cells.Te)))
+    assert np.asarray(sim.prev_est.j).sum() > 0
+    assert int(sim.total_rpkt_steps) > 0
