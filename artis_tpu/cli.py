@@ -50,7 +50,7 @@ def main_sn3d(argv=None) -> int:
     from .driver import Simulation
 
     opts = _build_opts(args)
-    sim = Simulation(args.rundir, opts, datadir=args.datadir)
+    sim = Simulation(args.rundir, opts, datadir=args.datadir, lockfile=True)
     sim.run(walltime_hours=args.walltimehours)
     return 0
 

@@ -336,11 +336,15 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
 class Simulation:
     """Owns all static data and the evolving state of one run."""
 
-    def __init__(self, rundir: str, opts: Options | None = None, datadir: str | None = None):
+    def __init__(self, rundir: str, opts: Options | None = None, datadir: str | None = None,
+                 lockfile: bool = False):
         self.rundir = rundir
         self.datadir = datadir or os.path.join(rundir, "data")
         if not os.path.isdir(self.datadir):
             self.datadir = rundir
+        self._lockpath = None
+        if lockfile:
+            self._acquire_lockfile()
         self.logfile = open(os.path.join(rundir, "output_0-0.txt"), "w")
         self.log = lambda msg: printout(self.logfile, msg)
 
@@ -1225,6 +1229,43 @@ class Simulation:
         )
 
     # ------------------------------------------------------------------
+    def _acquire_lockfile(self):
+        """Guard against two drivers on one run directory (reference:
+        check_already_running, sn3d.h:277-309): refuse to start when a
+        lockfile names a still-live pid; otherwise take it over."""
+        path = os.path.join(self.rundir, "artis.pid")
+        if os.path.exists(path):
+            try:
+                oldpid = int(open(path).read().split()[0])
+            except (ValueError, IndexError):
+                oldpid = -1
+            alive = False
+            if oldpid > 0:
+                try:
+                    os.kill(oldpid, 0)
+                    alive = True
+                except (ProcessLookupError, PermissionError):
+                    alive = False
+            if alive:
+                raise RuntimeError(
+                    f"ABORTING: another simulation (pid {oldpid}) is already "
+                    f"running in {self.rundir} (lockfile {path})"
+                )
+        with open(path, "w") as f:
+            f.write(f"{os.getpid()}\n")
+        self._lockpath = path
+        import atexit
+
+        atexit.register(self._release_lockfile)
+
+    def _release_lockfile(self):
+        if self._lockpath and os.path.exists(self._lockpath):
+            try:
+                os.remove(self._lockpath)
+            except OSError:
+                pass
+            self._lockpath = None
+
     def run(self, walltime_hours: float = -1.0):
         """Main timestep loop with walltime-aware soft exit
         (reference: sn3d.cc:879-922, 398-425)."""
@@ -1254,9 +1295,23 @@ class Simulation:
         every solver re-derives from them)."""
         import dataclasses as _dc
 
-        packets_mod.save_packets_npz(
-            os.path.join(self.rundir, f"packets_0000_ts{next_nts}.npz"), self.state
-        )
+        # retry-on-failure with read-back verification (reference:
+        # sn3d.cc:356-375 write retry loop; packet.cc:205-233
+        # VERIFY_WRITTEN_PACKETS_FILES)
+        pktpath = os.path.join(self.rundir, f"packets_0000_ts{next_nts}.npz")
+        for attempt in range(3):
+            try:
+                packets_mod.save_packets_npz(pktpath, self.state)
+                reread = packets_mod.load_packets_npz(pktpath)
+                if np.array_equal(np.asarray(reread.e_cmf),
+                                  np.asarray(self.state.e_cmf)):
+                    break
+                raise IOError("packet file read-back mismatch")
+            except Exception as exc:  # noqa: BLE001 - disk-full/NFS hiccups
+                self.log(f"packet checkpoint write attempt {attempt} failed: {exc}")
+                _time.sleep(1.0 + attempt)
+        else:
+            raise IOError(f"could not write packet checkpoint {pktpath}")
         blob = {}
         for f in _dc.fields(self.cells):
             blob[f"cells_{f.name}"] = np.asarray(getattr(self.cells, f.name))

@@ -195,6 +195,9 @@ class Options:
     # unsupported configurations (non-spherical grids, expansion opacities,
     # multibin radfield, VMEM-oversized tables, float64 transport)
     use_pallas_rpkt: bool = False
+    # line tables above this element count are HBM-streamed (per-block DMA in
+    # the kernel's Sobolev walk) instead of VMEM-resident
+    pallas_stream_threshold: int = 1_500_000
     pallas_block: int = 1024
     # wavefront-tail dispatch: once the active packet count fits in a buffer
     # of npkts//tail_width_divisor lanes (min 1024), the driver gathers the

@@ -113,26 +113,84 @@ INPUT_TXT = """\
 
 def make_run(folder, ncells=10, ntimesteps=8, tmin_days=0.4, tmax_days=3.0,
              ngreyts=3, vmax_kmps=30000.0, t_model_days=0.05, x_ni56=0.5,
-             num_lte_timesteps=999, logrho0=-9.0, logrho_slope=-0.25):
+             num_lte_timesteps=999, logrho0=-9.0, logrho_slope=-0.25,
+             model_dim=1):
+    """Write a synthetic Ni56-powered run directory.
+
+    model_dim selects the model.txt dimensionality (mirroring the reference's
+    auto-detected formats, grid.cc:1841-1886): 1 = radial shells (ncells
+    shells), 2 = cylindrical (ncells x 2*ncells grid of (rcyl, z) cells),
+    3 = Cartesian cube (ncells^3 cells). The 2D/3D density fields are the
+    same radial power-law profile evaluated at the cell midpoint.
+    """
     folder = str(folder)
     with open(f"{folder}/input.txt", "w") as f:
         f.write(INPUT_TXT.format(ntimesteps=ntimesteps, tsfinish=ntimesteps - 1,
                                  tmin_days=tmin_days, tmax_days=tmax_days, ngreyts=ngreyts,
                                  nltets=num_lte_timesteps))
 
-    # 1D Ni56-powered model
-    with open(f"{folder}/model.txt", "w") as f:
-        f.write(f"{ncells}\n{t_model_days}\n")
-        f.write("#inputcellid velocity_outer logrho X_Fegroup X_Ni56 X_Co56 X_Fe52 X_Cr48\n")
-        for i in range(ncells):
-            vout = vmax_kmps * (i + 1) / ncells
-            logrho = logrho0 + logrho_slope * i
-            f.write(f"{i + 1} {vout} {logrho} 1.0 {x_ni56} 0.0 0.0 0.0\n")
+    vmax_cms = vmax_kmps * 1e5
+    t_model_s = t_model_days * 86400.0
+
+    def rho_at(vfrac):
+        """Density at t_model for a cell whose midpoint speed is vfrac*vmax,
+        matching the 1D shells' 10**(logrho0 + slope*i) ladder."""
+        return 10.0 ** (logrho0 + logrho_slope * vfrac * (ncells - 1))
+
+    if model_dim == 1:
+        npts = ncells
+        with open(f"{folder}/model.txt", "w") as f:
+            f.write(f"{ncells}\n{t_model_days}\n")
+            f.write("#inputcellid velocity_outer logrho X_Fegroup X_Ni56 X_Co56 X_Fe52 X_Cr48\n")
+            for i in range(ncells):
+                vout = vmax_kmps * (i + 1) / ncells
+                logrho = logrho0 + logrho_slope * i
+                f.write(f"{i + 1} {vout} {logrho} 1.0 {x_ni56} 0.0 0.0 0.0\n")
+    elif model_dim == 2:
+        n_rcyl, n_z = ncells, 2 * ncells
+        npts = n_rcyl * n_z
+        d_rcyl = vmax_cms * t_model_s / n_rcyl
+        d_z = 2.0 * vmax_cms * t_model_s / n_z
+        with open(f"{folder}/model.txt", "w") as f:
+            f.write(f"{n_rcyl} {n_z}\n{t_model_days}\n{vmax_cms:.6e}\n")
+            f.write("#inputcellid pos_rcyl_mid pos_z_mid rho X_Fegroup X_Ni56 X_Co56 X_Fe52 X_Cr48\n")
+            cid = 1
+            for iz in range(n_z):
+                for ir in range(n_rcyl):
+                    rmid = (ir + 0.5) * d_rcyl
+                    zmid = -vmax_cms * t_model_s + (iz + 0.5) * d_z
+                    vfrac = min(np.hypot(rmid, zmid) / (vmax_cms * t_model_s), 1.0)
+                    rho = rho_at(vfrac) if vfrac < 1.0 else 0.0
+                    f.write(f"{cid} {rmid:.6e} {zmid:.6e} {rho:.6e} "
+                            f"1.0 {x_ni56} 0.0 0.0 0.0\n")
+                    cid += 1
+    elif model_dim == 3:
+        n = ncells
+        npts = n ** 3
+        wid = 2.0 * vmax_cms * t_model_s / n
+        with open(f"{folder}/model.txt", "w") as f:
+            f.write(f"{npts}\n{t_model_days}\n{vmax_cms:.6e}\n")
+            f.write("#inputcellid pos_x_min pos_y_min pos_z_min rho X_Fegroup X_Ni56 X_Co56 X_Fe52 X_Cr48\n")
+            cid = 1
+            for iz in range(n):
+                for iy in range(n):
+                    for ix in range(n):
+                        xm = -vmax_cms * t_model_s + (ix + 0.5) * wid
+                        ym = -vmax_cms * t_model_s + (iy + 0.5) * wid
+                        zm = -vmax_cms * t_model_s + (iz + 0.5) * wid
+                        vfrac = np.sqrt(xm * xm + ym * ym + zm * zm) / (vmax_cms * t_model_s)
+                        rho = rho_at(vfrac) if vfrac < 1.0 else 0.0
+                        f.write(f"{cid} {xm - 0.5 * wid:.6e} {ym - 0.5 * wid:.6e} "
+                                f"{zm - 0.5 * wid:.6e} {rho:.6e} "
+                                f"1.0 {x_ni56} 0.0 0.0 0.0\n")
+                        cid += 1
+    else:
+        raise ValueError(f"model_dim must be 1, 2 or 3, got {model_dim}")
 
     # pure Fe/Co/Ni-ish gas: element Z=26,27,28 fractions (abundances.txt
     # columns are Z=1..30); all mass in Ni (Z=28) to match X_Ni56 decaying
     with open(f"{folder}/abundances.txt", "w") as f:
-        for i in range(ncells):
+        for i in range(npts):
             ab = np.zeros(30)
             ab[27] = 0.6  # Z=28 Ni (>= X_Ni56 so stable Ni remains)
             ab[25] = 0.3  # Z=26 Fe

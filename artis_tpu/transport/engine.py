@@ -968,10 +968,15 @@ def rpkt_step_pallas(
     ncells = cells.Te.shape[0]
     from ..grid import GridType as _GT
     cart3d = grid.grid_type == _GT.CARTESIAN3D
+    cyl2d = grid.grid_type == _GT.CYLINDRICAL2D
     if cart3d:
         # the 3D kernel derives cell geometry from the index; the prop-table
         # slots carry the 1D-model shell tables for the radial mgi mapping
         nprop = int(grid.npts_model) + 1
+    elif cyl2d:
+        # cylindrical geometry derives from the cell index; the prop table
+        # carries the per-prop-cell mgi map (prop cell == model cell)
+        nprop = int(grid.ncoordgrid[0]) * int(grid.ncoordgrid[1])
     else:
         nprop = int(grid.ncoordgrid[0])
     nlines = dad.nlines
@@ -1020,8 +1025,13 @@ def rpkt_step_pallas(
         kappagrey=cells.kappagrey.astype(f32), rho=cells.rho.astype(f32),
         thick=cells.thick.astype(f32),
         chiffpart=ctx.chi_ff_nnionpart.astype(f32),
-        line_nu=padL(dad.line_nu),
-        tau_factor=padL(ctx.tau_sob_factor),
+        # expansion-opacity mode never walks the line list in-kernel: pass
+        # dummy slabs so production-size tau tables don't occupy VMEM
+        line_nu=(padL(dad.line_nu) if not opts.expansionopacities_on
+                 else jnp.zeros((128,), f32)),
+        tau_factor=(padL(ctx.tau_sob_factor)
+                    if not opts.expansionopacities_on
+                    else jnp.zeros((ncells, 128), f32)),
         cont_nu_edge=dad.cont_nu_edge.astype(f32) if dad.nbfcontinua
         else jnp.full((1,), jnp.inf, f32),
         bf_a=ctx.bf_a.astype(f32) if dad.nbfcontinua
@@ -1059,9 +1069,10 @@ def rpkt_step_pallas(
         test_mode=test_mode, block=block,
         expansion_mode=opts.expansionopacities_on,
         nbins_expo=_EXPO_NBINS if opts.expansionopacities_on else 0,
-        cart3d=cart3d,
+        cart3d=cart3d, cyl2d=cyl2d,
         nx=int(grid.ncoordgrid[0]), ny=int(grid.ncoordgrid[1]),
         nz=int(grid.ncoordgrid[2]), rmax=float(grid.rmax),
+        stream_lines=(ncells * lpad > opts.pallas_stream_threshold),
     )
     (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
      owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,

@@ -14,11 +14,13 @@ lane-for-lane (validated by tests/test_pallas_rpkt.py with injected optical
 depths). Event application stays in XLA (engine._rpkt_apply_events) and runs
 once per outer iteration.
 
-Scope (guarded by `supported()`): spherical 1D grids, opacity_case >= 4,
-detailed line walk (no expansion opacities), no multibin radfield, tables
-small enough for VMEM. Other configurations fall back to the XLA path.
-Scaling beyond VMEM-resident tables (production linelists) needs HBM
-streaming via double-buffered DMA — future work.
+Scope (guarded by `supported()`): spherical-1D / 2D-cylindrical /
+3D-Cartesian (1D-model) grids, opacity_case >= 4, detailed line walk OR
+binned expansion opacities, no multibin radfield. Other configurations fall
+back to the XLA path. Production linelists beyond the VMEM budget are
+HBM-streamed: the Sobolev walk DMAs one (ncells, chunk) tau slab per block,
+with an early-exit while_loop so a typical crossing touches only the block(s)
+around each packet's line cursor.
 """
 
 from __future__ import annotations
@@ -104,6 +106,10 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         # 3D uniform Cartesian grid with radial (1D-model) cell mapping:
         # geometry derives from the cell index in-kernel (grid.cc:470-487)
         pass
+    elif grid.grid_type == GridType.CYLINDRICAL2D:
+        # uniform (rcyl, z) cells: geometry derives from the cell index
+        # in-kernel (grid.cc:1114-1137); the mgi table is per prop cell
+        pass
     else:
         return False
     if opts.multibin_radfield:
@@ -121,6 +127,8 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         return False
     if grid.grid_type == GridType.CARTESIAN3D:
         npropcells = int(grid.npts_model) + 1
+    elif grid.grid_type == GridType.CYLINDRICAL2D:
+        npropcells = int(grid.ncoordgrid[0]) * int(grid.ncoordgrid[1])
     else:
         npropcells = int(grid.ncoordgrid[0])
     # VMEM budget guards
@@ -128,7 +136,9 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         return False
     if dad.nbfcontinua > 512:
         return False
-    if ncells * max(dad.nlines, 1) > 1_500_000:
+    # beyond the VMEM-resident budget the tau/nu line tables are HBM-streamed
+    # (per-block DMA in the walk); cap only at a few GB of HBM
+    if ncells * max(dad.nlines, 1) * 4 > 4_000_000_000:
         return False
     return True
 
@@ -168,7 +178,8 @@ def _kernel(
     o_gamma,  # (1, ncells, ngc_pad)
     o_bfheat,  # (1, ncells, ngc_pad)
     o_misc,  # (1, 8): nadv, nesc, cmf_lum
-    *,
+    # scratch (present only when stream_lines): tau slab, nu slab, DMA sems
+    *scratch,
     nlines: int,
     ncont: int,
     nprop: int,
@@ -187,9 +198,11 @@ def _kernel(
     expansion_mode: bool = False,
     nbins_expo: int = 0,
     cart3d: bool = False,
+    cyl2d: bool = False,
     nx: int = 1,
     ny: int = 1,
     nz: int = 1,
+    stream_lines: bool = False,
 ):
     B = block
     blk = pl.program_id(0)
@@ -201,8 +214,36 @@ def _kernel(
     t2 = consts[0, 0]
     tmin = consts[0, 1]
     max_path_step = consts[0, 2]
+    nu_lastline = consts[0, 4]
     Lpad = line_nu.shape[1]
     nlineblocks = Lpad // line_chunk
+
+    if stream_lines:
+        # line tables live in HBM; each walk block DMAs one (ncells, chunk)
+        # tau slab + (1, chunk) nu slab into VMEM scratch (synchronous per
+        # block — the early-exit walk touches few blocks per crossing)
+        tau_slab, nu_slab, dma_sems = scratch
+
+        def fetch_nu(l0):
+            cp = pltpu.make_async_copy(
+                line_nu.at[:, pl.ds(l0, line_chunk)], nu_slab, dma_sems.at[0])
+            cp.start()
+            cp.wait()
+            return nu_slab[0]
+
+        def fetch_tau(l0):
+            cp = pltpu.make_async_copy(
+                tau_factor.at[:, pl.ds(l0, line_chunk)], tau_slab,
+                dma_sems.at[1])
+            cp.start()
+            cp.wait()
+            return tau_slab[:, :]
+    else:
+        def fetch_nu(l0):
+            return line_nu[0, pl.ds(l0, line_chunk)]
+
+        def fetch_tau(l0):
+            return tau_factor[:, pl.ds(l0, line_chunk)]
 
     # mutable per-lane state as loop carry
     state = dict(
@@ -296,7 +337,7 @@ def _kernel(
         )
         thick = nonempty & (thickf_p > 0.5)
 
-        if not cart3d:
+        if not cart3d and not cyl2d:
             gb = jnp.dot(oh_prop, jnp.stack([cellmin0[0], cellmax0[0]], axis=1),
                          preferred_element_type=F32)  # (B, 2)
             coordmin0, coordmax0 = gb[:, 0], gb[:, 1]
@@ -350,6 +391,107 @@ def _kernel(
                               s["cell"] + stp),
                     snext,
                 )
+        elif cyl2d:
+            # --- 2D cylindrical boundary distance (grid.cc:2448-2597 /
+            # grid.py boundary_distance CYLINDRICAL2D): expanding-shell
+            # intersection in the xy-plane for the rcyl bounds plus a
+            # Cartesian-style homologous plane crossing in z ---
+            rmax_c = consts[0, 3]
+            n0f = float(nx)
+            n1f = float(ny)
+            cellf = s["cell"].astype(F32)
+            izf = jnp.floor(cellf / n0f)
+            irf = cellf - izf * n0f
+            dr = rmax_c / n0f
+            dzw = 2.0 * rmax_c / n1f
+            rin_t = irf * dr          # at tmin
+            rout_t = (irf + 1.0) * dr
+            zmin_c = -rmax_c + izf * dzw
+            zmax_c = zmin_c + dzw
+
+            dirxylen = jnp.sqrt(s["dx"] * s["dx"] + s["dy"] * s["dy"])
+            has_xy = dirxylen > 1e-8
+            sdl = jnp.maximum(dirxylen, 1e-8)
+            dxn = s["dx"] / sdl
+            dyn = s["dy"] / sdl
+            xyspeed = sdl * CLIGHT_PROP
+            pos2xy = s["px"] * s["px"] + s["py"] * s["py"]
+            pdotdxy = s["px"] * dxn + s["py"] * dyn
+
+            def shell_xy(radius_t, inner):
+                a = 1.0 - (radius_t / tstart / xyspeed) ** 2
+                b = 2.0 * (pdotdxy - radius_t**2 / tstart / xyspeed)
+                c = pos2xy - radius_t**2
+                disc = b * b - 4.0 * a * c
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                d1 = (-b + sq) / 2.0 / a
+                d2 = (-b - sq) / 2.0 / a
+
+                def radial(d):
+                    fx = s["px"] + d * dxn
+                    fy = s["py"] + d * dyn
+                    r = jnp.sqrt(fx * fx + fy * fy)
+                    return (dxn * fx + dyn * fy) * xyspeed / jnp.maximum(r, 1.0)
+
+                vshell = radius_t / tstart
+                if inner:
+                    bad1 = radial(d1) > vshell
+                    bad2 = radial(d2) > vshell
+                else:
+                    bad1 = radial(d1) < vshell
+                    bad2 = radial(d2) < vshell
+                eps = 2e-6 * radius_t
+                d1 = jnp.where(bad1 | (d1 < eps), -1.0, d1)
+                d2 = jnp.where(bad2 | (d2 < eps), -1.0, d2)
+                both_neg = (d1 < 0) & (d2 < 0)
+                dmin = jnp.where((d1 >= 0) & ((d2 < 0) | (d1 <= d2)), d1, d2)
+                res = jnp.where(both_neg, -1.0, dmin)
+                return jnp.where(disc > 0, res, -1.0)
+
+            big3 = jnp.float32(3.0e38)
+            sdist = jnp.full((B,), big3, F32)
+            snext = jnp.full((B,), -1, I32)
+
+            d_rcyl_max = shell_xy(rout_t, False)
+            d_out = d_rcyl_max / sdl  # unit 3D dir: full dist = planar / sin
+            ok = has_xy & (d_rcyl_max >= 0) & (d_out > 0) & (d_out < sdist)
+            sdist = jnp.where(ok, d_out, sdist)
+            snext = jnp.where(
+                ok,
+                jnp.where(irf >= n0f - 1.0, jnp.int32(BOUNDARY_ESCAPE),
+                          s["cell"] + 1),
+                snext,
+            )
+
+            d_rcyl_min = shell_xy(rin_t, True)
+            d_rcyl_min = jnp.where(rin_t > 0, d_rcyl_min, -1.0)
+            d_in = d_rcyl_min / sdl
+            ok = has_xy & (d_rcyl_min >= 0) & (d_in < sdist)
+            sdist = jnp.where(ok, d_in, sdist)
+            snext = jnp.where(
+                ok,
+                jnp.where(irf <= 0.0, jnp.int32(BOUNDARY_ESCAPE),
+                          s["cell"] - 1),
+                snext,
+            )
+
+            velz = s["dz"] * CLIGHT_PROP
+            up = (velz * tstart) > s["pz"]
+            cb = jnp.where(up, zmax_c, zmin_c)
+            denom = cb - velz * tmin
+            t_zb = (s["pz"] - velz * tstart) / jnp.where(
+                jnp.abs(denom) > 0, denom, 1e-30
+            ) * tmin - tstart
+            db = CLIGHT_PROP * t_zb
+            ok = (db >= 0) & (db < sdist)
+            at_edge = jnp.where(up, izf >= n1f - 1.0, izf <= 0.0)
+            stp = jnp.where(up, jnp.int32(nx), jnp.int32(-nx))
+            sdist = jnp.where(ok, db, sdist)
+            snext = jnp.where(
+                ok,
+                jnp.where(at_edge, jnp.int32(BOUNDARY_ESCAPE), s["cell"] + stp),
+                snext,
+            )
         else:
             def shell(radius_t, inner):
                 a = 1.0 - (radius_t / tstart / speed) ** 2
@@ -581,10 +723,14 @@ def _kernel(
 
         if not expansion_mode:
             # --- Sobolev line walk (port of linewalk.get_event_batch) ---
-            # initial cursor: count of lines with nu > nu_cmf (descending list)
+            # initial cursor: count of lines with nu > nu_cmf (descending
+            # list). Only freshly (re-)emitted lanes carry ntr <= 0, so the
+            # O(nlines) scan is skipped entirely on crossings where every
+            # active lane already holds a cursor (the common case after the
+            # first crossing of a dispatch).
             def count_body(bidx, acc):
                 l0 = bidx * line_chunk
-                nu_k = line_nu[0, pl.ds(l0, line_chunk)]
+                nu_k = fetch_nu(l0)
                 valid = (jax.lax.broadcasted_iota(I32, (1, line_chunk), 1)[0]
                          + l0) < nlines
                 cnt = jnp.sum(
@@ -593,10 +739,15 @@ def _kernel(
                 )
                 return acc + cnt
 
-            searched = jax.lax.fori_loop(0, nlineblocks, count_body,
-                                         jnp.zeros((B,), I32))
+            need_search = jnp.any((s["ntr"] <= 0) & need_chi)
+            searched = jax.lax.cond(
+                need_search,
+                lambda: jax.lax.fori_loop(0, nlineblocks, count_body,
+                                          jnp.zeros((B,), I32)),
+                lambda: jnp.zeros((B,), I32),
+            )
             cursor0 = jnp.where(s["ntr"] > 0, s["ntr"], searched)
-            cond_nolines = (s["ntr"] > nlines - 1) | (nu < line_nu[0, nlines - 1])
+            cond_nolines = (s["ntr"] > nlines - 1) | (nu < nu_lastline)
             cursor0 = jnp.where(cond_nolines, nlines,
                                 jnp.minimum(cursor0, nlines)).astype(I32)
             fresh_nolines = cursor0 >= nlines
@@ -624,8 +775,8 @@ def _kernel(
 
             def walk_body(bidx, w):
                 l0 = bidx * line_chunk
-                nu_k = line_nu[0, pl.ds(l0, line_chunk)][None, :]
-                tau_blk_all = tau_factor[:, pl.ds(l0, line_chunk)]
+                nu_k = fetch_nu(l0)[None, :]
+                tau_blk_all = fetch_tau(l0)
                 tau_blk = jnp.dot(oh, tau_blk_all, preferred_element_type=F32)
                 l_glob = karange + l0
                 below = l_glob < cursor0[:, None]
@@ -700,7 +851,29 @@ def _kernel(
                             done=(wdone | any_term).astype(I32), edist=edist,
                             ntr=ntr, isbb=isbb.astype(I32), act=act)
 
-            lw = jax.lax.fori_loop(0, nlineblocks, walk_body, lw)
+            # early-exit walk: skip blocks wholly below every lane's cursor
+            # and stop as soon as every lane has terminated — the common
+            # crossing touches one or two blocks of a production-size
+            # linelist instead of all of them (the reference's per-packet
+            # walk has the same early-out, rpkt.cc:92-196)
+            start_blk = jnp.min(
+                jnp.where(lw["done"] > 0, jnp.int32(nlineblocks * line_chunk),
+                          cursor0)
+            ) // line_chunk
+
+            def walk_cond(c):
+                bidx, w = c
+                return jnp.logical_and(bidx < nlineblocks,
+                                       jnp.any(w["done"] == 0))
+
+            def walk_step(c):
+                bidx, w = c
+                return bidx + 1, walk_body(bidx, w)
+
+            _, lw = jax.lax.while_loop(
+                walk_cond, walk_step,
+                (jnp.minimum(start_blk, nlineblocks).astype(I32), lw),
+            )
 
             ev_edist, ev_ntr, ev_isbb, ev_act = (
                 lw["edist"], lw["ntr"], lw["isbb"] > 0, lw["act"])
@@ -951,7 +1124,8 @@ def _kernel(
         "nlines", "ncont", "nprop", "ncells", "ngc", "nphixs", "line_chunk",
         "max_inner", "relativistic", "want_gamma", "want_bfheat",
         "test_mode", "block", "phixs_dnu", "last_nuovernuedge",
-        "expansion_mode", "nbins_expo", "cart3d", "nx", "ny", "nz",
+        "expansion_mode", "nbins_expo", "cart3d", "cyl2d", "nx", "ny", "nz",
+        "stream_lines",
     ),
 )
 def propagate_blocked(
@@ -965,7 +1139,8 @@ def propagate_blocked(
     relativistic, phixs_dnu, last_nuovernuedge,
     want_gamma, want_bfheat, test_mode, block,
     expansion_mode=False, nbins_expo=0,
-    cart3d=False, nx=1, ny=1, nz=1, rmax=0.0,
+    cart3d=False, cyl2d=False, nx=1, ny=1, nz=1, rmax=0.0,
+    stream_lines=False,
 ):
     n = lane_f32["posx"].shape[0]
     assert n % block == 0
@@ -984,9 +1159,14 @@ def propagate_blocked(
 
     tables = {k: as_row(v) for k, v in tables.items()}
 
+    # production linelists: the (ncells, Lpad) tau table and the line
+    # frequencies stay in HBM and are DMA-streamed per walk block
+    stream_lines = stream_lines and not expansion_mode
+    line_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_lines
+                 else table_spec)
     in_specs = (
         [lane_spec] * (len(lane_names) + len(int_names) + 2)
-        + [table_spec] * 12
+        + [table_spec] * 9 + [line_spec, line_spec] + [table_spec]
     )
     table_list = [
         tables["mgi_of_cell"], tables["cellmin0"], tables["cellmax0"],
@@ -998,12 +1178,15 @@ def propagate_blocked(
     in_specs += [table_spec] * 6 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)
     ]
+    nu_lastline = tables["line_nu"][
+        0, min(max(nlines - 1, 0), tables["line_nu"].shape[-1] - 1)
+    ].astype(F32)
     table_list += [
         tables["bf_a"], tables["bf_dep"], tables["cont_phixs"],
         tables["cont_gmap"], tables["gc_nu_edge"], tables["expo_kappa"],
         jnp.stack([t2.astype(F32), jnp.asarray(tmin, F32),
                    jnp.asarray(max_path_step, F32),
-                   jnp.asarray(rmax, F32)]).reshape(1, 4),
+                   jnp.asarray(rmax, F32), nu_lastline]).reshape(1, 5),
     ]
 
     f32_out = jax.ShapeDtypeStruct((n,), F32)
@@ -1050,7 +1233,8 @@ def propagate_blocked(
         last_nuovernuedge=last_nuovernuedge, want_gamma=want_gamma,
         want_bfheat=want_bfheat, test_mode=test_mode, block=block,
         expansion_mode=expansion_mode, nbins_expo=nbins_expo,
-        cart3d=cart3d, nx=nx, ny=ny, nz=nz,
+        cart3d=cart3d, cyl2d=cyl2d, nx=nx, ny=ny, nz=nz,
+        stream_lines=stream_lines,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1058,6 +1242,14 @@ def propagate_blocked(
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=out_specs,
+        scratch_shapes=(
+            [
+                pltpu.VMEM((ncells, line_chunk), F32),
+                pltpu.VMEM((1, line_chunk), F32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+            if stream_lines else []
+        ),
     )
     inputs = (
         [lane_f32[k] for k in lane_names]

@@ -1,0 +1,155 @@
+"""The reference CI's 11-configuration matrix, miniaturised (ci.yml:25-38;
+SURVEY.md §4). Each config maps a reference tests/setup_<name>.sh onto the
+equivalent preset + model dimensionality here and runs the full driver for a
+few timesteps, asserting physically sane outputs (the golden-md5 contract
+does not transfer across codes; MC-noise-scale statistical sanity does).
+
+Configs (reference tests/ directory):
+  classicmode_1d_3dgrid, classicmode_3d,
+  kilonova_1d_1dgrid, kilonova_1d_3dgrid,
+  kilonova_2d_2dgrid (+barnesthermalisation, +expansionopac,
+  +xcomgammaphotoion), kilonova_2d_3dgrid,
+  nebular_1d_3dgrid, nebular_1d_3dgrid_limitbfest.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from make_run import make_run
+
+
+def _mini(preset_kwargs, **extra):
+    base = dict(
+        npkts=384, mintemp=1000.0, maxtemp=20000.0, tablesize=12,
+        linewalk_chunk=64,
+    )
+    base.update(preset_kwargs)
+    base.update(extra)
+    return base
+
+
+def _grid3d(opts_factory, kw):
+    kw = dict(kw)
+    kw.update(ncoordgrid_x=8, ncoordgrid_y=8, ncoordgrid_z=8)
+    return opts_factory, kw
+
+
+CONFIGS = {}
+
+
+def _register(name, opts_factory, opts_kw, model_dim, make_kw=None):
+    CONFIGS[name] = (opts_factory, opts_kw, model_dim, make_kw or {})
+
+
+def _build_configs():
+    from artis_tpu.options import GridType, ThermalisationScheme
+    from artis_tpu.options import classic, kilonova_lte, nltenebular
+
+    # classic mode: dipole e-scatter + polarisation, LUT estimators,
+    # work-function NT (artisoptions_classic.h)
+    _register(
+        "classicmode_1d_3dgrid", classic,
+        _mini(dict(grid_type=GridType.CARTESIAN3D, ncoordgrid_x=8,
+                   ncoordgrid_y=8, ncoordgrid_z=8)),
+        model_dim=1,
+    )
+    _register(
+        "classicmode_3d", classic,
+        _mini(dict(grid_type=GridType.CARTESIAN3D)),
+        model_dim=3, make_kw=dict(ncells=4),
+    )
+    _register(
+        "kilonova_1d_1dgrid", kilonova_lte,
+        _mini(dict(grid_type=GridType.SPHERICAL1D)),
+        model_dim=1,
+    )
+    _register(
+        "kilonova_1d_3dgrid", kilonova_lte,
+        _mini(dict(grid_type=GridType.CARTESIAN3D, ncoordgrid_x=8,
+                   ncoordgrid_y=8, ncoordgrid_z=8)),
+        model_dim=1,
+    )
+    _register(
+        "kilonova_2d_2dgrid", kilonova_lte,
+        _mini(dict(grid_type=GridType.CYLINDRICAL2D)),
+        model_dim=2, make_kw=dict(ncells=3),
+    )
+    _register(
+        "kilonova_2d_2dgrid_barnesthermalisation", kilonova_lte,
+        _mini(dict(grid_type=GridType.CYLINDRICAL2D,
+                   particle_thermalisation_scheme=ThermalisationScheme.BARNES)),
+        model_dim=2, make_kw=dict(ncells=3),
+    )
+    _register(
+        "kilonova_2d_2dgrid_expansionopac", kilonova_lte,
+        _mini(dict(grid_type=GridType.CYLINDRICAL2D,
+                   expansionopacities_on=True)),
+        model_dim=2, make_kw=dict(ncells=3),
+    )
+    _register(
+        "kilonova_2d_2dgrid_xcomgammaphotoion", kilonova_lte,
+        _mini(dict(grid_type=GridType.CYLINDRICAL2D,
+                   use_xcom_gammaphotoion=True)),
+        model_dim=2, make_kw=dict(ncells=3),
+    )
+    _register(
+        "kilonova_2d_3dgrid", kilonova_lte,
+        _mini(dict(grid_type=GridType.CARTESIAN3D, ncoordgrid_x=8,
+                   ncoordgrid_y=8, ncoordgrid_z=8)),
+        model_dim=2, make_kw=dict(ncells=3),
+    )
+    # nebular: full NLTE + Spencer-Fano + multibin radfield + detailed
+    # estimators (artisoptions_nltenebular.h); LTE timesteps 0-1 then NLTE
+    _register(
+        "nebular_1d_3dgrid", nltenebular,
+        _mini(dict(grid_type=GridType.CARTESIAN3D, ncoordgrid_x=8,
+                   ncoordgrid_y=8, ncoordgrid_z=8, nlte_outer_iters=1,
+                   detailed_bf_estimators_usefromtimestep=1)),
+        model_dim=1, make_kw=dict(num_lte_timesteps=2),
+    )
+    # limitbfest variant: later detailed-bf activation, Auger contribution
+    # off (setup_nebular_1d_3dgrid_limitbfest.sh:35-37)
+    _register(
+        "nebular_1d_3dgrid_limitbfest", nltenebular,
+        _mini(dict(grid_type=GridType.CARTESIAN3D, ncoordgrid_x=8,
+                   ncoordgrid_y=8, ncoordgrid_z=8, nlte_outer_iters=1,
+                   detailed_bf_estimators_usefromtimestep=2,
+                   sf_auger_contribution_on=False)),
+        model_dim=1, make_kw=dict(num_lte_timesteps=2),
+    )
+
+
+_build_configs()
+
+
+@pytest.mark.parametrize("name", sorted(CONFIGS))
+def test_config(name, tmp_path):
+    from artis_tpu.driver import Simulation
+
+    opts_factory, opts_kw, model_dim, make_kw = CONFIGS[name]
+    d = str(tmp_path)
+    mk = dict(ncells=5, ntimesteps=3, tmin_days=1.5, tmax_days=3.0,
+              ngreyts=0, model_dim=model_dim)
+    mk.update(make_kw)
+    make_run(d, **mk)
+    opts = opts_factory(**opts_kw)
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    nts = mk["ntimesteps"]
+    for ts in range(nts - 1):
+        sim.do_timestep(ts)
+    sim.finish()
+
+    # sane state: all packets accounted for, finite energies, some transport
+    types = np.asarray(sim.state.ptype)
+    assert len(types) == opts.npkts
+    e_cmf = np.asarray(sim.state.e_cmf, dtype=np.float64)
+    assert np.all(np.isfinite(e_cmf)) and np.all(e_cmf >= 0)
+    assert e_cmf.sum() * sim.pellet_tables.e0 <= sim.pellet_tables.norm * 1.05
+    assert int(sim.total_rpkt_steps) > 0
+    assert np.all(np.isfinite(np.asarray(sim.cells.Te)))
+    # science outputs written
+    for fn in ("light_curve.out", "spec.out", "deposition.out",
+               "estimators_0000.out", "timesteps.out"):
+        assert os.path.exists(os.path.join(d, fn)), fn

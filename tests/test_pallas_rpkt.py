@@ -431,3 +431,99 @@ def test_thick_line_just_passed_activates_macroatom(scene):
     assert int(np.asarray(mal_p)[0]) == line
     assert int(np.asarray(st_p.next_trans)[0]) == line + 1
     assert int(np.asarray(st_p.nscatterings)[0]) == int(np.asarray(st_x.nscatterings)[0])
+
+
+@pytest.fixture(scope="module")
+def scene_2d(tmp_path_factory):
+    """2D cylindrical model on a 2D cylindrical grid (the kilonova_2d_2dgrid
+    CI shape, reference: grid.cc:1114-1137)."""
+    d = str(tmp_path_factory.mktemp("pallas_2d"))
+    make_run(d, ncells=4, ntimesteps=4, tmin_days=2.0, tmax_days=4.0, ngreyts=0,
+             logrho0=-8.0, model_dim=2)
+    from artis_tpu.driver import Simulation
+
+    opts = kilonova_lte(
+        npkts=512, grid_type=GridType.CYLINDRICAL2D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=128,
+        pallas_block=256, rpkt_crossings_per_dispatch=4,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    captured = {}
+    orig = sim._transport_jit
+
+    def capture(*a, **kw):
+        captured["a"] = a
+        captured["kw"] = kw
+        return orig(*a, **kw)
+
+    sim._transport_jit = capture
+    sim.do_timestep(0)
+    (key, st, est, grid, dad, aux, rc, rates, cells, ctx) = captured["a"][:10]
+    kw = captured["kw"]
+    return dict(key=key, st=st, est=est, grid=grid, dad=dad, cells=cells,
+                ctx=ctx, opts=opts, kw=kw)
+
+
+@pytest.mark.parametrize("max_inner", [1, 4])
+def test_kernel_2d_cylindrical_matches_xla(scene_2d, max_inner):
+    """The in-kernel 2D cylindrical boundary geometry (xy-plane expanding
+    shells + homologous z planes) must reproduce the XLA path."""
+    from artis_tpu.transport import pallas_rpkt as pk
+
+    sc = scene_2d
+    assert pk.supported(
+        sc["opts"].replace(use_pallas_rpkt=True), sc["dad"], sc["grid"],
+        int(sc["cells"].Te.shape[0]),
+    )
+    st0 = _force_rpkt_state_3d(sc)  # position sampler is grid-agnostic
+    n = st0.npkts
+    rng = np.random.default_rng(13)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    st_x, est_x, mam_x, *_x, nadv_x = _run_xla(sc, st0, tau_u, max_inner)
+    st_p, est_p, mam_p, *_p, nadv_p = _run_pallas(sc, st0, tau_u, max_inner)
+
+    thresh = 0.95 if max_inner <= 1 else 0.9
+    cell_agree = np.mean(np.asarray(st_x.where) == np.asarray(st_p.where))
+    assert cell_agree > thresh, f"cell agreement {cell_agree}"
+    ptype_agree = np.mean(np.asarray(st_x.ptype) == np.asarray(st_p.ptype))
+    assert ptype_agree > thresh
+
+    both = (np.asarray(st_x.where) == np.asarray(st_p.where)) & (
+        np.asarray(st_x.ptype) == np.asarray(st_p.ptype)
+    )
+    for name in ("prop_time", "nu_cmf", "e_cmf"):
+        a = np.asarray(getattr(st_x, name))[both]
+        b = np.asarray(getattr(st_p, name))[both]
+        rel = np.abs(b - a) / np.maximum(np.abs(a), 1e-30)
+        assert np.mean(rel < 3e-3) > thresh, (name, np.mean(rel < 3e-3))
+    for name in ("j", "nuj"):
+        a = np.asarray(getattr(est_x, name)).sum()
+        b = np.asarray(getattr(est_p, name)).sum()
+        assert b == pytest.approx(a, rel=5e-2 if max_inner <= 1 else 2e-1), name
+
+
+@pytest.mark.parametrize("max_inner", [4])
+def test_kernel_streamed_lines_matches_resident(scene, max_inner):
+    """HBM-streamed line tables (per-block DMA Sobolev walk) must produce
+    exactly the same results as the VMEM-resident path."""
+    sc = scene
+    st0 = _force_rpkt_state(sc)
+    n = st0.npkts
+    rng = np.random.default_rng(17)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    outs_res = _run_pallas(sc, st0, tau_u, max_inner)
+    sc_stream = dict(sc)
+    sc_stream["opts"] = sc["opts"].replace(pallas_stream_threshold=0)
+    outs_str = _run_pallas(sc_stream, st0, tau_u, max_inner)
+
+    st_r, est_r = outs_res[0], outs_res[1]
+    st_s, est_s = outs_str[0], outs_str[1]
+    for name in ("where", "ptype", "next_trans", "nscatterings"):
+        assert np.array_equal(np.asarray(getattr(st_r, name)),
+                              np.asarray(getattr(st_s, name))), name
+    for name in ("prop_time", "nu_cmf", "e_cmf", "pos"):
+        assert np.array_equal(np.asarray(getattr(st_r, name)),
+                              np.asarray(getattr(st_s, name))), name
+    assert np.array_equal(np.asarray(est_r.j), np.asarray(est_s.j))

@@ -2,7 +2,7 @@
 (VERDICT round-1 item 4; reference self-checks: sn3d.cc:158-186 deposition
 analytic-vs-MC columns, packet.cc:149-161 energy accounting).
 
-These run a mid-sized model (16k packets, 20 timesteps) so the MC estimates
+These run a mid-sized model (8k packets, 20 timesteps) so the MC estimates
 have small enough noise to compare against closed-form predictions.
 """
 
@@ -16,80 +16,12 @@ import pytest
 from make_run import make_run
 
 
-NPKTS = 16384
+NPKTS = 8192  # per-bin f32/f64 ratio noise measured at 8k packets: 0.9-1.35
 NTS = 20
 
 
-@pytest.fixture(scope="module")
-def bigrun(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("phys"))
-    make_run(d, ncells=10, ntimesteps=NTS, tmax_days=6.0, ngreyts=0)
-    from artis_tpu.driver import Simulation
-    from artis_tpu.options import GridType, kilonova_lte
-    from artis_tpu.options import ThermalisationScheme
-
-    opts = kilonova_lte(
-        npkts=NPKTS, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
-        maxtemp=20000.0, tablesize=20, linewalk_chunk=64,
-        particle_thermalisation_scheme=ThermalisationScheme.INSTANT,
-    )
-    sim = Simulation(d, opts, datadir="/root/reference/data")
-    for ts in range(NTS - 1):
-        sim.do_timestep(ts)
-    sim.finish()
-    return d, sim, opts
-
-
-def test_particle_deposition_matches_bateman_analytic(bigrun):
-    """With INSTANT particle thermalisation, the MC positron deposition
-    must track the analytic Bateman-chain decay power (the comparison the
-    reference prints in deposition.out, sn3d.cc:158-186). The synthetic
-    network is Ni56/Co56, so the particle channel is positrons (a ~3% branch
-    of the Co56 decay energy); individual timesteps are noisy at this packet
-    count, so the oracle is the run-aggregate energy."""
-    d, sim, opts = bigrun
-    from artis_tpu import decay as decay_mod
-
-    m_cell = sim.model.rho_tmin * sim._assoc_vol_model
-    mc_total = 0.0
-    ana_total = 0.0
-    for i in range(1, NTS - 1):
-        tmid = float(sim.ts.mid[i])
-        tw = float(sim.ts.width[i])
-        eps_pos = float(np.sum(m_cell * decay_mod.get_particle_power_pergram(
-            sim.dec, sim.initnucmassfrac, tmid, decay_mod.DECAYTYPE_BETAPLUS)))
-        mc_total += sim.dep_ts["positron"][i]
-        ana_total += eps_pos * tw
-    assert ana_total > 0
-    ratio = mc_total / ana_total
-    # aggregate over the run: a few hundred positron pellets -> ~10% noise
-    assert 0.7 < ratio < 1.4, ratio
-
-
-def test_radiated_energy_closes_with_deposition(bigrun):
-    """Global energy closure: total escaped UVOIR + gamma energy plus energy
-    still stored in packets equals the total pellet energy budget."""
-    d, sim, opts = bigrun
-    e0 = sim._e0
-    e_pkts = float(np.asarray(sim.state.e_cmf, dtype=np.float64).sum()) * e0
-    # escaped radiation (rf energies) tracked by the light curve accumulation
-    width = np.asarray(sim.ts.width)
-    n = min(len(sim.lc_lum), len(width))
-    esc_uvoir = float(np.sum(sim.lc_lum[:n] * width[:n]))
-    budget = sim.pellet_tables.norm
-    # packets retain cmf energy; adiabatic losses make stored+escaped < budget
-    assert e_pkts <= budget * 1.05
-    assert esc_uvoir >= 0
-    # something actually escaped
-    assert sim.lc_lum.max() > 0
-
-
-def test_f32_spectra_agree_with_f64(bigrun):
-    """The float32 TPU fast path must reproduce the float64 light curve
-    within Monte Carlo noise (trajectories decorrelate, so the comparison is
-    statistical, not bitwise)."""
-    d64, sim64, opts = bigrun
-    script = f"""
+def _f32_subprocess_script() -> str:
+    return f"""
 import os, json
 os.environ["ARTIS_X64"] = "0"
 os.environ["PALLAS_AXON_POOL_IPS"] = ""
@@ -114,13 +46,94 @@ for ts in range({NTS} - 1):
     sim.do_timestep(ts)
 print("RESULT " + json.dumps({{"lc": sim.lc_lum.tolist()}}))
 """
-    out = subprocess.run(
-        [sys.executable, "-c", script], capture_output=True, text=True,
-        timeout=3000, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+
+
+@pytest.fixture(scope="module")
+def bigrun(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("phys"))
+    make_run(d, ncells=10, ntimesteps=NTS, tmax_days=6.0, ngreyts=0)
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, kilonova_lte
+    from artis_tpu.options import ThermalisationScheme
+
+    # the float32 comparison run (test_f32_spectra_agree_with_f64) is an
+    # independent process: start it now so it overlaps the float64 run below
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _f32_subprocess_script()],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
     )
-    assert out.returncode == 0, out.stderr[-2000:]
+
+    opts = kilonova_lte(
+        npkts=NPKTS, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=64,
+        particle_thermalisation_scheme=ThermalisationScheme.INSTANT,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    for ts in range(NTS - 1):
+        sim.do_timestep(ts)
+    sim.finish()
+    return d, sim, opts, proc
+
+
+def test_particle_deposition_matches_bateman_analytic(bigrun):
+    """With INSTANT particle thermalisation, the MC positron deposition
+    must track the analytic Bateman-chain decay power (the comparison the
+    reference prints in deposition.out, sn3d.cc:158-186). The synthetic
+    network is Ni56/Co56, so the particle channel is positrons (a ~3% branch
+    of the Co56 decay energy); individual timesteps are noisy at this packet
+    count, so the oracle is the run-aggregate energy."""
+    d, sim, opts, _ = bigrun
+    from artis_tpu import decay as decay_mod
+
+    m_cell = sim.model.rho_tmin * sim._assoc_vol_model
+    mc_total = 0.0
+    ana_total = 0.0
+    for i in range(1, NTS - 1):
+        tmid = float(sim.ts.mid[i])
+        tw = float(sim.ts.width[i])
+        eps_pos = float(np.sum(m_cell * decay_mod.get_particle_power_pergram(
+            sim.dec, sim.initnucmassfrac, tmid, decay_mod.DECAYTYPE_BETAPLUS)))
+        mc_total += sim.dep_ts["positron"][i]
+        ana_total += eps_pos * tw
+    assert ana_total > 0
+    ratio = mc_total / ana_total
+    # aggregate over the run: a few hundred positron pellets -> ~10% noise
+    assert 0.7 < ratio < 1.4, ratio
+
+
+def test_radiated_energy_closes_with_deposition(bigrun):
+    """Global energy closure: total escaped UVOIR + gamma energy plus energy
+    still stored in packets equals the total pellet energy budget."""
+    d, sim, opts, _ = bigrun
+    e0 = sim._e0
+    e_pkts = float(np.asarray(sim.state.e_cmf, dtype=np.float64).sum()) * e0
+    # escaped radiation (rf energies) tracked by the light curve accumulation
+    width = np.asarray(sim.ts.width)
+    n = min(len(sim.lc_lum), len(width))
+    esc_uvoir = float(np.sum(sim.lc_lum[:n] * width[:n]))
+    budget = sim.pellet_tables.norm
+    # packets retain cmf energy; adiabatic losses make stored+escaped < budget
+    assert e_pkts <= budget * 1.05
+    assert esc_uvoir >= 0
+    # something actually escaped
+    assert sim.lc_lum.max() > 0
+
+
+def test_f32_spectra_agree_with_f64(bigrun):
+    """The float32 TPU fast path must reproduce the float64 light curve
+    within Monte Carlo noise (trajectories decorrelate, so the comparison is
+    statistical, not bitwise). The f32 run was started by the bigrun fixture
+    and has been executing concurrently with the f64 run."""
+    d64, sim64, opts, proc = bigrun
+    try:
+        stdout, stderr = proc.communicate(timeout=3000)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    assert proc.returncode == 0, stderr[-2000:]
     import json
-    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][0]
+    line = [l for l in stdout.splitlines() if l.startswith("RESULT ")][0]
     lc32 = np.array(json.loads(line[7:])["lc"])
     lc64 = sim64.lc_lum
     # compare the bright bins: per-bin escaped-packet counts are O(100), so
