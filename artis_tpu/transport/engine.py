@@ -966,6 +966,9 @@ def rpkt_step_pallas(
 
     # static table geometry
     ncells = cells.Te.shape[0]
+    # dipole electron scattering and vpkt spawning need the full XLA event
+    # machinery: defer every event instead of redirecting in-kernel
+    inkernel_scatter = not (opts.dipole or opts.vpkt_on)
     from ..grid import GridType as _GT
     cart3d = grid.grid_type == _GT.CARTESIAN3D
     cyl2d = grid.grid_type == _GT.CYLINDRICAL2D
@@ -1032,6 +1035,14 @@ def rpkt_step_pallas(
         tau_factor=(padL(ctx.tau_sob_factor)
                     if not opts.expansionopacities_on
                     else jnp.zeros((ncells, 128), f32)),
+        # detailed-line estimator column per line (njblue = dropped); float
+        # values are exact for any realistic selection size
+        jb_map=(padL(jnp.where(ctx.jblue_of_line >= 0, ctx.jblue_of_line,
+                               est.jblue_raw.shape[1]).astype(f32),
+                     fill=float(est.jblue_raw.shape[1]))
+                if (opts.detailed_line_estimators_on
+                    and not opts.expansionopacities_on)
+                else jnp.zeros((128,), f32)),
         cont_nu_edge=dad.cont_nu_edge.astype(f32) if dad.nbfcontinua
         else jnp.full((1,), jnp.inf, f32),
         bf_a=ctx.bf_a.astype(f32) if dad.nbfcontinua
@@ -1043,6 +1054,8 @@ def rpkt_step_pallas(
         cont_gmap=cont_gmap if dad.nbfcontinua else jnp.zeros((1, ngc), f32),
         gc_nu_edge=dad.groundcont_nu_edge.astype(f32)
         if dad.nbfcontinua_ground else jnp.zeros((1,), f32),
+        cont_prob=dad.cont_probability.astype(f32) if dad.nbfcontinua
+        else jnp.zeros((1,), f32),
         expo_kappa=_expo_kappa_padded(ctx, ncells, f32, opts),
     )
 
@@ -1073,12 +1086,19 @@ def rpkt_step_pallas(
         nx=int(grid.ncoordgrid[0]), ny=int(grid.ncoordgrid[1]),
         nz=int(grid.ncoordgrid[2]), rmax=float(grid.rmax),
         stream_lines=(ncells * lpad > opts.pallas_stream_threshold),
+        inkernel_scatter=inkernel_scatter,
+        multibin=opts.multibin_radfield,
+        nradbins=opts.radfieldbincount if opts.multibin_radfield else 0,
+        want_bfrate=(opts.detailed_bf_estimators_on and dad.nbfcontinua > 0),
+        want_jblue=(opts.detailed_line_estimators_on
+                    and not opts.expansionopacities_on),
+        njblue=int(est.jblue_raw.shape[1]),
     )
     (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
      owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,
      ochiesc, ochiff, ochibf, ochicont, omgi,
      oemx, oemy, oemz, oemt, onsc, oinkscat,
-     oest, ogamma, obfheat, omisc) = outs
+     oest, ogamma, obfheat, orb, obfr, ojb, omisc) = outs
 
     sl = lambda x: x.reshape(-1)[:n]  # lane outputs come back (nblocks, block)
     dtype = st.pos.dtype
@@ -1138,6 +1158,32 @@ def rpkt_step_pallas(
         est = est.replace(
             bfheatingestimator=est.bfheatingestimator
             + bsum.astype(est.bfheatingestimator.dtype))
+    if opts.detailed_bf_estimators_on and dad.nbfcontinua > 0:
+        bfrsum = jnp.sum(obfr, axis=0)[:, : dad.nbfcontinua]
+        est = est.replace(bfrate=est.bfrate + bfrsum.astype(est.bfrate.dtype))
+    if opts.detailed_line_estimators_on and not opts.expansionopacities_on:
+        jbsum = jnp.sum(ojb, axis=0)
+        njbp = ojb.shape[2] // 2
+        njb = est.jblue_raw.shape[1]
+        est = est.replace(
+            jblue_raw=est.jblue_raw
+            + jbsum[:, :njb].astype(est.jblue_raw.dtype),
+            jblue_count=est.jblue_count
+            + jbsum[:, njbp:njbp + njb].astype(est.jblue_count.dtype),
+        )
+    if opts.multibin_radfield:
+        rbsum = jnp.sum(orb, axis=0)  # (ncells, 3*nbpad)
+        nbp = orb.shape[2] // 3
+        nb = est.radfieldbin_j.shape[1]
+        est = est.replace(
+            radfieldbin_j=est.radfieldbin_j
+            + rbsum[:, :nb].astype(est.radfieldbin_j.dtype),
+            radfieldbin_nuj=est.radfieldbin_nuj
+            + rbsum[:, nbp:nbp + nb].astype(est.radfieldbin_nuj.dtype),
+            radfieldbin_count=est.radfieldbin_count
+            + rbsum[:, 2 * nbp:2 * nbp + nb].astype(
+                est.radfieldbin_count.dtype),
+        )
 
     nadv = misc[0].astype(jnp.int32)
 
@@ -1148,7 +1194,7 @@ def rpkt_step_pallas(
             sl(ochiesc).astype(dtype), sl(ochiff).astype(dtype),
             sl(ochibf).astype(dtype), sl(ochicont).astype(dtype),
             sl(obfidx), sl(oact), sl(omgi),
-            no_escat=True,
+            no_escat=inkernel_scatter,
         )
 
     def _none(st, est):

@@ -112,17 +112,14 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         pass
     else:
         return False
-    if opts.multibin_radfield:
-        return False
-    if opts.expansionopacities_on and opts.rpkt_boundbound_thermalisation_probability < 0:
-        # the Planck-sampled thermalisation lives in the XLA event pass and
-        # requires the fixed-probability mode (rpkt.cc:700-713)
-        return False
-    if opts.detailed_bf_estimators_on or opts.detailed_line_estimators_on:
-        return False
-    # in-kernel scattering is isotropic-only and spawns no virtual packets
-    if opts.dipole or opts.vpkt_on:
-        return False
+    # multibin radfield estimators accumulate in-kernel (one packed one-hot
+    # MXU matmul per crossing) — no exclusion needed
+    # expansion-opacity bound-bound events defer to the XLA event pass,
+    # which handles both the fixed-probability thermalisation mode and the
+    # line-resolving THERMALISATION < 0 mode (rpkt.cc:238-262, 700-713)
+    # detailed line (J_b_lu) and bf-rate estimators accumulate in-kernel
+    # dipole / vpkt configs run the kernel with all events deferred to the
+    # XLA event pass (inkernel_scatter=False) — no exclusion needed
     if dad.nlines == 0:
         return False
     if grid.grid_type == GridType.CARTESIAN3D:
@@ -161,11 +158,13 @@ def _kernel(
     nne_t, te_t, kappagrey_t, rho_t, thick_t, chiffpart_t,  # (ncells,)
     line_nu,  # (Lpad,)
     tau_factor,  # (ncells, Lpad)
+    jb_map,  # (Lpad,) f32 detailed-line estimator column (njblue = dropped)
     cont_nu_edge,  # (Cpad,)
     bf_a, bf_dep,  # (ncells, Cpad)
     cont_phixs,  # (Cpad, P)
     cont_gmap,  # (Cpad, ngc) one-hot ground map (f32)
     gc_nu_edge,  # (ngc,)
+    cont_prob,  # (Cpad,) continuum probability (for bf-rate estimators)
     expo_kappa,  # (ncells, NBpad) binned expansion opacities [cm2/g]
     consts,  # (1, 4) SMEM f32: [t2, tmin, -, -] (traced per timestep)
     # outputs
@@ -177,6 +176,9 @@ def _kernel(
     o_est,  # (1, ncells, 8): j, nuj, ffheating, ncross (cols 0-3)
     o_gamma,  # (1, ncells, ngc_pad)
     o_bfheat,  # (1, ncells, ngc_pad)
+    o_rb,  # (1, ncells, 3*nbpad): multibin radfield j | nuj | count
+    o_bfr,  # (1, ncells, Cpad128): detailed bf-rate estimators
+    o_jb,  # (1, ncells, 2*njbpad): J_b_lu raw | count
     o_misc,  # (1, 8): nadv, nesc, cmf_lum
     # scratch (present only when stream_lines): tau slab, nu slab, DMA sems
     *scratch,
@@ -203,6 +205,11 @@ def _kernel(
     ny: int = 1,
     nz: int = 1,
     stream_lines: bool = False,
+    inkernel_scatter: bool = True,
+    multibin: bool = False,
+    nradbins: int = 0,
+    want_bfrate: bool = False,
+    want_jblue: bool = False,
 ):
     B = block
     blk = pl.program_id(0)
@@ -220,9 +227,9 @@ def _kernel(
 
     if stream_lines:
         # line tables live in HBM; each walk block DMAs one (ncells, chunk)
-        # tau slab + (1, chunk) nu slab into VMEM scratch (synchronous per
-        # block — the early-exit walk touches few blocks per crossing)
-        tau_slab, nu_slab, dma_sems = scratch
+        # tau slab + (1, chunk) nu/jb slabs into VMEM scratch (synchronous
+        # per block — the early-exit walk touches few blocks per crossing)
+        tau_slab, nu_slab, jb_slab, dma_sems = scratch
 
         def fetch_nu(l0):
             cp = pltpu.make_async_copy(
@@ -238,12 +245,22 @@ def _kernel(
             cp.start()
             cp.wait()
             return tau_slab[:, :]
+
+        def fetch_jb(l0):
+            cp = pltpu.make_async_copy(
+                jb_map.at[:, pl.ds(l0, line_chunk)], jb_slab, dma_sems.at[2])
+            cp.start()
+            cp.wait()
+            return jb_slab[0]
     else:
         def fetch_nu(l0):
             return line_nu[0, pl.ds(l0, line_chunk)]
 
         def fetch_tau(l0):
             return tau_factor[:, pl.ds(l0, line_chunk)]
+
+        def fetch_jb(l0):
+            return jb_map[0, pl.ds(l0, line_chunk)]
 
     # mutable per-lane state as loop carry
     state = dict(
@@ -277,6 +294,9 @@ def _kernel(
         est=jnp.zeros((ncells, 8), F32),
         gam=jnp.zeros((ncells, o_gamma.shape[2]), F32),
         bfh=jnp.zeros((ncells, o_bfheat.shape[2]), F32),
+        rb=jnp.zeros((ncells, o_rb.shape[2]), F32),
+        bfr=jnp.zeros((ncells, o_bfr.shape[2]), F32),
+        jba=jnp.zeros((ncells, o_jb.shape[2]), F32),
         nadv=jnp.zeros((), F32), nesc=jnp.zeros((), F32),
         lum=jnp.zeros((), F32),
         n_escat=jnp.zeros((), F32), n_thickscat=jnp.zeros((), F32),
@@ -642,9 +662,12 @@ def _kernel(
         first = _first_true_idx(hit, ncont)
         bf_idx = jnp.where(jnp.any(hit, axis=1), first, 0)
 
-        # per-ground-continuum contributions for the LUT estimators
+        # per-ground-continuum contributions for the LUT estimators:
+        # sigma * probability * corrfactor (reference: rpkt.cc:870-880 —
+        # multi-target continua contribute prob-weighted, NOT once each)
         if want_gamma or want_bfheat:
-            contr_nolevel = jnp.where(in_window, sigma * corr, 0.0)
+            contr_nolevel = jnp.where(
+                in_window, sigma * corr * cont_prob[0, :ncont][None, :], 0.0)
             # fold multi-target continua onto their ground continuum column
             gamma_contr = jnp.dot(
                 contr_nolevel, cont_gmap[:ncont, :],
@@ -770,6 +793,18 @@ def _kernel(
                 isbb=jnp.zeros((B,), I32),
                 act=jnp.full((B,), -99, I32),
             )
+            if want_jblue:
+                lw["jba"] = s["jba"]
+                # e_cmf/nu_cmf is invariant along free flight: the J_b_lu
+                # increment at each swept line is t_line * CLIGHT * e0/nu0
+                # (reference: rpkt.cc:151-167; linewalk.py jblue block)
+                e_over_nu = jnp.where(
+                    need_chi,
+                    jnp.float32(CLIGHT) * s["ecmf"] / jnp.maximum(nu, 1.0),
+                    0.0,
+                )
+                njbp = o_jb.shape[2] // 2
+                jbcol = jax.lax.broadcasted_iota(F32, (line_chunk, njbp), 1)
 
             karange = jax.lax.broadcasted_iota(I32, (B, line_chunk), 1)
 
@@ -847,9 +882,28 @@ def _kernel(
                 lastD = jnp.where(
                     not_term, jnp.maximum(w["lastD"], jnp.max(relD, axis=1)),
                     w["lastD"])
-                return dict(tau_cum=tau_cum, lastD=lastD,
-                            done=(wdone | any_term).astype(I32), edist=edist,
-                            ntr=ntr, isbb=isbb.astype(I32), act=act)
+                out_w = dict(tau_cum=tau_cum, lastD=lastD,
+                             done=(wdone | any_term).astype(I32), edist=edist,
+                             ntr=ntr, isbb=isbb.astype(I32), act=act)
+                if want_jblue:
+                    # lines swept before the terminal (plus the activating
+                    # line on a bound-bound event) feed the J_b_lu detailed
+                    # estimators: inc @ line→column one-hot, then cell-wise
+                    # accumulation (reference: rpkt.cc:151-167)
+                    passed = validk & (
+                        ~_col(any_term) | (karange < jsel[:, None])
+                        | ((karange == jsel[:, None]) & _col(j_bb))
+                    )
+                    t_line = tstart[:, None] + relD / CLIGHT_PROP
+                    inc = jnp.where(passed, t_line * e_over_nu[:, None], 0.0)
+                    ohmap = (fetch_jb(l0)[:, None] == jbcol).astype(F32)
+                    tmp_inc = jnp.dot(inc, ohmap, preferred_element_type=F32)
+                    tmp_cnt = jnp.dot(passed.astype(F32), ohmap,
+                                      preferred_element_type=F32)
+                    jrows = jnp.concatenate([tmp_inc, tmp_cnt], axis=1)
+                    out_w["jba"] = w["jba"] + jnp.dot(
+                        oh.T, jrows, preferred_element_type=F32)
+                return out_w
 
             # early-exit walk: skip blocks wholly below every lane's cursor
             # and stop as soon as every lane has terminated — the common
@@ -877,6 +931,8 @@ def _kernel(
 
             ev_edist, ev_ntr, ev_isbb, ev_act = (
                 lw["edist"], lw["ntr"], lw["isbb"] > 0, lw["act"])
+            if want_jblue:
+                jba_new = lw["jba"]
 
         # thick cells: grey opacity
         chi_grey = kgrey_p * rho_p * doppler
@@ -909,8 +965,14 @@ def _kernel(
             u_split = sel_u
         else:
             u_split = _u01((B,))
-        is_escat = ev_cont_any & (u_split * chi_cont_cmf < chi_escat)
-        ev_thick_k = take_event & thick
+        if inkernel_scatter:
+            is_escat = ev_cont_any & (u_split * chi_cont_cmf < chi_escat)
+            ev_thick_k = take_event & thick
+        else:
+            # dipole scattering / vpkt spawning live in the XLA event pass:
+            # defer every event instead of redirecting in-kernel
+            is_escat = ev_cont_any & (ev_cont_any != ev_cont_any)
+            ev_thick_k = is_escat
         inkscat = is_escat | ev_thick_k
         take_event = take_event & ~inkscat
 
@@ -959,6 +1021,59 @@ def _kernel(
                     axis=1)
                 bfh_new = s["bfh"] + jnp.dot(ohs.T, bpad,
                                              preferred_element_type=F32)
+
+        if not (want_jblue and not expansion_mode):
+            jba_new = s["jba"]
+
+        bfr_new = s["bfr"]
+        if want_bfrate:
+            # detailed per-continuum photoionisation-rate estimators
+            # (reference: radfield.cc:204-233; XLA counterpart
+            # opacity.accumulate_bf_estimators): contribution
+            # sigma*prob*corr x (dist*e_cmf/nu_cmf*doppler) per segment,
+            # reusing the sigma/corr window already computed for chi_bf
+            seg_nothick = seg & ~thick
+            w_bfr = jnp.where(
+                seg_nothick,
+                contrib / jnp.maximum(nucmf1, 1e-30) * doppler, 0.0)
+            bfr_rows = jnp.where(
+                in_window, sigma * corr * cont_prob[0, :ncont][None, :], 0.0
+            ) * w_bfr[:, None]
+            Cp = o_bfr.shape[2]
+            if Cp > ncont:
+                bfr_rows = jnp.concatenate(
+                    [bfr_rows, jnp.zeros((B, Cp - ncont), F32)], axis=1)
+            oh_nt = jnp.where(_col(seg_nothick), oh, 0.0)
+            bfr_new = s["bfr"] + jnp.dot(oh_nt.T, bfr_rows,
+                                         preferred_element_type=F32)
+
+        rb_new = s["rb"]
+        if multibin:
+            # per-bin J/nuJ/count estimators at the segment midpoint
+            # (reference: radfield.cc:731-759; engine XLA path
+            # _rpkt_accumulate multibin block)
+            from ..plasma.radfield import (
+                NU_LOWER_FIRST, NU_UPPER_LAST, NU_UPPER_SUPERBIN,
+            )
+            nbp = o_rb.shape[2] // 3
+            delta_nu = (NU_UPPER_LAST - NU_LOWER_FIRST) / (nradbins - 1)
+            bsel = jnp.floor((nucmf1 - jnp.float32(NU_LOWER_FIRST))
+                             / jnp.float32(delta_nu))
+            bsel = jnp.where(nucmf1 >= jnp.float32(NU_UPPER_LAST),
+                             jnp.float32(nradbins - 1), bsel)
+            bsel = jnp.clip(bsel, 0.0, float(nradbins - 1))
+            inside = seg & (nucmf1 >= jnp.float32(NU_LOWER_FIRST)) & (
+                nucmf1 < jnp.float32(NU_UPPER_SUPERBIN))
+            biota = jax.lax.broadcasted_iota(F32, (B, nbp), 1)
+            ohb = jnp.where(_col(inside), (biota == bsel[:, None]).astype(F32),
+                            0.0)
+            rows_rb = jnp.concatenate([
+                ohb * contrib[:, None],
+                ohb * (contrib * nucmf1)[:, None],
+                ohb,
+            ], axis=1)
+            rb_new = s["rb"] + jnp.dot(oh_seg.T, rows_rb,
+                                       preferred_element_type=F32)
 
         # second half-move
         fx = mx + s["dx"] * h
@@ -1064,7 +1179,7 @@ def _kernel(
                 (jax.lax.broadcasted_iota(I32, (ncells, 8), 0) == 0)
                 & (jax.lax.broadcasted_iota(I32, (ncells, 8), 1) == 3)
             ).astype(F32) * jnp.sum(crossing.astype(F32)),
-            gam=gam_new, bfh=bfh_new,
+            gam=gam_new, bfh=bfh_new, rb=rb_new, bfr=bfr_new, jba=jba_new,
             nadv=s["nadv"] + jnp.sum(mask.astype(F32)),
             nesc=s["nesc"] + jnp.sum(escaping.astype(F32)),
             lum=s["lum"] + jnp.sum(jnp.where(escaping, ecmf_out, 0.0)),
@@ -1107,6 +1222,9 @@ def _kernel(
     o_est[0] = state["est"]
     o_gamma[0] = state["gam"]
     o_bfheat[0] = state["bfh"]
+    o_rb[0] = state["rb"]
+    o_bfr[0] = state["bfr"]
+    o_jb[0] = state["jba"]
     mrow = jax.lax.broadcasted_iota(I32, (1, 8, 128), 1)
     mcol = jax.lax.broadcasted_iota(I32, (1, 8, 128), 2)
     misc = jnp.zeros((1, 8, 128), F32)
@@ -1125,7 +1243,8 @@ def _kernel(
         "max_inner", "relativistic", "want_gamma", "want_bfheat",
         "test_mode", "block", "phixs_dnu", "last_nuovernuedge",
         "expansion_mode", "nbins_expo", "cart3d", "cyl2d", "nx", "ny", "nz",
-        "stream_lines",
+        "stream_lines", "inkernel_scatter", "multibin", "nradbins",
+        "want_bfrate", "want_jblue", "njblue",
     ),
 )
 def propagate_blocked(
@@ -1140,7 +1259,9 @@ def propagate_blocked(
     want_gamma, want_bfheat, test_mode, block,
     expansion_mode=False, nbins_expo=0,
     cart3d=False, cyl2d=False, nx=1, ny=1, nz=1, rmax=0.0,
-    stream_lines=False,
+    stream_lines=False, inkernel_scatter=True,
+    multibin=False, nradbins=0, want_bfrate=False,
+    want_jblue=False, njblue=0,
 ):
     n = lane_f32["posx"].shape[0]
     assert n % block == 0
@@ -1166,16 +1287,16 @@ def propagate_blocked(
                  else table_spec)
     in_specs = (
         [lane_spec] * (len(lane_names) + len(int_names) + 2)
-        + [table_spec] * 9 + [line_spec, line_spec] + [table_spec]
+        + [table_spec] * 9 + [line_spec, line_spec, line_spec] + [table_spec]
     )
     table_list = [
         tables["mgi_of_cell"], tables["cellmin0"], tables["cellmax0"],
         tables["nne"], tables["Te"], tables["kappagrey"], tables["rho"],
         tables["thick"], tables["chiffpart"], tables["line_nu"],
-        tables["tau_factor"], tables["cont_nu_edge"],
+        tables["tau_factor"], tables["jb_map"], tables["cont_nu_edge"],
     ]
     # bf_a, bf_dep, cont_phixs, cont_gmap, gc_nu_edge appended below
-    in_specs += [table_spec] * 6 + [
+    in_specs += [table_spec] * 7 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)
     ]
     nu_lastline = tables["line_nu"][
@@ -1183,7 +1304,8 @@ def propagate_blocked(
     ].astype(F32)
     table_list += [
         tables["bf_a"], tables["bf_dep"], tables["cont_phixs"],
-        tables["cont_gmap"], tables["gc_nu_edge"], tables["expo_kappa"],
+        tables["cont_gmap"], tables["gc_nu_edge"], tables["cont_prob"],
+        tables["expo_kappa"],
         jnp.stack([t2.astype(F32), jnp.asarray(tmin, F32),
                    jnp.asarray(max_path_step, F32),
                    jnp.asarray(rmax, F32), nu_lastline]).reshape(1, 5),
@@ -1202,6 +1324,15 @@ def propagate_blocked(
             jax.ShapeDtypeStruct((nblocks, ncells, 8), F32),
             jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
             jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
+            jax.ShapeDtypeStruct(
+                (nblocks, ncells, 3 * _round_up(max(nradbins, 1), 128)), F32),
+            jax.ShapeDtypeStruct(
+                (nblocks, ncells,
+                 _round_up(ncont, 128) if want_bfrate else 128), F32),
+            jax.ShapeDtypeStruct(
+                (nblocks, ncells,
+                 2 * _round_up(max(njblue, 1), 128) if want_jblue else 128),
+                F32),
             jax.ShapeDtypeStruct((nblocks, 8, 128), F32),
         ]
     )
@@ -1221,6 +1352,16 @@ def propagate_blocked(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ncells, ngc_pad), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ncells, 3 * _round_up(max(nradbins, 1), 128)),
+                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ncells, _round_up(ncont, 128) if want_bfrate else 128),
+                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ncells,
+                 2 * _round_up(max(njblue, 1), 128) if want_jblue else 128),
+                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ]
     )
@@ -1234,7 +1375,9 @@ def propagate_blocked(
         want_bfheat=want_bfheat, test_mode=test_mode, block=block,
         expansion_mode=expansion_mode, nbins_expo=nbins_expo,
         cart3d=cart3d, cyl2d=cyl2d, nx=nx, ny=ny, nz=nz,
-        stream_lines=stream_lines,
+        stream_lines=stream_lines, inkernel_scatter=inkernel_scatter,
+        multibin=multibin, nradbins=nradbins, want_bfrate=want_bfrate,
+        want_jblue=want_jblue,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1246,7 +1389,8 @@ def propagate_blocked(
             [
                 pltpu.VMEM((ncells, line_chunk), F32),
                 pltpu.VMEM((1, line_chunk), F32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((1, line_chunk), F32),
+                pltpu.SemaphoreType.DMA((3,)),
             ]
             if stream_lines else []
         ),

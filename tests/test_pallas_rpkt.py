@@ -43,7 +43,7 @@ def scene(tmp_path_factory):
                 ctx=ctx, opts=opts, kw=kw)
 
 
-def _force_rpkt_state(sc, seed=0):
+def _force_rpkt_state(sc, seed=0, nu_logrange=(14.2, 15.4)):
     """A packet state of in-flight r-packets spread over the grid."""
     rng = np.random.default_rng(seed)
     st = sc["st"]
@@ -61,7 +61,7 @@ def _force_rpkt_state(sc, seed=0):
     pos = u * r[:, None]
     d = rng.normal(size=(n, 3))
     d /= np.linalg.norm(d, axis=1, keepdims=True)
-    nu = 10 ** rng.uniform(14.2, 15.4, n)
+    nu = 10 ** rng.uniform(*nu_logrange, n)
     f32 = np.float64
     st = st.replace(
         ptype=jnp.full(n, TYPE_RPKT, jnp.int32),
@@ -164,19 +164,21 @@ def test_kernel_matches_xla_path(scene, max_inner):
 
 
 def test_lut_estimators_match(scene):
-    st0 = _force_rpkt_state(scene, seed=3)
+    # frequencies inside the bf windows (edges ~2.6e15-5.5e15 Hz x 2.9 for
+    # the synthetic atom) so the estimators actually accumulate
+    st0 = _force_rpkt_state(scene, seed=3, nu_logrange=(15.45, 15.95))
     n = st0.npkts
     tau_u = np.full(n, 0.5)
     _, est_x, *_ = _run_xla(scene, st0, tau_u, 2)
     _, est_p, *_ = _run_pallas(scene, st0, tau_u, 2)
     gx = np.asarray(est_x.gammaestimator).sum()
     gp = np.asarray(est_p.gammaestimator).sum()
-    if gx > 0:
-        assert gp == pytest.approx(gx, rel=1e-2)
+    assert gx > 0, "LUT photoionisation estimator never accumulated"
+    assert gp == pytest.approx(gx, rel=1e-2)
     bx = np.asarray(est_x.bfheatingestimator).sum()
     bp = np.asarray(est_p.bfheatingestimator).sum()
-    if bx > 0:
-        assert bp == pytest.approx(bx, rel=1e-2)
+    assert bx > 0
+    assert bp == pytest.approx(bx, rel=1e-2)
 
 
 @pytest.fixture(scope="module")
@@ -527,3 +529,280 @@ def test_kernel_streamed_lines_matches_resident(scene, max_inner):
         assert np.array_equal(np.asarray(getattr(st_r, name)),
                               np.asarray(getattr(st_s, name))), name
     assert np.array_equal(np.asarray(est_r.j), np.asarray(est_s.j))
+
+
+def test_kernel_dipole_mode_defers_events(scene):
+    """With dipole electron scattering on, the kernel defers every event to
+    the XLA pass (inkernel_scatter=False) and must match the XLA path
+    lane-for-lane for one crossing."""
+    sc = dict(scene)
+    sc["opts"] = scene["opts"].replace(dipole=True, pol_on=True)
+    st0 = _force_rpkt_state(sc)
+    n = st0.npkts
+    rng = np.random.default_rng(19)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    st_x, est_x, *_ = _run_xla(sc, st0, tau_u, 1)
+    st_p, est_p, *_ = _run_pallas(sc, st0, tau_u, 1)
+
+    assert np.mean(np.asarray(st_x.where) == np.asarray(st_p.where)) > 0.95
+    assert np.mean(np.asarray(st_x.ptype) == np.asarray(st_p.ptype)) > 0.95
+    # dipole scatters must carry Stokes rotations identically through the
+    # shared XLA event pass
+    both = (np.asarray(st_x.ptype) == np.asarray(st_p.ptype))
+    sx = np.asarray(st_x.stokes)[both]
+    sp = np.asarray(st_p.stokes)[both]
+    assert np.mean(np.all(np.abs(sx - sp) < 1e-3, axis=1)) > 0.9
+    a, b = np.asarray(est_x.j).sum(), np.asarray(est_p.j).sum()
+    assert b == pytest.approx(a, rel=5e-2)
+
+
+@pytest.fixture(scope="module")
+def scene_mb(tmp_path_factory):
+    """Multibin-radfield variant of the base scene."""
+    d = str(tmp_path_factory.mktemp("pallas_mb"))
+    make_run(d, ncells=8, ntimesteps=4, tmin_days=2.0, tmax_days=4.0, ngreyts=0,
+             logrho0=-8.0)
+    from artis_tpu.driver import Simulation
+
+    opts = kilonova_lte(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=128,
+        pallas_block=256, rpkt_crossings_per_dispatch=4,
+        multibin_radfield=True, radfieldbincount=64,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    captured = {}
+    orig = sim._transport_jit
+
+    def capture(*a, **kw):
+        captured["a"] = a
+        captured["kw"] = kw
+        return orig(*a, **kw)
+
+    sim._transport_jit = capture
+    sim.do_timestep(0)
+    (key, st, est, grid, dad, aux, rc, rates, cells, ctx) = captured["a"][:10]
+    kw = captured["kw"]
+    return dict(key=key, st=st, est=est, grid=grid, dad=dad, cells=cells,
+                ctx=ctx, opts=opts, kw=kw)
+
+
+def test_kernel_multibin_radfield_matches_xla(scene_mb):
+    """In-kernel per-bin J/nuJ/count accumulation must match the XLA path."""
+    from artis_tpu.transport import pallas_rpkt as pk
+
+    sc = scene_mb
+    assert pk.supported(
+        sc["opts"].replace(use_pallas_rpkt=True), sc["dad"], sc["grid"],
+        int(sc["cells"].Te.shape[0]),
+    )
+    st0 = _force_rpkt_state(sc)
+    n = st0.npkts
+    rng = np.random.default_rng(23)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    st_x, est_x, *_ = _run_xla(sc, st0, tau_u, 1)
+    st_p, est_p, *_ = _run_pallas(sc, st0, tau_u, 1)
+
+    jx = np.asarray(est_x.radfieldbin_j)
+    jp = np.asarray(est_p.radfieldbin_j)
+    assert jx.sum() > 0
+    assert jp.sum() == pytest.approx(jx.sum(), rel=5e-2)
+    # per-bin occupation pattern must line up (same bins populated)
+    cx = np.asarray(est_x.radfieldbin_count)
+    cp = np.asarray(est_p.radfieldbin_count)
+    assert cx.sum() == pytest.approx(cp.sum(), rel=5e-2)
+    # the populated-bin masks overlap strongly
+    inter = ((cx > 0) & (cp > 0)).sum()
+    union = ((cx > 0) | (cp > 0)).sum()
+    assert inter / max(union, 1) > 0.8
+    nujx = np.asarray(est_x.radfieldbin_nuj).sum()
+    nujp = np.asarray(est_p.radfieldbin_nuj).sum()
+    assert nujp == pytest.approx(nujx, rel=5e-2)
+
+
+@pytest.fixture(scope="module")
+def scene_bfr(tmp_path_factory):
+    """Detailed bf-rate estimator variant of the base scene."""
+    d = str(tmp_path_factory.mktemp("pallas_bfr"))
+    make_run(d, ncells=8, ntimesteps=4, tmin_days=2.0, tmax_days=4.0, ngreyts=0,
+             logrho0=-8.0)
+    from artis_tpu.driver import Simulation
+
+    opts = kilonova_lte(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=128,
+        pallas_block=256, rpkt_crossings_per_dispatch=4,
+        detailed_bf_estimators_on=True,
+        detailed_bf_estimators_usefromtimestep=0,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    captured = {}
+    orig = sim._transport_jit
+
+    def capture(*a, **kw):
+        captured["a"] = a
+        captured["kw"] = kw
+        return orig(*a, **kw)
+
+    sim._transport_jit = capture
+    sim.do_timestep(0)
+    (key, st, est, grid, dad, aux, rc, rates, cells, ctx) = captured["a"][:10]
+    kw = captured["kw"]
+    return dict(key=key, st=st, est=est, grid=grid, dad=dad, cells=cells,
+                ctx=ctx, opts=opts, kw=kw)
+
+
+def test_kernel_detailed_bfrate_matches_xla(scene_bfr):
+    """In-kernel detailed bf-rate estimator accumulation must match the XLA
+    accumulate_bf_estimators path."""
+    from artis_tpu.transport import pallas_rpkt as pk
+
+    sc = scene_bfr
+    assert pk.supported(
+        sc["opts"].replace(use_pallas_rpkt=True), sc["dad"], sc["grid"],
+        int(sc["cells"].Te.shape[0]),
+    )
+    st0 = _force_rpkt_state(sc, nu_logrange=(15.45, 15.95))
+    n = st0.npkts
+    rng = np.random.default_rng(29)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    st_x, est_x, *_ = _run_xla(sc, st0, tau_u, 1)
+    st_p, est_p, *_ = _run_pallas(sc, st0, tau_u, 1)
+
+    bx = np.asarray(est_x.bfrate)
+    bp = np.asarray(est_p.bfrate)
+    assert bx.sum() > 0
+    assert bp.sum() == pytest.approx(bx.sum(), rel=5e-2)
+    # per-(cell,continuum) agreement where either accumulated something
+    sel = (bx > 0) | (bp > 0)
+    denom = np.maximum(np.abs(bx[sel]), np.abs(bp[sel]))
+    rel = np.abs(bx[sel] - bp[sel]) / np.maximum(denom, 1e-300)
+    assert np.mean(rel < 1e-2) > 0.9, np.mean(rel < 1e-2)
+
+
+@pytest.fixture(scope="module")
+def scene_jb(tmp_path_factory):
+    """Detailed-line (J_b_lu) estimator variant of the base scene."""
+    d = str(tmp_path_factory.mktemp("pallas_jb"))
+    make_run(d, ncells=8, ntimesteps=4, tmin_days=2.0, tmax_days=4.0, ngreyts=0,
+             logrho0=-8.0)
+    from artis_tpu.driver import Simulation
+
+    opts = kilonova_lte(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=128,
+        pallas_block=256, rpkt_crossings_per_dispatch=4,
+        detailed_line_estimators_on=True, jblue_elem_z=0,
+        jblue_max_lowerlevel=15,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    assert sim._njblue > 1
+    captured = {}
+    orig = sim._transport_jit
+
+    def capture(*a, **kw):
+        captured["a"] = a
+        captured["kw"] = kw
+        return orig(*a, **kw)
+
+    sim._transport_jit = capture
+    sim.do_timestep(0)
+    (key, st, est, grid, dad, aux, rc, rates, cells, ctx) = captured["a"][:10]
+    kw = captured["kw"]
+    return dict(key=key, st=st, est=est, grid=grid, dad=dad, cells=cells,
+                ctx=ctx, opts=opts, kw=kw)
+
+
+def test_kernel_jblue_matches_xla(scene_jb):
+    """In-kernel J_b_lu accumulation inside the streamed Sobolev walk must
+    match the XLA linewalk's jblue path."""
+    from artis_tpu.transport import pallas_rpkt as pk
+
+    sc = scene_jb
+    assert pk.supported(
+        sc["opts"].replace(use_pallas_rpkt=True), sc["dad"], sc["grid"],
+        int(sc["cells"].Te.shape[0]),
+    )
+    st0 = _force_rpkt_state(sc)
+    n = st0.npkts
+    rng = np.random.default_rng(31)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    st_x, est_x, *_ = _run_xla(sc, st0, tau_u, 1)
+    st_p, est_p, *_ = _run_pallas(sc, st0, tau_u, 1)
+
+    rx = np.asarray(est_x.jblue_raw)
+    rp = np.asarray(est_p.jblue_raw)
+    cx = np.asarray(est_x.jblue_count)
+    cp = np.asarray(est_p.jblue_count)
+    assert rx.sum() > 0 and cx.sum() > 0
+    assert rp.sum() == pytest.approx(rx.sum(), rel=5e-2)
+    assert cp.sum() == pytest.approx(cx.sum(), rel=5e-2)
+    sel = (rx > 0) | (rp > 0)
+    denom = np.maximum(np.abs(rx[sel]), np.abs(rp[sel]))
+    rel = np.abs(rx[sel] - rp[sel]) / np.maximum(denom, 1e-300)
+    assert np.mean(rel < 1e-2) > 0.9, np.mean(rel < 1e-2)
+
+
+@pytest.fixture(scope="module")
+def scene_expo_bb(tmp_path_factory):
+    """Expansion opacities with THERMALISATION < 0 (every reference preset):
+    bb events resolve a line within the hit bin and activate the macro-atom."""
+    d = str(tmp_path_factory.mktemp("pallas_expo_bb"))
+    make_run(d, ncells=8, ntimesteps=4, tmin_days=2.0, tmax_days=4.0, ngreyts=0,
+             logrho0=-6.8)
+    from artis_tpu.driver import Simulation
+
+    opts = kilonova_lte(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, linewalk_chunk=128,
+        pallas_block=256, rpkt_crossings_per_dispatch=4,
+        expansionopacities_on=True,
+    )
+    assert opts.rpkt_boundbound_thermalisation_probability < 0
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    captured = {}
+    orig = sim._transport_jit
+
+    def capture(*a, **kw):
+        captured["a"] = a
+        captured["kw"] = kw
+        return orig(*a, **kw)
+
+    sim._transport_jit = capture
+    sim.do_timestep(0)
+    (key, st, est, grid, dad, aux, rc, rates, cells, ctx) = captured["a"][:10]
+    kw = captured["kw"]
+    return dict(key=key, st=st, est=est, grid=grid, dad=dad, cells=cells,
+                ctx=ctx, opts=opts, kw=kw)
+
+
+def test_kernel_expansion_bb_activates_macroatom(scene_expo_bb):
+    """Kernel expansion-mode bb events with THERMALISATION < 0 must resolve a
+    line and activate the macro-atom through the shared XLA event pass,
+    matching the XLA walk lane-for-lane."""
+    from artis_tpu.transport import pallas_rpkt as pk
+
+    sc = scene_expo_bb
+    assert pk.supported(
+        sc["opts"].replace(use_pallas_rpkt=True), sc["dad"], sc["grid"],
+        int(sc["cells"].Te.shape[0]),
+    )
+    st0 = _force_rpkt_state(sc)
+    n = st0.npkts
+    rng = np.random.default_rng(37)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    st_x, _, mam_x, _, mal_x, _ = _run_xla(sc, st0, tau_u, 1, sel_u=0.5)
+    st_p, _, mam_p, _, mal_p, _ = _run_pallas(sc, st0, tau_u, 1)
+
+    assert np.asarray(mam_x).sum() > 0, "oracle produced no bb activations"
+    agree = np.mean(np.asarray(mam_x) == np.asarray(mam_p))
+    assert agree > 0.9, agree
+    both = np.asarray(mam_x) & np.asarray(mam_p)
+    assert np.mean(
+        np.asarray(mal_x)[both] == np.asarray(mal_p)[both]) > 0.9
+    assert np.mean(np.asarray(st_x.ptype) == np.asarray(st_p.ptype)) > 0.9
