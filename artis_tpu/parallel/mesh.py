@@ -89,3 +89,111 @@ def transport_timestep_sharded(
         return st_out, est_out, iters, nsteps
 
     return _run(key, st, est, grid, rc, rates, cells, ctx)
+
+
+CELL_AXIS = "cells"
+
+
+def make_cell_mesh(devices=None) -> Mesh:
+    return make_mesh(devices, axis_name=CELL_AXIS)
+
+
+def plasma_update_sharded(mesh: Mesh, plasma_fn, dad, rc, cells, opts,
+                          j_norm, nuj_norm, t_mid, ffheating_norm,
+                          dep_heating, **kwargs):
+    """Cell-domain decomposition of the fused grid update: each device solves
+    its slice of the cell batch, results come back as globally sharded
+    arrays that downstream consumers resharding-replicate on demand.
+
+    TPU-native equivalent of the reference's cell-ownership partitioning for
+    update_grid (grid.cc:977-1046 get_nstart/get_ndo; update_grid.cc:1116-1124
+    each rank solves only its cells; sn3d.cc:197-261 results broadcast to
+    all). The per-cell solves are independent, so the shard boundary is free
+    of collectives; the "broadcast" is XLA's automatic resharding when the
+    transport step consumes the tables replicated.
+
+    ``plasma_fn`` is the partial-applied ``_plasma_update_device`` (with
+    nlte_indices/ntd/vpkt_exclude bound); static options are passed through
+    ``kwargs`` (mode, radfield_use_bins) plus any per-cell estimator-norm
+    keyword arrays.
+    """
+    ncells = int(cells.Te.shape[0])
+    ndev = mesh.devices.size
+    assert ncells % ndev == 0, (
+        f"cell count {ncells} must divide the mesh size {ndev} "
+        "(pad nonempty cells to a multiple of the device count)"
+    )
+
+    def spec_for(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == ncells:
+            return P(CELL_AXIS)
+        return P()
+
+    def _holds_arrays(v):
+        leaves = jax.tree_util.tree_leaves(v)
+        return bool(leaves) and all(hasattr(x, "ndim") for x in leaves)
+
+    static_kwargs = {k: v for k, v in kwargs.items() if not _holds_arrays(v)}
+    array_kwargs = {k: v for k, v in kwargs.items() if _holds_arrays(v)}
+    akw_names = sorted(array_kwargs)
+    akw_vals = [array_kwargs[k] for k in akw_names]
+
+    cells_spec = jax.tree_util.tree_map(spec_for, cells)
+    in_spec = (
+        cells_spec,
+        jax.tree_util.tree_map(spec_for, j_norm),
+        jax.tree_util.tree_map(spec_for, nuj_norm),
+        jax.tree_util.tree_map(spec_for, ffheating_norm),
+        jax.tree_util.tree_map(spec_for, dep_heating),
+        tuple(jax.tree_util.tree_map(spec_for, v) for v in akw_vals),
+    )
+
+    # output sharding: an output whose leading dim scales with the input
+    # cell count (global eval shape ncells -> local eval shape nlocal) is a
+    # per-cell table; anything shape-invariant is replicated
+    nlocal = ncells // ndev
+
+    def _eval(batch):
+        return jax.eval_shape(
+            lambda c, jn, nj, fh, dh, av: plasma_fn(
+                dad, rc, c, opts, jn, nj, t_mid, fh, dh,
+                **dict(zip(akw_names, av)), **static_kwargs),
+            _slice_tree(cells, ncells, batch),
+            _slice_tree(j_norm, ncells, batch),
+            _slice_tree(nuj_norm, ncells, batch),
+            _slice_tree(ffheating_norm, ncells, batch),
+            _slice_tree(dep_heating, ncells, batch),
+            tuple(_slice_tree(v, ncells, batch) for v in akw_vals),
+        )
+
+    eval_global = _eval(ncells)
+    eval_local = _eval(nlocal)
+
+    def out_spec_for(g, l):
+        if (hasattr(g, "ndim") and g.ndim >= 1
+                and g.shape[0] == ncells and l.shape[0] == nlocal):
+            return P(CELL_AXIS)
+        return P()
+
+    out_specs = jax.tree_util.tree_map(out_spec_for, eval_global, eval_local)
+
+    @partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=in_spec, out_specs=out_specs, check_vma=False,
+    )
+    def _run(cells_, j_, nuj_, fh_, dh_, akw_):
+        return plasma_fn(dad, rc, cells_, opts, j_, nuj_, t_mid, fh_, dh_,
+                         **dict(zip(akw_names, akw_)), **static_kwargs)
+
+    return _run(cells, j_norm, nuj_norm, ffheating_norm, dep_heating,
+                tuple(akw_vals))
+
+
+def _slice_tree(tree, ncells, nlocal):
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct((nlocal,) + x.shape[1:], x.dtype)
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == ncells
+        else (jax.ShapeDtypeStruct(x.shape, x.dtype)
+              if hasattr(x, "ndim") else x),
+        tree,
+    )

@@ -137,3 +137,62 @@ def test_sharded_estimators_match_single_device(sim_pair):
     np.testing.assert_array_equal(
         np.asarray(est_sharded.counters), np.asarray(est_accum.counters)
     )
+
+
+def test_cell_domain_plasma_solve_matches_single_device(tmp_path):
+    """Cell-domain decomposition of the fused grid update (reference cell
+    ownership: grid.cc:977-1046, update_grid.cc:1116-1124): the sharded solve
+    over an 8-device cell mesh must reproduce the single-device tables."""
+    d = str(tmp_path)
+    make_run(d, ncells=16, ntimesteps=4, tmax_days=2.0, ngreyts=0)
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, kilonova_lte
+    from artis_tpu.parallel.mesh import make_cell_mesh, plasma_update_sharded
+
+    opts = kilonova_lte(
+        npkts=256, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=12, linewalk_chunk=64,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+
+    captured = {}
+    orig = sim._plasma_jit
+
+    def capture(*a, **kw):
+        captured["a"] = a
+        captured["kw"] = kw
+        return orig(*a, **kw)
+
+    sim._plasma_jit = capture
+    sim.do_timestep(0)
+    sim.update_grid(1)  # a "real" update with estimators from timestep 0
+    (dad, rc, cells, o, j_norm, nuj_norm, t_mid, ffheating_norm,
+     dep_heating) = captured["a"]
+    kw = captured["kw"]
+
+    ref = orig(dad, rc, cells, o, j_norm, nuj_norm, t_mid,
+               ffheating_norm, dep_heating, **kw)
+
+    mesh = make_cell_mesh(jax.devices()[:N_DEV])
+    from artis_tpu.driver import _plasma_update_device
+    import functools as _ft
+    plasma_fn = _ft.partial(
+        _plasma_update_device, nlte_indices=sim.nlte_indices, ntd=sim.ntd,
+        vpkt_exclude=(),
+    )
+    out = plasma_update_sharded(
+        mesh, plasma_fn, dad, rc, cells, o, j_norm, nuj_norm, t_mid,
+        ffheating_norm, dep_heating, **kw,
+    )
+
+    flat_ref, _ = jax.tree_util.tree_flatten(ref)
+    flat_out, treedef = jax.tree_util.tree_flatten(out)
+    assert len(flat_ref) == len(flat_out)
+    agree = 0
+    for a, b in zip(flat_ref, flat_out):
+        a = np.asarray(a)
+        b = np.asarray(b)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-12)
+        agree += 1
+    assert agree > 10  # the update returns many per-cell tables
