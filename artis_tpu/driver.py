@@ -26,7 +26,7 @@ from . import packets as packets_mod
 from . import spectrum as spectrum_mod
 from . import stats as stats_mod
 from .atomic import to_device
-from .constants import CLIGHT, DAY, FOURPI, LSUN, MH, ONEOVER4PI, PI, SIGMA_T
+from .constants import CLIGHT, DAY, FOURPI, LSUN, MEV, MH, ONEOVER4PI, PI, SIGMA_T
 from .estimators import Estimators, zero_estimators
 from .io import atomicdata as atomicdata_io
 from .io import gammadata as gammadata_io
@@ -512,6 +512,39 @@ class Simulation:
             for n in range(int(self.grid.ngrid)):
                 if mgi_all[n] != self.model.npts_model:
                     f.write(f"{n} {int(mgi_all[n])}\n")
+        if not p.simulation_continued_from_saved:
+            # gammalinelist.out (reference: gammapkt.cc:194-206)
+            gd = self.gamma
+            with open(os.path.join(rundir, "gammalinelist.out"), "w") as f:
+                f.write("#index nucindex Z A nucgammmaindex en_gamma_mev "
+                        "gammaline_probability\n")
+                for i in range(len(gd.sorted_energy)):
+                    ni = int(gd.sorted_nucindex[i])
+                    gi = int(gd.sorted_nucgammaindex[i])
+                    f.write(
+                        f"{i} {ni} {int(self.dec.nuc_z[ni])} "
+                        f"{int(self.dec.nuc_a[ni])} {gi} "
+                        f"{gd.sorted_energy[i] / MEV:g} "
+                        f"{gd.line_prob[ni, gi]:g}\n"
+                    )
+            # bflist.out (reference: input.cc:1373-1414 write_bflist_file):
+            # continuum emission-type index k -> (element, ion, level,
+            # upperionlevel), k ordered by lower unique level exactly as the
+            # macro-atom emtype encoding
+            ad = self.ad
+            with open(os.path.join(rundir, "bflist.out"), "w") as f:
+                f.write(f"{ad.nbfcontinua}\n")
+                if ad.nbfcontinua:
+                    cont_uii = (ad.elem_ion_start[ad.cont_element].astype(np.int64)
+                                + ad.cont_ion)
+                    lower_unique = ad.ion_level_start[cont_uii] + ad.cont_level
+                    order_l = np.argsort(lower_unique, kind="stable")
+                    for k, ci in enumerate(order_l):
+                        f.write(
+                            f"{k} {int(ad.cont_element[ci])} "
+                            f"{int(ad.cont_ion[ci])} {int(ad.cont_level[ci])} "
+                            f"{int(ad.cont_upperlevel[ci])}\n"
+                        )
         if self.opts.record_linestat and not p.simulation_continued_from_saved:
             # linestat.out header rows (reference: sn3d.cc:64-98)
             with open(os.path.join(rundir, "linestat.out"), "w") as f:
