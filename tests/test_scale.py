@@ -13,7 +13,6 @@ import pytest
 import jax.numpy as jnp
 
 
-@pytest.mark.slow
 def test_hundred_thousand_line_atom(tmp_path):
     from artis_tpu import atomic
     from artis_tpu.io import atomicdata
@@ -22,7 +21,13 @@ def test_hundred_thousand_line_atom(tmp_path):
     from artis_tpu.driver import Simulation
 
     d = str(tmp_path)
-    make_run(d, ncells=6, ntimesteps=3, tmax_days=2.0, ngreyts=0)
+    # thin ejecta: with 1e5 randomly-drawn lines in the same band, a
+    # realistic density makes every packet interact every few cm and one
+    # timestep takes hours — the test targets the 1e5-line TABLE mechanics
+    # (cursor searches, chunked walks, (ncells, nlines) tau products), so
+    # drop the density until the forest is optically thin
+    make_run(d, ncells=6, ntimesteps=3, tmax_days=2.0, ngreyts=0,
+             logrho0=-13.0)
     # overwrite the default small atom: ~3 x 260^2/2 = ~100k transitions
     write_synthetic_atomicdata(d, elements=((26, 3),), nlevels_per_ion=260)
 
@@ -42,8 +47,7 @@ def test_hundred_thousand_line_atom(tmp_path):
     for ix in sim.nlte_indices:
         assert ix.dim_reduced < ix.dim / 3
 
-    for ts in range(2):
-        sim.do_timestep(ts)
+    sim.do_timestep(0)
 
     assert np.all(np.isfinite(np.asarray(sim.cells.Te)))
     assert np.asarray(sim.prev_est.j).sum() > 0
