@@ -364,6 +364,22 @@ class Simulation:
             single_level_top_ion=self.opts.single_level_top_ion,
             single_ground_level=self.opts.single_ground_level,
         )
+        # optional recombination-rate calibration: scales phixs before ANY
+        # rate table is built (reference: ratecoeff.cc:513-653)
+        from .plasma import recombcalibration as _recomb
+
+        if self.opts.nlte_enabled and not self.opts.nlte_all_levels:
+            def _sl_first(element, ion, _ad=self.ad, _o=self.opts):
+                uii = int(_ad.elem_ion_start[element] + ion)
+                nlev = int(_ad.ion_nlevels[uii])
+                cap = min(_o.nlte_maxlevel, nlev)
+                return cap + 1 if cap + 1 < nlev else None
+        else:
+            _sl_first = None
+        _recomb.apply_recombrate_calibration(
+            self.ad, rundir, t_elec=self.opts.recombcalibration_t_elec,
+            superlevel_first_level=_sl_first, log=self.log,
+        )
         # float32 device mode: the TPU path demotes every device structure at
         # construction time so no float64 array ever lives on (or reads back
         # from) the device (f64 is unsupported/emulated on TPU backends).

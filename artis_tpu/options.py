@@ -72,6 +72,9 @@ class Options:
     # one Boltzmann-distributed superlevel per ion
     nlte_all_levels: bool = False
     nlte_maxlevel: int = 80
+    # temperature at which recombrates.txt calibrates the phixs tables
+    # (reference: RECOMBCALIBRATION_T_ELEC, artisoptions_nltenebular.h:50)
+    recombcalibration_t_elec: float = 6000.0
     nlte_maxlevel_fe2: int = 197  # Fe II exception
     # LU iterative-refinement passes, keeping the best residual
     # (reference: nltepop.cc:623-746)
