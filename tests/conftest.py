@@ -25,3 +25,20 @@ os.environ["PALLAS_AXON_POOL_IPS"] = ""
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after every test module: a full-suite run
+    compiles many hundreds of XLA:CPU programs in one process, and the LLVM
+    JIT eventually segfaults in backend_compile_and_load once too much
+    compiled state has accumulated (observed deterministically at ~47% of
+    the suite). Per-module cache clearing keeps the live-executable count
+    bounded; fixtures that outlive the clear simply recompile on next use."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()
