@@ -97,4 +97,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as exc:  # noqa: BLE001 - emit the metric line first
+        if not _STATE["printed"]:
+            _emit(partial=True)
+        raise
