@@ -46,7 +46,7 @@ BOUNDARY_ESCAPE = -99
         "vout_model",
         "initial_radial_pos_sum_mgi",
     ],
-    meta_fields=["grid_type", "ncoordgrid", "ngrid", "npts_model", "nonempty_npts", "tmin", "rmax", "vmax", "model_dim"],
+    meta_fields=["grid_type", "ncoordgrid", "ngrid", "npts_model", "nonempty_npts", "tmin", "rmax", "vmax", "model_dim", "model_ncoord"],
 )
 @dataclasses.dataclass(frozen=True)
 class GridData:
@@ -75,6 +75,7 @@ class GridData:
     vmax: float
     model_dim: int = 0  # dimensionality of the INPUT model (1D model on a
     # 3D grid keeps radial cell->model mapping, grid.cc:470-487)
+    model_ncoord: tuple = ()  # the INPUT model's coordinate counts
 
     @property
     def ndim(self) -> int:
@@ -241,6 +242,7 @@ def grid_init(model: ModelData, tmin: float, grid_type: GridType,
         rmax=float(rmax),
         vmax=float(vmax),
         model_dim=int(model.dim),
+        model_ncoord=tuple(int(v) for v in model.ncoord_model),
     )
     if with_host:
         return gd, host

@@ -1093,6 +1093,11 @@ def rpkt_step_pallas(
         want_jblue=(opts.detailed_line_estimators_on
                     and not opts.expansionopacities_on),
         njblue=int(est.jblue_raw.shape[1]),
+        model_dim=int(getattr(grid, "model_dim", 1) or 1),
+        n_rcyl_m=(int(grid.model_ncoord[0])
+                  if getattr(grid, "model_dim", 1) == 2 else 1),
+        n_z_m=(int(grid.model_ncoord[1])
+               if getattr(grid, "model_dim", 1) == 2 else 1),
     )
     (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
      owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,

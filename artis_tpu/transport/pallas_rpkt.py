@@ -101,11 +101,14 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         return False
     if grid.grid_type == GridType.SPHERICAL1D:
         pass
-    elif (grid.grid_type == GridType.CARTESIAN3D
-          and getattr(grid, "model_dim", 0) == 1):
-        # 3D uniform Cartesian grid with radial (1D-model) cell mapping:
-        # geometry derives from the cell index in-kernel (grid.cc:470-487)
-        pass
+    elif grid.grid_type == GridType.CARTESIAN3D:
+        # 3D uniform Cartesian grid: geometry derives from the cell index
+        # in-kernel; the model mapping is closed-form for 1D (radial shell
+        # search, grid.cc:470-487) and 2D ((rcyl,z) binning, grid.cc:489-517)
+        # models; 3D models index the mgi table directly, which caps the
+        # model size at the one-hot width
+        if getattr(grid, "model_dim", 0) == 3 and int(grid.ngrid) > 1024:
+            return False
     elif grid.grid_type == GridType.CYLINDRICAL2D:
         # uniform (rcyl, z) cells: geometry derives from the cell index
         # in-kernel (grid.cc:1114-1137); the mgi table is per prop cell
@@ -210,6 +213,9 @@ def _kernel(
     nradbins: int = 0,
     want_bfrate: bool = False,
     want_jblue: bool = False,
+    model_dim: int = 1,
+    n_rcyl_m: int = 1,
+    n_z_m: int = 1,
 ):
     B = block
     blk = pl.program_id(0)
@@ -310,8 +316,10 @@ def _kernel(
         tstart_e = s["t"]
         if cart3d:
             # --- 3D Cartesian: cell coords from the index (uniform cubic
-            # grid, grid.cc:1419-1445); model cell by MIDPOINT radius shell
-            # search, replicating grid.cc:470-487 map_1dmodelto3dgrid ---
+            # grid, grid.cc:1419-1445); model cell from the MIDPOINT by the
+            # model dimensionality: 1D radial shell search
+            # (grid.cc:470-487), 2D (rcyl, z) binning (grid.cc:489-517),
+            # 3D direct index ---
             rmax_c = consts[0, 3]
             cellf = s["cell"].astype(F32)
             nxy = float(nx * ny)
@@ -326,13 +334,27 @@ def _kernel(
             m0 = pmin0 + 0.5 * wid
             m1 = pmin1 + 0.5 * wid
             m2 = pmin2 + 0.5 * wid
-            cellvmid = jnp.sqrt(m0 * m0 + m1 * m1 + m2 * m2) / tmin
-            # cellmin0 slot holds vout_model (pad +inf); cellmax0 slot holds
-            # nonemptymgi_of_mgi (float, -1 for empty; pad -1)
-            mgi_model = jnp.sum(
-                jnp.where(cellmin0[0][None, :] < cellvmid[:, None], 1, 0),
-                axis=1, dtype=I32,
-            )
+            if model_dim == 2:
+                vmax_c = rmax_c / tmin
+                vrcyl = jnp.sqrt(m0 * m0 + m1 * m1) / tmin
+                irm = jnp.floor(vrcyl / vmax_c * float(n_rcyl_m))
+                izm = jnp.floor(
+                    (m2 / tmin + vmax_c) / (2.0 * vmax_c) * float(n_z_m))
+                valid_m = ((irm >= 0) & (irm < float(n_rcyl_m))
+                           & (izm >= 0) & (izm < float(n_z_m)))
+                mgi_model = jnp.where(
+                    valid_m, izm * float(n_rcyl_m) + irm,
+                    jnp.float32(nprop - 1)).astype(I32)
+            elif model_dim == 3:
+                mgi_model = s["cell"]
+            else:
+                # cellmin0 slot holds vout_model (pad +inf)
+                cellvmid = jnp.sqrt(m0 * m0 + m1 * m1 + m2 * m2) / tmin
+                mgi_model = jnp.sum(
+                    jnp.where(cellmin0[0][None, :] < cellvmid[:, None], 1, 0),
+                    axis=1, dtype=I32,
+                )
+            # cellmax0 slot holds nonemptymgi_of_mgi (float, -1 empty/pad)
             oh_mgi = (propiota == mgi_model[:, None]).astype(F32)
             ne_f = jnp.dot(oh_mgi, cellmax0[0].reshape(nprop, 1),
                            preferred_element_type=F32)[:, 0]
@@ -1245,6 +1267,7 @@ def _kernel(
         "expansion_mode", "nbins_expo", "cart3d", "cyl2d", "nx", "ny", "nz",
         "stream_lines", "inkernel_scatter", "multibin", "nradbins",
         "want_bfrate", "want_jblue", "njblue",
+        "model_dim", "n_rcyl_m", "n_z_m",
     ),
 )
 def propagate_blocked(
@@ -1262,6 +1285,7 @@ def propagate_blocked(
     stream_lines=False, inkernel_scatter=True,
     multibin=False, nradbins=0, want_bfrate=False,
     want_jblue=False, njblue=0,
+    model_dim=1, n_rcyl_m=1, n_z_m=1,
 ):
     n = lane_f32["posx"].shape[0]
     assert n % block == 0
@@ -1378,6 +1402,7 @@ def propagate_blocked(
         stream_lines=stream_lines, inkernel_scatter=inkernel_scatter,
         multibin=multibin, nradbins=nradbins, want_bfrate=want_bfrate,
         want_jblue=want_jblue,
+        model_dim=model_dim, n_rcyl_m=n_rcyl_m, n_z_m=n_z_m,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -806,3 +806,90 @@ def test_kernel_expansion_bb_activates_macroatom(scene_expo_bb):
     assert np.mean(
         np.asarray(mal_x)[both] == np.asarray(mal_p)[both]) > 0.9
     assert np.mean(np.asarray(st_x.ptype) == np.asarray(st_p.ptype)) > 0.9
+
+
+def _make_capture_scene(tmp_path_factory, name, make_kw, opts_kw):
+    d = str(tmp_path_factory.mktemp(name))
+    make_run(d, ntimesteps=4, tmin_days=2.0, tmax_days=4.0, ngreyts=0,
+             logrho0=-8.0, **make_kw)
+    from artis_tpu.driver import Simulation
+
+    opts = kilonova_lte(
+        npkts=512, mintemp=1000.0, maxtemp=20000.0, tablesize=20,
+        linewalk_chunk=128, pallas_block=256, rpkt_crossings_per_dispatch=4,
+        **opts_kw,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    captured = {}
+    orig = sim._transport_jit
+
+    def capture(*a, **kw):
+        captured["a"] = a
+        captured["kw"] = kw
+        return orig(*a, **kw)
+
+    sim._transport_jit = capture
+    sim.do_timestep(0)
+    (key, st, est, grid, dad, aux, rc, rates, cells, ctx) = captured["a"][:10]
+    kw = captured["kw"]
+    return dict(key=key, st=st, est=est, grid=grid, dad=dad, cells=cells,
+                ctx=ctx, opts=opts, kw=kw)
+
+
+@pytest.fixture(scope="module")
+def scene_2dmodel_3dgrid(tmp_path_factory):
+    """2D cylindrical model mapped onto a 3D Cartesian grid (the
+    kilonova_2d_3dgrid CI shape, reference: grid.cc:489-517)."""
+    return _make_capture_scene(
+        tmp_path_factory, "pallas_2d3d",
+        dict(ncells=3, model_dim=2),
+        dict(grid_type=GridType.CARTESIAN3D, ncoordgrid_x=12,
+             ncoordgrid_y=12, ncoordgrid_z=12),
+    )
+
+
+@pytest.fixture(scope="module")
+def scene_3dmodel_3dgrid(tmp_path_factory):
+    """3D Cartesian model on its own 3D grid (the classicmode_3d CI shape:
+    prop cell == model cell)."""
+    return _make_capture_scene(
+        tmp_path_factory, "pallas_3d3d",
+        dict(ncells=6, model_dim=3),
+        dict(grid_type=GridType.CARTESIAN3D),
+    )
+
+
+def _assert_3d_parity(sc, seed, thresh=0.95):
+    from artis_tpu.transport import pallas_rpkt as pk
+
+    assert pk.supported(
+        sc["opts"].replace(use_pallas_rpkt=True), sc["dad"], sc["grid"],
+        int(sc["cells"].Te.shape[0]),
+    )
+    st0 = _force_rpkt_state_3d(sc, seed=seed)
+    n = st0.npkts
+    rng = np.random.default_rng(seed)
+    tau_u = rng.uniform(0.05, 0.95, n)
+
+    st_x, est_x, *_ = _run_xla(sc, st0, tau_u, 1)
+    st_p, est_p, *_ = _run_pallas(sc, st0, tau_u, 1)
+
+    cell_agree = np.mean(np.asarray(st_x.where) == np.asarray(st_p.where))
+    assert cell_agree > thresh, f"cell agreement {cell_agree}"
+    assert np.mean(np.asarray(st_x.ptype) == np.asarray(st_p.ptype)) > thresh
+    a = np.asarray(est_x.j).sum()
+    b = np.asarray(est_p.j).sum()
+    assert a > 0
+    assert b == pytest.approx(a, rel=5e-2)
+
+
+def test_kernel_2dmodel_3dgrid_matches_xla(scene_2dmodel_3dgrid):
+    """In-kernel (rcyl, z) model binning on the 3D grid must reproduce the
+    XLA path's map_2dmodelto3dgrid mapping."""
+    _assert_3d_parity(scene_2dmodel_3dgrid, seed=41)
+
+
+def test_kernel_3dmodel_3dgrid_matches_xla(scene_3dmodel_3dgrid):
+    """Direct cell->model indexing for a 3D model must reproduce the XLA
+    path."""
+    _assert_3d_parity(scene_3dmodel_3dgrid, seed=43)
