@@ -110,7 +110,8 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                           gammaest_norm=None, bfrate_normed=None,
                           jblue_normed=None, jblue_contribcount=None,
                           radfield_use_bins: bool = False,
-                          nlte_indices=None, ntd=None, vpkt_exclude=()):
+                          nlte_indices=None, ntd=None, nt_wf=None,
+                          nt_sf_skip: bool = False, vpkt_exclude=()):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
     populations, ff-opacity parts and the macro-atom/cooling rate tables
@@ -223,65 +224,213 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
     nt_ionenfrac = jnp.broadcast_to(
         jnp.zeros((naug,), cells.Te.dtype).at[0].set(1.0), (ncells, nions, naug)
     )
-    nt_ion_rate = None
-    nt_prob_auger = None
-    nt_exc_perdep = None
     nexc = (ntd.exc_upper.shape[0] if (ntd is not None and opts.nt_excitation_on)
             else 1)
     nt_exc_fracdep_cum = jnp.zeros((ncells, max(nexc, 1)), cells.Te.dtype)
-    if ntd is not None and mode == "nlte":
-        boltz0 = ltepop_mod.calculate_levelpops(dad, cells, opts)
-        nnion0 = ltepop_mod.get_nnion(dad, cells)
+    dtype_c = cells.Te.dtype
+    nlte_fracdiff = jnp.zeros((ncells,), dtype_c)
+    nlte_iters = jnp.zeros((ncells,), jnp.int32)
+
+    def _wf_rate(cells_c, nniontot):
+        # work-function-approximation rate, the reference's SF alternative
+        # and per-ion fallback (nonthermal.cc:1172-1178, 2246-2269):
+        # Gamma = deposition density / nnion_tot * 1/W
+        if nt_wf is None:
+            return None
+        wf_factor, elem_z_f = nt_wf
+        zbar = jnp.maximum(jnp.sum(
+            cells_c.elem_massfrac * elem_z_f[None, :].astype(dtype_c),
+            axis=1), 1e-30)
+        r = (dep_heating / nniontot / zbar)[:, None] \
+            * wf_factor[None, :].astype(dtype_c)
+        return jnp.where(dep_heating[:, None] > 0, r, 0.0)
+
+    def _sf_defaults():
+        # values in force when the SF solve is skipped
+        # (nonthermal.cc:2393-2419): Axelrod heating fraction 0.97 and
+        # zeroed eff_ionpot, so rates fall back to the WF approximation.
+        # frac_ionization is kept 0 here (not the reported 0.03 constant)
+        # because it routes transport deposits, and with zero eff_ionpot the
+        # reference's get_ntion_energyrate routes everything to heating.
+        base = jnp.zeros((naug,), dtype_c).at[0].set(1.0)
+        return dict(
+            eff_ionpot=jnp.zeros((ncells, nions), dtype_c),
+            frac_heating=jnp.full((ncells,), 0.97, dtype_c),
+            frac_ionization=jnp.zeros((ncells,), dtype_c),
+            frac_excitation=jnp.zeros((ncells,), dtype_c),
+            frac_ion_by_ion=jnp.zeros((ncells, nions), dtype_c),
+            prob_num_auger=jnp.broadcast_to(base, (ncells, nions, naug)),
+            ionenfrac_num_auger=jnp.broadcast_to(base, (ncells, nions, naug)),
+            exc_ratecoeff_perdep=jnp.zeros((ncells, max(nexc, 1)), dtype_c),
+            exc_fracdep_cum=jnp.zeros((ncells, max(nexc, 1)), dtype_c),
+        )
+
+    def _sf_solve(cells_c, nnion0):
+        boltz0 = ltepop_mod.calculate_levelpops(dad, cells_c, opts)
         sf = nonthermal_mod.solve_spencerfano_cells(
-            ntd, dad, boltz0, nnion0, cells.nne,
+            ntd, dad, boltz0, nnion0, cells_c.nne,
             sf_auger_contribution_on=opts.sf_auger_contribution_on,
             nt_use_valence_ionpotential=opts.nt_use_valence_ionpotential,
         )
-        nniontot = jnp.maximum(jnp.sum(nnion0, axis=1), 1e-300)
-        nt_ion_rate = nonthermal_mod.nt_ionization_ratecoeff(
-            dep_heating, nniontot, sf["eff_ionpot"]
-        )
-        nt_frac_ion_by_ion = sf["frac_ion_by_ion"]
-        nt_frac_ionization = sf["frac_ionization"]
-        nt_frac_excitation = sf["frac_excitation"]
-        nt_ionenfrac = sf["ionenfrac_num_auger"]
-        nt_prob_auger = sf["prob_num_auger"]
+        out = _sf_defaults()
+        for k2 in ("eff_ionpot", "frac_heating", "frac_ionization",
+                   "frac_excitation", "frac_ion_by_ion", "prob_num_auger",
+                   "ionenfrac_num_auger"):
+            out[k2] = sf[k2].astype(dtype_c)
         if opts.nt_excitation_on:
-            nt_exc_perdep = sf["exc_ratecoeff_perdep"]
+            out["exc_ratecoeff_perdep"] = sf["exc_ratecoeff_perdep"].astype(
+                dtype_c)
             # per-transition deposition fractions, cumulative, for the NT
             # excitation channel (nonthermal.cc:1608-1625 frac_deposition)
             from .constants import EV as _EV
             fracdep = (
                 boltz0[:, ntd.exc_lower]
-                * ntd.exc_eps_ev[None, :].astype(cells.Te.dtype) * _EV
-                * nt_exc_perdep
+                * ntd.exc_eps_ev[None, :].astype(dtype_c) * _EV
+                * out["exc_ratecoeff_perdep"]
             )
-            nt_exc_fracdep_cum = jnp.cumsum(fracdep, axis=1)
-        # only the heating fraction of the deposition heats the gas
-        # (thermalbalance.cc:135-241 via nonthermal heating fraction)
-        cells, _hc = thermalbalance_mod.call_t_e_finder(
-            dad, rc, cells, opts, t_mid, ffheating_norm,
-            dep_heating * sf["frac_heating"], bfheating_cells=bfh_otf,
-        )
-        cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
+            out["exc_fracdep_cum"] = jnp.cumsum(fracdep, axis=1)
+        return out
+
+    def _nt_rate(sfst, cells_c, nniontot):
+        if ntd is None and nt_wf is None:
+            return None
+        rate = None
+        if ntd is not None:
+            rate = nonthermal_mod.nt_ionization_ratecoeff(
+                dep_heating, nniontot, sfst["eff_ionpot"])
+        wf = _wf_rate(cells_c, nniontot)
+        if rate is None:
+            return wf
+        if wf is not None:
+            # SF rates that come out non-positive/invalid fall back to the
+            # WF approximation (nonthermal.cc:2249-2266)
+            rate = jnp.where(jnp.isfinite(rate) & (rate > 0), rate, wf)
+        return rate
+
     if mode == "nlte" and opts.nlte_enabled and nlte_indices:
-        # NLTE statistical equilibrium with pops<->nne feedback (the outer
-        # iteration of update_grid.cc:670-763; T_e is solved above from the
-        # thermal balance, then populations and nne iterate to consistency)
-        levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
-        for _ in range(max(opts.nlte_outer_iters, 1)):
-            boltz = ltepop_mod.calculate_levelpops(dad, cells, opts)
-            cells, levelpops = nltepop_mod.solve_all_elements(
-                nlte_indices, dad, rc, cells, opts, boltz, t_mid,
-                nt_ion_rate=nt_ion_rate,
-                nt_prob_auger=nt_prob_auger,
-                ntd=ntd, nt_exc_perdep=nt_exc_perdep,
+        # reference solve_Te_nltepops (update_grid.cc:670-763): iterate
+        # [Spencer-Fano -> T_e -> NLTE pops -> ion balance/nne] until both
+        # the nne and T_e fractional changes drop below the 4% tolerance or
+        # NLTEITER is hit.  Each cell converges independently: its state
+        # freezes and the batched loop exits once every cell is done.
+        tol = opts.nlte_convergence_tol
+        maxiter = max(opts.nlte_outer_iters, 1)
+        lp0 = ltepop_mod.calculate_levelpops(dad, cells, opts)
+        sf0 = _sf_defaults()
+        # grey (thick==1) cells keep the T_J route set above; the reference
+        # never calls solve_Te_nltepops for them (update_grid.cc:961-978)
+        converged0 = cells.thick == 1
+        xe0 = jnp.full((ncells,), -1.0, dtype_c)
+
+        def _freeze(mask, new, old):
+            return jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    mask.reshape((ncells,) + (1,) * (n.ndim - 1)), n, o),
+                new, old)
+
+        def _body(carry):
+            it, converged, cells_c, lp_c, sfst, xe_last, fd, it_used = carry
+            active = ~converged
+            nnion0 = ltepop_mod.get_nnion(dad, cells_c)
+            nniontot = jnp.maximum(jnp.sum(nnion0, axis=1), 1e-300)
+            if ntd is not None and not nt_sf_skip:
+                # re-solve Spencer-Fano only where x_e moved >= 5% since the
+                # last solution (the NT_MAX_FRACDIFF_NNEPERION gate,
+                # nonthermal.cc:2426-2442); skip the whole batched solve
+                # when no active cell needs it
+                xe = cells_c.nne / nniontot
+                need = active & (
+                    (xe_last <= 0)
+                    | (jnp.abs(xe_last / jnp.maximum(xe, 1e-300) - 1.0)
+                       >= 0.05)
+                )
+                sf_new = jax.lax.cond(
+                    jnp.any(need),
+                    lambda c: _sf_solve(c, nnion0),
+                    lambda c: sfst, cells_c,
+                )
+                sfst = _freeze(need, sf_new, sfst)
+                xe_last = jnp.where(need, xe, xe_last)
+            nt_rate_c = _nt_rate(sfst, cells_c, nniontot)
+            if ntd is not None:
+                heatfrac = sfst["frac_heating"]
+            elif nt_wf is not None:
+                heatfrac = 0.97  # get_nt_frac_heating WF constant
+            else:
+                heatfrac = 1.0
+            # only the heating fraction of the deposition heats the gas
+            # (thermalbalance.cc:135-241)
+            prev_te = cells_c.Te
+            cells_n, _hc = thermalbalance_mod.call_t_e_finder(
+                dad, rc, cells_c, opts, t_mid, ffheating_norm,
+                dep_heating * heatfrac, bfheating_cells=bfh_otf,
+            )
+            fd_te = jnp.abs(cells_n.Te / jnp.maximum(prev_te, 1e-300) - 1.0)
+            nne_prev = cells_n.nne
+            boltz = ltepop_mod.calculate_levelpops(dad, cells_n, opts)
+            cells_n, lp_n = nltepop_mod.solve_all_elements(
+                nlte_indices, dad, rc, cells_n, opts, boltz, t_mid,
+                nt_ion_rate=nt_rate_c,
+                nt_prob_auger=(sfst["prob_num_auger"]
+                               if ntd is not None else None),
+                ntd=ntd,
+                nt_exc_perdep=(sfst["exc_ratecoeff_perdep"]
+                               if ntd is not None and opts.nt_excitation_on
+                               else None),
                 nt_dep_rate_density=dep_heating,
                 bfrate_normed=bfrate_normed,
                 jblue_normed=jblue_normed,
                 corr_photoion_cells=corr_otf,
             )
+            fd_nne = jnp.abs(
+                cells_n.nne / jnp.maximum(nne_prev, 1e-300) - 1.0)
+            fd_new = jnp.maximum(fd_te, fd_nne)
+            cells_c = _freeze(active, cells_n, cells_c)
+            lp_c = jnp.where(active[:, None], lp_n, lp_c)
+            fd = jnp.where(active, fd_new, fd)
+            it_used = jnp.where(active, it + 1, it_used)
+            converged = converged | (fd_new <= tol)
+            return (it + 1, converged, cells_c, lp_c, sfst, xe_last, fd,
+                    it_used)
+
+        def _cond(carry):
+            return (carry[0] < maxiter) & ~jnp.all(carry[1])
+
+        (_, _, cells, levelpops, sfst, _, nlte_fracdiff, nlte_iters) = \
+            jax.lax.while_loop(
+                _cond, _body,
+                (jnp.int32(0), converged0, cells, lp0, sf0, xe0,
+                 jnp.zeros((ncells,), dtype_c),
+                 jnp.zeros((ncells,), jnp.int32)),
+            )
+        if ntd is not None:
+            nt_frac_ion_by_ion = sfst["frac_ion_by_ion"]
+            nt_frac_ionization = sfst["frac_ionization"]
+            nt_frac_excitation = sfst["frac_excitation"]
+            nt_ionenfrac = sfst["ionenfrac_num_auger"]
+            nt_exc_fracdep_cum = sfst["exc_fracdep_cum"]
     else:
+        if mode == "nlte" and (ntd is not None or nt_wf is not None):
+            # no NLTE levels: SF + T_e + ion balance run once, no iteration
+            # (update_grid.cc:710-721 "break; no iteration is needed")
+            nnion0 = ltepop_mod.get_nnion(dad, cells)
+            nniontot = jnp.maximum(jnp.sum(nnion0, axis=1), 1e-300)
+            sfst = (_sf_solve(cells, nnion0)
+                    if ntd is not None and not nt_sf_skip else _sf_defaults())
+            if ntd is not None:
+                nt_frac_ion_by_ion = sfst["frac_ion_by_ion"]
+                nt_frac_ionization = sfst["frac_ionization"]
+                nt_frac_excitation = sfst["frac_excitation"]
+                nt_ionenfrac = sfst["ionenfrac_num_auger"]
+                nt_exc_fracdep_cum = sfst["exc_fracdep_cum"]
+                heatfrac = sfst["frac_heating"]
+            else:
+                heatfrac = 0.97
+            cells, _hc = thermalbalance_mod.call_t_e_finder(
+                dad, rc, cells, opts, t_mid, ffheating_norm,
+                dep_heating * heatfrac, bfheating_cells=bfh_otf,
+            )
+            cells = ltepop_mod.calculate_ion_balance_nne(dad, cells, opts)
         levelpops = ltepop_mod.calculate_levelpops(dad, cells, opts)
     nnion = ltepop_mod.get_nnion(dad, cells)
     chi_ff_part = opacity_mod.chi_ff_nnionpart_cells(dad, nnion, cells.Te)
@@ -330,7 +479,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation,
             nt_ionenfrac, nt_exc_fracdep_cum,
             tr_bins, w_bins, vcum_tau, vcum_taunu, expo_kappa, expo_pc,
-            expo_wcum, expo_binoff)
+            expo_wcum, expo_binoff, nlte_fracdiff, nlte_iters)
 
 
 class Simulation:
@@ -701,6 +850,14 @@ class Simulation:
             if self.opts.nlte_enabled else None
         )
         self.ntd = None
+        self.nt_wf = None
+        if self.opts.nt_on:
+            import numpy as _np
+            self.nt_wf = (
+                jnp.asarray(nonthermal_mod.wf_oneoverw_factor(
+                    self.ad, self.dad, self.datadir)),
+                jnp.asarray(_np.asarray(self.ad.elem_z, _np.float64)),
+            )
         if self.opts.nt_on and self.opts.nt_solve_spencerfano:
             self.ntd = nonthermal_mod.build_nonthermal_data(
                 self.ad, self.dad, self.datadir,
@@ -761,11 +918,12 @@ class Simulation:
         self._plasma_jit = jax.jit(
             _ft.partial(
                 _plasma_update_device, nlte_indices=self.nlte_indices,
-                ntd=self.ntd,
+                ntd=self.ntd, nt_wf=self.nt_wf,
                 vpkt_exclude=(self.vpkt_cfg.exclude
                               if self.vpkt_cfg is not None else ())
             ),
-            static_argnames=("opts", "mode", "radfield_use_bins"),
+            static_argnames=("opts", "mode", "radfield_use_bins",
+                             "nt_sf_skip"),
         )
 
     # ------------------------------------------------------------------
@@ -826,6 +984,22 @@ class Simulation:
         # density update
         rho = self.rho_tmin_nonempty / tratmid**3
         self.cells = self.cells.replace(rho=jnp.asarray(rho))
+
+        if p.opacity_case == 3:
+            # critical density where tau_sobolev(3000 A) == 1 at t_mid: above
+            # it kappagrey switches from rho-proportional to the
+            # rho-independent regime (update_grid.cc:1090-1097, 893-907)
+            from .constants import ME, QE
+            self.rho_crit = (
+                ME * CLIGHT * 56.0 * MH
+                / (PI * QE**2 * p.rho_crit_para * 3000e-8 * tmid)
+            )
+            ffegrp_ne = self.model.ffegrp[mgi]
+            kgrey = self.opcase3_normal * (0.9 * ffegrp_ne + 0.1)
+            kgrey = np.where(
+                rho > self.rho_crit, kgrey * self.rho_crit / rho, kgrey)
+            self._kappagrey_np = np.asarray(kgrey)
+            self.cells = self.cells.replace(kappagrey=jnp.asarray(kgrey))
 
         # radioactive abundances (host, vectorised over cells)
         elem_massfrac, elem_meanweight = decay_mod.update_abundances(
@@ -928,7 +1102,7 @@ class Simulation:
          nt_exc_fracdep_cum,
          self.radfieldbin_tr, self.radfieldbin_w,
          vcum_tau, vcum_taunu, expo_kappa, expo_pc,
-         expo_wcum, expo_binoff) = self._plasma_jit(
+         expo_wcum, expo_binoff, nlte_fracdiff, nlte_iters) = self._plasma_jit(
             self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
             jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
             ffheating_norm, dep_heating, mode=mode,
@@ -936,7 +1110,17 @@ class Simulation:
             gammaest_norm=gammaest_norm, bfrate_normed=bfrate_normed,
             jblue_normed=jblue_normed, jblue_contribcount=jblue_contribcount,
             radfield_use_bins=bool(nts >= self.opts.first_nlte_radfield_timestep),
+            nt_sf_skip=bool(nts == self.params.num_lte_timesteps),
         )
+        if mode == "nlte" and self.opts.nlte_enabled and self.nlte_indices:
+            fdmax = float(jnp.max(nlte_fracdiff))
+            itmax = int(jnp.max(nlte_iters))
+            self.log(
+                f"timestep {nts}: NLTE outer loop max fracdiff "
+                f"{fdmax:.4g} after <= {itmax} iterations"
+                + ("" if fdmax <= self.opts.nlte_convergence_tol
+                   else f" (NOT converged to {self.opts.nlte_convergence_tol})")
+            )
 
         # grey optical depth and thick flags (update_grid.cc:1007-1035)
         kappagrey = self._kappagrey_np
@@ -946,11 +1130,18 @@ class Simulation:
         )
         dist_to_obs = np.maximum(0.0, self.grid.rmax * tratmid - radial_pos)
         grey_depth = kappagrey * rho * dist_to_obs
-        thick = (
-            (grey_depth >= p.cell_is_optically_thick) & (nts < p.num_grey_timesteps)
-        ).astype(np.int32)
-        if p.opacity_case < 4:
-            thick[:] = 1
+        # thick flag: 1 = grey transport, 2 = vpkt-only thick (virtual
+        # packets die, real packets transport normally), 0 = detailed.
+        # The grey-depth rule decides for every opacity case — the
+        # reference's opacity_case<4 thick=1 (update_grid.cc:893-896) is
+        # overwritten by this final assignment (update_grid.cc:1027-1035).
+        grey1 = (grey_depth >= p.cell_is_optically_thick) \
+            & (nts < p.num_grey_timesteps)
+        thick = grey1.astype(np.int32)
+        if self.opts.vpkt_on and self.vpkt_cfg is not None:
+            tv = (self.vpkt_cfg.thick_vpkt if self.vpkt_cfg.thick_vpkt >= 0
+                  else p.cell_is_optically_thick)
+            thick[~grey1 & (grey_depth > tv)] = 2
         self.cells = self.cells.replace(
             thick=jnp.asarray(thick), grey_depth=jnp.asarray(grey_depth)
         )

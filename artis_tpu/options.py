@@ -58,9 +58,12 @@ class Options:
     # NLTE level selection: (Z, ionstage) -> max level treated in NLTE
     # (None = pure LTE like LEVEL_IS_NLTE returning false everywhere)
     nlte_enabled: bool = False
-    # outer NLTE iterations per grid update (pops <-> nne feedback;
-    # reference iterates to 4% nne convergence, update_grid.cc:670-763)
-    nlte_outer_iters: int = 2
+    # outer NLTE iteration cap per grid update (the reference's NLTEITER,
+    # artisoptions_*.h:17): [SF -> T_e -> pops -> nne] iterates per cell
+    # until both fracdiffs drop below nlte_convergence_tol or the cap hits
+    # (update_grid.cc:670-763)
+    nlte_outer_iters: int = 30
+    nlte_convergence_tol: float = 0.04
     write_estimator_files: bool = True
     # Spencer-Fano energy grid (reference: SFPTS/SF_EMIN/SF_EMAX,
     # artisoptions_nltenebular.h:104-108; fewer points by default on TPU)
@@ -274,7 +277,7 @@ def classic(**overrides) -> Options:
         uniform_pellet_energies=True,
         dipole=True,
         pol_on=True,
-        nt_on=True,  # classic: NT_ON with work-function approx, no SF solve
+        nt_on=False,  # artisoptions_classic.h:89 NT_ON = false
         nt_solve_spencerfano=False,
         use_relativistic_doppler_shift=False,
         particle_thermalisation_scheme=ThermalisationScheme.INSTANT,

@@ -27,9 +27,11 @@ SF-matrix Auger energy sink (nonthermal.cc:345-470 read_auger_data,
 1225-1330), and the per-transition NT excitation rate coefficients used by
 the NLTE matrix (nonthermal.cc:1412-1428, 2272-2297).
 
-Difference from the reference (documented): the third (E < SF_EMIN) term of
-calculate_frac_heating is omitted and frac_heating is clamped so the three
-fractions sum to one.
+frac_heating is computed directly from Kozma & Fransson equation 3 including
+the E < SF_EMIN term (the N_e integral of nonthermal.cc:1060-1095, with the
+reference's 10x-refined sub-grid); cross sections at shifted energies are
+linearly interpolated from the precomputed grid tables rather than
+re-evaluated in closed form.
 """
 
 from __future__ import annotations
@@ -51,7 +53,8 @@ H_IONPOT = 13.5979996 * EV
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "shell_ion", "shell_ionpot_ev", "shell_xs", "shell_prob_auger",
+        "shell_ion", "shell_ionpot_ev", "shell_J_ev", "shell_xs",
+        "shell_prob_auger",
         "shell_en_auger_ev", "shell_valence_ionpot_ev", "shell_is_top_ion",
         "exc_lower", "exc_upper", "exc_ion", "exc_eps_ev", "exc_collstr",
         "exc_osc", "exc_forbidden", "exc_glower", "exc_lineindex",
@@ -65,6 +68,7 @@ class NonthermalData:
     # plus synthesised Lotz rows for ions without data (nonthermal.cc:598-700)
     shell_ion: jax.Array  # (nshells,) ion index into dad arrays
     shell_ionpot_ev: jax.Array  # (nshells,)
+    shell_J_ev: jax.Array  # (nshells,) Opal+1971 secondary-spectrum J [eV]
     shell_xs: jax.Array  # (nshells, S) precomputed Younger/Lotz xs [cm^2]
     shell_prob_auger: jax.Array  # (nshells, nt_max_auger+1) K&M 1993
     shell_en_auger_ev: jax.Array  # (nshells,)
@@ -294,6 +298,18 @@ def build_nonthermal_data(
     shell_ion = np.array([int(s[0]) for s in shells], np.int32)
     shell_ionpot_ev = np.array([s[3] for s in shells])
 
+    # secondary-electron spectrum parameter J per shell: Opal et al. 1971
+    # values for neutral He/Ne/Ar, else 0.6 * ionpot (nonthermal.cc:882-905)
+    opal_j = {2: 15.8, 10: 24.2, 18: 10.0}
+    shell_J_ev = np.empty(nshells)
+    for k in range(nshells):
+        z = int(elem_z[ion_z[shell_ion[k]]])
+        stage = int(ion_stage[shell_ion[k]])
+        if stage == 1 and z in opal_j:
+            shell_J_ev[k] = opal_j[z]
+        else:
+            shell_J_ev[k] = 0.6 * shell_ionpot_ev[k]
+
     # valence (lowest) ionpot per ion: first row of each ion after the sort
     valence = shell_ionpot_ev.copy()
     for k in range(1, nshells):
@@ -377,6 +393,7 @@ def build_nonthermal_data(
     return NonthermalData(
         shell_ion=jnp.asarray(shell_ion),
         shell_ionpot_ev=f64(shell_ionpot_ev),
+        shell_J_ev=f64(shell_J_ev),
         shell_xs=f64(shell_xs),
         shell_prob_auger=f64(prob_auger),
         shell_en_auger_ev=f64(en_auger_ev),
@@ -395,6 +412,44 @@ def build_nonthermal_data(
         nshells=nshells, nexc=int(keep.sum()),
         nt_max_auger=nt_max_auger,
     )
+
+
+def wf_oneoverw_factor(ad, dad, datadir: str) -> np.ndarray:
+    """Per-ion work-function-approximation 1/W prefactor [1/erg].
+
+    Divide by the cell's mass-weighted mean atomic number Zbar for the full
+    1/W of the reference (nonthermal.cc:566-597
+    get_sum_q_over_binding_energy, 1136-1156 get_oneoverw).  Used as the
+    reference's alternative to the Spencer-Fano solver (NT_ON without
+    NT_SOLVE_SPENCERFANO) and as the per-ion fallback when the SF rate is
+    non-positive (nonthermal.cc:2246-2269)."""
+    binding_ev = read_binding_energies(datadir)
+    elem_z = np.asarray(ad.elem_z)
+    ion_elem = np.asarray(dad.ion_element)
+    ion_stage = np.asarray(dad.ion_stage)
+    ion_ionpot = np.asarray(ad.ion_ionpot)  # [erg]
+    nions = dad.nions_total
+    sum_q_over_binding = np.zeros(nions)  # [1/erg]
+    for i in range(nions):
+        z = int(elem_z[ion_elem[i]])
+        ioncharge = int(ion_stage[i]) - 1
+        nbound = z - ioncharge
+        if nbound <= 0 or z > binding_ev.shape[0]:
+            continue
+        q = approx_shell_occupancies(nbound, ioncharge)
+        total = 0.0
+        for shellindex in range(len(q)):
+            qs = int(q[shellindex])
+            if qs <= 0:
+                continue
+            enb_ev = (binding_ev[z - 1, shellindex]
+                      if shellindex < binding_ev.shape[1] else 0.0)
+            if enb_ev <= 0 and shellindex > 0:
+                enb_ev = binding_ev[z - 1, shellindex - 1]
+            total += qs / max(float(ion_ionpot[i]), enb_ev * EV)
+        sum_q_over_binding[i] = total
+    aconst = 1.33e-14 * EV * EV
+    return aconst * sum_q_over_binding / (2.0 * PI * QE**4)
 
 
 def electron_loss_rate_ev(energy_ev, nne):
@@ -419,6 +474,49 @@ def xs_impactionization(engrid_ev, ionpot_ev, a, b, c, d):
         + c * jnp.log(safe_u) + d * jnp.log(safe_u) / safe_u
     ) / (safe_u * ionpot_ev**2)
     return jnp.where(u > 1.0, jnp.maximum(xs, 0.0), 0.0)
+
+
+def _psecondary(e_p_ev, eps_ev, ionpot_ev, j_ev):
+    """Secondary-electron energy distribution (nonthermal.cc:867-879)."""
+    e_s = eps_ev - ionpot_ev
+    val = 1.0 / (
+        j_ev * jnp.arctan(jnp.maximum(e_p_ev - ionpot_ev, 0.0) / 2.0 / j_ev)
+        * (1.0 + (e_s / j_ev) ** 2)
+    )
+    return jnp.where((e_p_ev > ionpot_ev) & (e_s >= 0.0), val, 0.0)
+
+
+def _get_y(y, emin, de, q):
+    """Interpolate per-cell degradation spectra at energies q [eV]
+    (reference get_y, nonthermal.cc:761-780): below-grid energies return
+    y[:, 0]; at/above the last grid point return 0.
+
+    y: (ncells, S); q: arbitrary shape -> (ncells,) + q.shape."""
+    S = y.shape[1]
+    idxf = (q - emin) / de
+    i0 = jnp.clip(jnp.floor(idxf).astype(jnp.int32), 0, S - 2)
+    frac = (idxf - i0).astype(y.dtype)
+    val = y[:, i0] * (1.0 - frac) + y[:, i0 + 1] * frac
+    y0 = y[:, 0].reshape((y.shape[0],) + (1,) * q.ndim)
+    val = jnp.where(idxf < 0, y0, val)
+    val = jnp.where(idxf >= S - 1, 0.0, val)
+    return jnp.where(q <= 0, 0.0, val)
+
+
+def _interp_rows(tab, emin, de, q):
+    """Linearly interpolate per-row grid tables at per-row energies, with
+    flat extrapolation beyond the grid (cross sections are smooth and the
+    shifts involved are < SF_EMIN).
+
+    tab: (R, S); q: (..., R) eV -> (..., R)."""
+    R, S = tab.shape
+    idxf = (q - emin) / de
+    i0 = jnp.clip(jnp.floor(idxf).astype(jnp.int32), 0, S - 2)
+    frac = jnp.clip(idxf - i0, 0.0, 1.0).astype(tab.dtype)
+    r = jnp.arange(R)
+    lo = tab[r, i0]
+    hi = tab[r, i0 + 1]
+    return lo * (1.0 - frac) + hi * frac
 
 
 def xs_excitation_batch(ntd: NonthermalData):
@@ -511,7 +609,7 @@ def solve_spencerfano_cells(
         m_ion = carry
         ion = ntd.shell_ion[s]
         ionpot = ntd.shell_ionpot_ev[s].astype(dtype)
-        jconst = 0.6 * ionpot  # get_J (Opal et al. exceptions are H/He/Ne/Ar)
+        jconst = ntd.shell_J_ev[s].astype(dtype)  # get_J incl. Opal He/Ne/Ar
         xs = ntd.shell_xs[s].astype(dtype)  # (S,)
         include = ion_included[:, ion] & ~ntd.shell_is_top_ion[s]
         nnion_s = jnp.where(include, nnion_cells[:, ion], 0.0)  # (ncells,)
@@ -658,7 +756,79 @@ def solve_spencerfano_cells(
     # for the rate per lower-level ion (nonthermal.cc:1412-1428, 2272-2297)
     exc_ratecoeff_perdep = ydotxs_exc / e_init_ev / EV
 
-    frac_heating = jnp.clip(1.0 - frac_ionization - frac_excitation, 0.0, 1.0)
+    # --- frac_heating: Kozma & Fransson eq 3, computed directly
+    # (nonthermal.cc:1060-1095) ---
+    emin = float(ntd.sf_emin)
+    de_f = float(ntd.delta_e)
+    emax = float(ntd.sf_emax)
+    # first term: integral of y(E) L(E)/e dE over the SF grid
+    fh = jnp.sum(y * loss, axis=1) * de
+    # second term: SF_EMIN * y(SF_EMIN) * L(SF_EMIN)/e
+    fh = fh + emin * y[:, 0] * loss[:, 0]
+    # third term: energy carried by electrons degrading below SF_EMIN
+    # (K&F eq 6, nonthermal.cc:978-1056), on the reference's 10x-refined
+    # sub-grid; shifted-energy cross sections are interpolated from the
+    # precomputed tables
+    nsteps = (int(emin / de_f) + 1) * 10
+    delta_sub = emin / nsteps
+    sub_e = jnp.asarray(np.arange(1, nsteps) * delta_sub, dtype)
+    jgrid_idx = jnp.arange(S)
+    shell_i_pot = ntd.shell_ionpot_ev.astype(dtype)
+    shell_jc = ntd.shell_J_ev.astype(dtype)
+    nnion_ne = jnp.where(ion_included, nnion_cells, 0.0)
+    exc_eps = ntd.exc_eps_ev.astype(dtype)
+    shell_xs_t = ntd.shell_xs.astype(dtype).T if ntd.nshells > 0 else None
+
+    def _ne_contrib(acc, e_sub):
+        # excitation: sum_t nnlevel_t y(E+eps_t) xs_t(E+eps_t)
+        q_exc = e_sub + exc_eps  # (nexc,)
+        y_exc = _get_y(y, emin, de, q_exc)  # (ncells, nexc)
+        xs_at = _interp_rows(xs_exc, emin, de_f, q_exc)  # (nexc,)
+        ne_c = jnp.sum(nnlower * y_exc * xs_at[None, :], axis=1)
+        if ntd.nshells > 0:
+            # integral over secondary energy eps = E' in [I, lambda]:
+            # y(E+E') xs(E+E') P(E+E', E', I, J)
+            q1 = e_sub + en  # (S,)
+            y1 = _get_y(y, emin, de, q1)  # (ncells, S)
+            xs1 = _interp_rows(
+                ntd.shell_xs.astype(dtype), emin, de_f,
+                jnp.broadcast_to(q1[:, None], (S, ntd.nshells)),
+            )  # (S, nshells)
+            p1 = _psecondary(
+                q1[:, None], en[:, None], shell_i_pot[None, :],
+                shell_jc[None, :],
+            )
+            lam = jnp.minimum(emax - e_sub, e_sub + shell_i_pot)
+            istart = jnp.clip(
+                ((shell_i_pot - emin) / de_f).astype(jnp.int32), 0, S - 1)
+            istop = jnp.clip(((lam - emin) / de_f).astype(jnp.int32), 0, S - 1)
+            mask1 = (jgrid_idx[:, None] >= istart[None, :]) \
+                & (jgrid_idx[:, None] <= istop[None, :])
+            c1 = y1 @ (jnp.where(mask1, xs1 * p1, 0.0) * de)  # (ncells, nsh)
+            # integral over primary E' in [2E+I, Emax]:
+            # y(E') xs(E') P(E', E+I, I, J)
+            p2 = _psecondary(
+                en[:, None], e_sub + shell_i_pot[None, :],
+                shell_i_pot[None, :], shell_jc[None, :],
+            )
+            istart2 = jnp.clip(
+                ((2 * e_sub + shell_i_pot - emin) / de_f).astype(jnp.int32),
+                0, S - 1)
+            mask2 = jgrid_idx[:, None] >= istart2[None, :]
+            c2 = y @ (jnp.where(mask2, shell_xs_t * p2, 0.0) * de)
+            ne_c = ne_c + jnp.sum(
+                nnion_ne[:, ntd.shell_ion] * (c1 + c2), axis=1)
+        return acc + ne_c * e_sub * delta_sub, None
+
+    fh3, _ = jax.lax.scan(
+        _ne_contrib, jnp.zeros((ncells,), dtype), sub_e)
+    frac_heating = (fh + fh3) / e_init_ev
+    # invalid results fall back to 1.0 exactly as the reference does
+    frac_heating = jnp.where(
+        jnp.isfinite(frac_heating)
+        & (frac_heating >= 0.0) & (frac_heating <= 1.0),
+        frac_heating, 1.0,
+    )
 
     return dict(
         y=y,

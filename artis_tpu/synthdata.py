@@ -97,8 +97,8 @@ INPUT_TXT = """\
 1.0                      # UNUSED
 -1                       # gamma grey opacity (<0: detailed)
 0 0 1                    # UNUSED syn_dir
-4                        # opacity_case
-1.0e-10                  # rho_crit_para
+{opacity_case}                        # opacity_case
+{rho_crit_para}                  # rho_crit_para
 -1                       # UNUSED debug
 0                        # continue
 1e-6                     # UNUSED rfcut
@@ -114,7 +114,7 @@ INPUT_TXT = """\
 def make_run(folder, ncells=10, ntimesteps=8, tmin_days=0.4, tmax_days=3.0,
              ngreyts=3, vmax_kmps=30000.0, t_model_days=0.05, x_ni56=0.5,
              num_lte_timesteps=999, logrho0=-9.0, logrho_slope=-0.25,
-             model_dim=1):
+             model_dim=1, opacity_case=4, rho_crit_para=1.0e-10):
     """Write a synthetic Ni56-powered run directory.
 
     model_dim selects the model.txt dimensionality (mirroring the reference's
@@ -127,7 +127,9 @@ def make_run(folder, ncells=10, ntimesteps=8, tmin_days=0.4, tmax_days=3.0,
     with open(f"{folder}/input.txt", "w") as f:
         f.write(INPUT_TXT.format(ntimesteps=ntimesteps, tsfinish=ntimesteps - 1,
                                  tmin_days=tmin_days, tmax_days=tmax_days, ngreyts=ngreyts,
-                                 nltets=num_lte_timesteps))
+                                 nltets=num_lte_timesteps,
+                                 opacity_case=opacity_case,
+                                 rho_crit_para=rho_crit_para))
 
     vmax_cms = vmax_kmps * 1e5
     t_model_s = t_model_days * 86400.0

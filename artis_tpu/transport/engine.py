@@ -934,11 +934,18 @@ def rpkt_step_pallas(
     from . import pallas_rpkt as pk
 
     n = st.npkts
-    # 1D f32 VMEM tiling is 1024-wide: the in-kernel lane slices need
-    # 1024-aligned offsets, so the block must be a multiple of 1024
     # narrow tail buffers use proportionally narrow kernel blocks (kernel
-    # wall time scales with block width; f32 min tile is (8, 128))
-    block = -(-max(opts.pallas_block, 256) // 256) * 256
+    # wall time scales with block width; f32 min tile is (8, 128)); big cell
+    # tables force narrow blocks so (block, ncells) one-hots fit VMEM
+    _ncells_blk = cells.Te.shape[0]
+    from ..grid import GridType as _GT0
+    if grid.grid_type == _GT0.CARTESIAN3D:
+        _nprop_blk = int(grid.npts_model) + 1
+    elif grid.grid_type == _GT0.CYLINDRICAL2D:
+        _nprop_blk = int(grid.ncoordgrid[0]) * int(grid.ncoordgrid[1])
+    else:
+        _nprop_blk = int(grid.ncoordgrid[0])
+    block = pk.pick_block(opts, _ncells_blk, _nprop_blk)
     npad = -(-n // block) * block
     f32 = jnp.float32
 

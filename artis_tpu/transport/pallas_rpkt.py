@@ -105,10 +105,9 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         # 3D uniform Cartesian grid: geometry derives from the cell index
         # in-kernel; the model mapping is closed-form for 1D (radial shell
         # search, grid.cc:470-487) and 2D ((rcyl,z) binning, grid.cc:489-517)
-        # models; 3D models index the mgi table directly, which caps the
-        # model size at the one-hot width
-        if getattr(grid, "model_dim", 0) == 3 and int(grid.ngrid) > 1024:
-            return False
+        # models; 3D models index the mgi table directly (the VMEM budget
+        # below governs how large that table may be)
+        pass
     elif grid.grid_type == GridType.CYLINDRICAL2D:
         # uniform (rcyl, z) cells: geometry derives from the cell index
         # in-kernel (grid.cc:1114-1137); the mgi table is per prop cell
@@ -131,16 +130,75 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         npropcells = int(grid.ncoordgrid[0]) * int(grid.ncoordgrid[1])
     else:
         npropcells = int(grid.ncoordgrid[0])
-    # VMEM budget guards
-    if ncells > 1024 or npropcells > 1024:
-        return False
     if dad.nbfcontinua > 512:
         return False
     # beyond the VMEM-resident budget the tau/nu line tables are HBM-streamed
     # (per-block DMA in the walk); cap only at a few GB of HBM
     if ncells * max(dad.nlines, 1) * 4 > 4_000_000_000:
         return False
-    return True
+    # VMEM budget: tables + estimator accumulators + one-hot temporaries at
+    # the block width the wrapper would pick.  Replaces the former blanket
+    # 1024-cell cap so multi-thousand-cell 3D models keep the fused kernel;
+    # O(100^3) models additionally hit the per-crossing gather FLOP wall and
+    # need the tile-sorted dispatch documented in PERF.md.
+    block = pick_block(opts, ncells, npropcells)
+    return vmem_estimate_bytes(
+        opts, dad, ncells, npropcells, block) <= VMEM_BUDGET_BYTES
+
+
+VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # ~16 MB/core minus pipeline headroom
+
+
+def pick_block(opts, ncells: int, npropcells: int) -> int:
+    """Kernel lane-block width: narrow blocks for big cell tables so the
+    (block, ncells) one-hot temporaries stay inside the VMEM budget."""
+    block = -(-max(opts.pallas_block, 256) // 256) * 256
+    if max(ncells, npropcells) > 1024:
+        block = min(block, 256)
+    return block
+
+
+def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
+                        block: int) -> int:
+    """Rough, conservative VMEM footprint of one kernel block."""
+    ngc = max(int(dad.nbfcontinua_ground), 1)
+    ncont = max(int(dad.nbfcontinua), 1)
+    ncont_pad = _round_up(ncont, 128)
+    ngc_pad = _round_up(ngc, 128)
+    nlines = max(int(dad.nlines), 1)
+    line_chunk = min(max(opts.linewalk_chunk, 128), max(nlines, 128), 256)
+    lpad = _round_up(nlines, line_chunk)
+    # estimator accumulator columns carried per nonempty cell
+    acc_cols = 8
+    if opts.use_lut_photoion:
+        acc_cols += ngc_pad
+    if opts.use_lut_bfheating:
+        acc_cols += ngc_pad
+    if opts.multibin_radfield:
+        acc_cols += 3 * _round_up(max(opts.radfieldbincount, 1), 128)
+    if opts.detailed_bf_estimators_on and int(dad.nbfcontinua) > 0:
+        acc_cols += ncont_pad
+    if opts.detailed_line_estimators_on and not opts.expansionopacities_on:
+        acc_cols += 2 * 128
+    # per-cell tables resident in VMEM
+    cell_tab_cols = 6  # nne/Te/kappagrey/rho/thick/chiffpart
+    if int(dad.nbfcontinua) > 0:
+        cell_tab_cols += 2 * ncont_pad  # bf_a, bf_dep
+    if opts.expansionopacities_on:
+        cell_tab_cols += 128  # binned expansion opacities
+    stream = (ncells * lpad > opts.pallas_stream_threshold
+              and not opts.expansionopacities_on)
+    line_cols = line_chunk if stream else lpad
+    if not opts.expansionopacities_on:
+        cell_tab_cols += line_cols  # tau slab (streamed) or full table
+    # one-hot temporaries: a few (block, N) f32 live at once
+    onehot = 3 * block * max(ncells, npropcells)
+    # per-lane continuum temporaries (sigma/contrib/window etc.)
+    lane_tmp = block * (4 * ncont_pad + line_chunk + 64)
+    total = (ncells * (acc_cols + cell_tab_cols)
+             + 3 * npropcells + onehot + lane_tmp
+             + ncont_pad * (int(dad.nphixspoints) + ngc))
+    return total * 4
 
 
 def _round_up(x: int, m: int) -> int:
@@ -377,7 +435,9 @@ def _kernel(
         nne_p, te_p, kgrey_p, rho_p, thickf_p, chiffpart_p = (
             gv[:, 0], gv[:, 1], gv[:, 2], gv[:, 3], gv[:, 4], gv[:, 5]
         )
-        thick = nonempty & (thickf_p > 0.5)
+        # grey transport only for thick==1; thick==2 is the vpkt-only flag
+        # (update_grid.cc:1031-1035) and transports r-packets normally
+        thick = nonempty & (thickf_p > 0.5) & (thickf_p < 1.5)
 
         if not cart3d and not cyl2d:
             gb = jnp.dot(oh_prop, jnp.stack([cellmin0[0], cellmax0[0]], axis=1),

@@ -42,7 +42,7 @@ from . import opacity
     meta_fields=["nobs", "nspectra", "exclude", "tmin", "tmax", "tau_max",
                  "vmtbins", "vmnubins", "specnumin", "specnumax",
                  "vgrid_on", "vgrid_tmin", "vgrid_tmax", "vgrid_ny",
-                 "vgrid_nz"],
+                 "vgrid_nz", "thick_vpkt"],
 )
 @dataclasses.dataclass(frozen=True)
 class VpktConfig:
@@ -67,6 +67,11 @@ class VpktConfig:
     vgrid_tmax: float = 0.0
     vgrid_ny: int = 50  # reference: VGRID_NY/VGRID_NZ (vpkt.h)
     vgrid_nz: int = 50
+    # vpkt-only grey-depth threshold: cells with grey_depth above it get
+    # thick=2 (vpkts die there, r-packets transport normally;
+    # vpkt.cc:739-748, update_grid.cc:1031-1035); < 0 means "inherit
+    # cell_is_optically_thick" (override_thickcell_tau != 1)
+    thick_vpkt: float = -1.0
 
 
 def read_vpkt_config(path: str, tmin: float, tmax: float,
@@ -106,6 +111,7 @@ def read_vpkt_config(path: str, tmin: float, tmax: float,
     # reference order (vpkt.cc:741-790): thick-cell override pair, tau_max,
     # then the velocity-grid map section; parse leniently for short files
     tau_max = 10.0
+    thick_vpkt = -1.0
     vgrid_on = False
     vg_t0 = t0
     vg_t1 = t1
@@ -114,7 +120,11 @@ def read_vpkt_config(path: str, tmin: float, tmax: float,
     try:
         rest = [float(next(it))]
         rest.append(float(next(it)))
-        # "override_thickcell cell_thick_tau" pair consumed; next is tau_max
+        # "override_thickcell cell_thick_tau" pair: when the flag is 1, the
+        # given grey-depth threshold marks cells thick=2 for vpkts only;
+        # otherwise inherit cell_is_optically_thick (vpkt.cc:739-748)
+        if int(rest[0]) == 1:
+            thick_vpkt = rest[1]
         tau_max = float(next(it))
         vgrid_on = int(float(next(it))) != 0
         if vgrid_on:
@@ -134,6 +144,7 @@ def read_vpkt_config(path: str, tmin: float, tmax: float,
         vmtbins=vmtbins, vmnubins=vmnubins, specnumin=1e14, specnumax=5e15,
         vgrid_numin=jnp.asarray(vg_numin), vgrid_numax=jnp.asarray(vg_numax),
         vgrid_on=vgrid_on, vgrid_tmin=float(vg_t0), vgrid_tmax=float(vg_t1),
+        thick_vpkt=thick_vpkt,
     )
 
 
@@ -308,7 +319,9 @@ def trace_vpkts(
         nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, w)
         nonempty = nonemptymgi >= 0
         safe_mgi = jnp.maximum(nonemptymgi, 0)
-        thick = nonempty & (cells.thick[safe_mgi] == 1)
+        # vpkts die in BOTH thick==1 (grey) and thick==2 (vpkt-only thick)
+        # cells (vpkt.cc:362-365 checks thick != 0)
+        thick = nonempty & (cells.thick[safe_mgi] != 0)
         live = ~done & nonempty
 
         chi_es, chi_ff, chi_bf, _sel = opacity.calculate_chi_rpkt_cont(

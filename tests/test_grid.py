@@ -259,3 +259,47 @@ def test_parameterfile_roundtrip(tmp_path):
     params2 = inputparams.read_parameterfile(str(p))
     assert params2.timestep_start == 7
     assert params2.simulation_continued_from_saved
+
+
+def test_opacity_case3_rho_crit_regime_switch(tmp_path):
+    """opacity_case 3 recomputes rho_crit every timestep and switches
+    kappagrey between the rho-proportional and rho-independent regimes as
+    the ejecta dilutes (reference: update_grid.cc:1090-1097, 893-907)."""
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, kilonova_lte
+    from artis_tpu.synthdata import make_run
+
+    d = str(tmp_path)
+    make_run(d, ncells=6, ntimesteps=6, tmin_days=0.4, tmax_days=8.0,
+             ngreyts=6, opacity_case=3, rho_crit_para=7.5e-9,
+             num_lte_timesteps=999)
+    opts = kilonova_lte(
+        npkts=64, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=16,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    assert sim.params.opacity_case == 3
+
+    mgi = sim.mgi_of_nonempty
+    full = sim.opcase3_normal * (0.9 * sim.model.ffegrp[mgi] + 0.1)
+
+    sim.update_grid(0)
+    rho0 = np.asarray(sim.cells.rho)
+    k0 = np.asarray(sim.cells.kappagrey)
+    dense0 = rho0 > sim.rho_crit
+    # early: the inner cells are above the critical density -> reduced,
+    # rho-independent product kappa*rho = opcase3_normal*(0.9 ffe+0.1)*rho_crit
+    assert dense0.any(), "test setup: no cell above rho_crit at ts 0"
+    np.testing.assert_allclose(
+        k0[dense0], full[dense0] * sim.rho_crit / rho0[dense0], rtol=1e-12)
+    np.testing.assert_allclose(k0[~dense0], full[~dense0], rtol=1e-12)
+    rho_crit_0 = sim.rho_crit
+
+    sim.update_grid(4)
+    rho4 = np.asarray(sim.cells.rho)
+    k4 = np.asarray(sim.cells.kappagrey)
+    # rho_crit falls as 1/t_mid while rho falls as t^-3: the regime switch
+    # engages and every cell drops below the critical density
+    assert sim.rho_crit < rho_crit_0
+    assert np.all(rho4 < sim.rho_crit)
+    np.testing.assert_allclose(k4, full, rtol=1e-12)

@@ -55,7 +55,12 @@ def test_heating_fraction_drops_with_xe(setup):
         i = float(out["frac_ionization"][0])
         e = float(out["frac_excitation"][0])
         assert 0.0 <= h <= 1.0 and 0.0 <= i <= 1.0 and 0.0 <= e <= 1.0
-        assert h + i + e == pytest.approx(1.0, abs=1e-6)
+        # genuine energy closure: frac_heating is computed directly from
+        # K&F eq 3 (incl. the E<SF_EMIN N_e term), NOT clamped to 1-i-e,
+        # so the three fractions summing to one tests energy conservation
+        # of the solved degradation spectrum (reference:
+        # nonthermal.cc:1060-1095 + analyse_sf_solution)
+        assert h + i + e == pytest.approx(1.0, abs=2e-3)
         heats.append(h)
     # high x_e -> nearly all heating (Axelrod limit ~0.97)
     assert heats[0] > 0.9
@@ -189,3 +194,52 @@ def test_nt_excitation_channel_end_to_end(tmp_path):
     assert np.all(np.isfinite(np.asarray(sim.cells.Te)))
     # leptons were deposited and routed through the NT outcome channels
     assert total.sum() > 0
+
+
+def test_wf_oneoverw_factor(setup):
+    """Work-function approximation prefactor (reference:
+    nonthermal.cc:566-597, 1136-1156): positive for every ion with bound
+    electrons, larger for more loosely bound (lower-stage) ions of the
+    same element."""
+    ad, dad, ntd = setup
+    f = nonthermal.wf_oneoverw_factor(ad, dad, "/root/reference/data")
+    assert f.shape == (dad.nions_total,)
+    assert np.all(f > 0)
+    # loosely-bound neutral has larger 1/W than its higher ion stages
+    ion_elem = np.asarray(dad.ion_element)
+    for el in np.unique(ion_elem):
+        rows = np.where(ion_elem == el)[0]
+        if len(rows) >= 2:
+            assert f[rows[0]] > f[rows[-1]]
+
+
+def test_wf_mode_end_to_end(tmp_path):
+    """NT_ON without NT_SOLVE_SPENCERFANO: the NLTE ionisation balance uses
+    the work-function Gamma_NT (nonthermal.cc:2269), the heating fraction is
+    the 0.97 constant (nonthermal.cc:2150-2152), and deposited leptons all
+    thermalise (no NT macro-atom channel, nonthermal.cc:2313-2315)."""
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, nltenebular
+    from artis_tpu.synthdata import make_run
+    from artis_tpu import stats
+
+    d = str(tmp_path)
+    make_run(d, ncells=4, ntimesteps=4, tmax_days=2.0, ngreyts=0,
+             num_lte_timesteps=1)
+    opts = nltenebular(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=16, linewalk_chunk=64,
+        nt_solve_spencerfano=False, radfieldbincount=32,
+        detailed_bf_estimators_usefromtimestep=1,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    assert sim.ntd is None and sim.nt_wf is not None
+    total = np.zeros(3)
+    for ts in range(3):
+        sim.do_timestep(ts)
+        c = np.asarray(sim.est.counters)
+        total += [c[stats.NT_STAT_TO_IONIZATION], c[stats.NT_STAT_TO_EXCITATION],
+                  c[stats.NT_STAT_TO_KPKT]]
+    assert np.all(np.isfinite(np.asarray(sim.cells.Te)))
+    # WF mode: every deposited lepton goes straight to the k-packet channel
+    assert total[0] == 0 and total[1] == 0

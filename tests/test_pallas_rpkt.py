@@ -893,3 +893,23 @@ def test_kernel_3dmodel_3dgrid_matches_xla(scene_3dmodel_3dgrid):
     """Direct cell->model indexing for a 3D model must reproduce the XLA
     path."""
     _assert_3d_parity(scene_3dmodel_3dgrid, seed=43)
+
+
+@pytest.fixture(scope="module")
+def scene_3dmodel_big(tmp_path_factory):
+    """12^3 = 1728-cell 3D Cartesian model: above the former 1024-cell
+    one-hot cap, kept on the fused kernel by the VMEM-budget gate (narrow
+    blocks + budget check in pallas_rpkt.supported/pick_block)."""
+    return _make_capture_scene(
+        tmp_path_factory, "pallas_3d3d_big",
+        dict(ncells=12, model_dim=3),
+        dict(grid_type=GridType.CARTESIAN3D),
+    )
+
+
+def test_kernel_3dmodel_above_1024_cells_matches_xla(scene_3dmodel_big):
+    """Lane parity for a >1024-cell 3D model (the former cap excluded these;
+    reference mapping grid.cc:470-527)."""
+    sc = scene_3dmodel_big
+    assert int(sc["grid"].npts_model) == 1728
+    _assert_3d_parity(scene_3dmodel_big, seed=47)

@@ -182,3 +182,83 @@ def test_vgrid_maps_accumulate(tmp_path):
     assert vg[..., 0].sum() > 0, "no vgrid contributions accumulated"
     sim.finish()
     assert os.path.exists(os.path.join(d, "vpkt_grid.out"))
+
+
+def test_thick2_blocks_vpkts_but_not_rpkts(tmp_path):
+    """Cells whose grey depth exceeds the vpkt-only threshold get thick=2
+    (update_grid.cc:1027-1035): virtual packets die there (vpkt.cc:362-365)
+    while real r-packets transport with full detailed physics."""
+    import dataclasses as _dc
+    from artis_tpu.driver import Simulation
+    from artis_tpu.synthdata import make_run
+    from artis_tpu.transport import engine as engine_mod
+
+    make_run(str(tmp_path), ncells=4, ntimesteps=4, tmax_days=2.0, ngreyts=0)
+    # override_thickcell=1 with a tiny threshold: every cell with any grey
+    # depth becomes vpkt-thick while never grey (ngreyts=0)
+    (tmp_path / "vpkt.txt").write_text(
+        "1\n0.0\n0.0\n0\n1 0.01 3.0\n0\n1 1e-6\n8.0\n0\n")
+    opts = kilonova_lte(
+        npkts=128, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=12, vpkt_on=True, vpkt_nobs=1,
+        vpkt_vmnubins=100, vpkt_vmtbins=8,
+    )
+    sim = Simulation(str(tmp_path), opts, datadir="/root/reference/data")
+    assert sim.vpkt_cfg.thick_vpkt == pytest.approx(1e-6)
+    ctx = sim.update_grid(0)
+    thick = np.asarray(sim.cells.thick)
+    assert (thick == 2).any()
+    assert not (thick == 1).any()
+
+    # a vpkt emitted inside a thick=2 cell is killed before contributing;
+    # all other opacity is zeroed so the kill is attributable to the flag
+    cfg = sim.vpkt_cfg
+    ctx0 = _dc.replace(
+        ctx,
+        chi_ff_nnionpart=jnp.zeros_like(ctx.chi_ff_nnionpart),
+        bf_a=jnp.zeros_like(ctx.bf_a),
+        vpkt_cum_tau=jnp.zeros_like(ctx.vpkt_cum_tau),
+        vpkt_cum_taunu=jnp.zeros_like(ctx.vpkt_cum_taunu),
+    )
+    n = 4
+    pos = jnp.tile(jnp.asarray([[1e13, 0.0, 0.0]]), (n, 1))
+    dirv = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    t = jnp.full(n, float(sim.ts.mid[1]))
+    args = (pos, dirv, t, jnp.zeros(n, jnp.int32), jnp.full(n, 5e14),
+            jnp.ones(n), jnp.zeros((n, 2)), jnp.zeros(n, bool),
+            jnp.ones(n, bool))
+    nne0 = jnp.zeros_like(sim.cells.nne)
+    vspec2, _ = vpkt.trace_vpkts(
+        cfg, vpkt.zero_vspectra(cfg, jnp.float64), sim.dad, sim.grid,
+        sim.cells.replace(nne=nne0), ctx0,
+        ctx0.vpkt_cum_tau, ctx0.vpkt_cum_taunu, *args, opacity_case=4)
+    assert np.asarray(vspec2)[..., 0].sum() == 0.0
+    cells0 = sim.cells.replace(
+        thick=jnp.zeros_like(sim.cells.thick), nne=nne0)
+    vspec0, _ = vpkt.trace_vpkts(
+        cfg, vpkt.zero_vspectra(cfg, jnp.float64), sim.dad, sim.grid,
+        cells0, ctx0, ctx0.vpkt_cum_tau, ctx0.vpkt_cum_taunu, *args,
+        opacity_case=4)
+    assert np.asarray(vspec0)[..., 0].sum() > 0.0
+
+    # r-packet transport in thick=2 cells is bitwise identical to thick=0:
+    # the flag must not engage the grey path
+    p = sim.params
+    key = jax.random.PRNGKey(7)
+
+    def run(cells):
+        st, est, _, _ = engine_mod.transport_timestep(
+            key, sim.state, sim.est, sim.grid, sim.dad, sim.aux, sim.rc,
+            sim.rates, cells, ctx, opts,
+            gamma_kappagrey=float(p.gamma_kappagrey),
+            opacity_case=int(p.opacity_case),
+            kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
+            apply_kpkt_diffusion=True, max_iters=24,
+        )
+        return st, est
+
+    st2, est2 = run(sim.cells)
+    st0, est0 = run(sim.cells.replace(thick=jnp.zeros_like(sim.cells.thick)))
+    np.testing.assert_array_equal(np.asarray(st2.pos), np.asarray(st0.pos))
+    np.testing.assert_array_equal(np.asarray(st2.nu_rf), np.asarray(st0.nu_rf))
+    np.testing.assert_array_equal(np.asarray(est2.j), np.asarray(est0.j))
