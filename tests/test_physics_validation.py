@@ -98,8 +98,14 @@ def test_particle_deposition_matches_bateman_analytic(bigrun):
         ana_total += eps_pos * tw
     assert ana_total > 0
     ratio = mc_total / ana_total
-    # aggregate over the run: a few hundred positron pellets -> ~10% noise
-    assert 0.7 < ratio < 1.4, ratio
+    # MC-noise-scaled tolerance: pellet energies are uniform (e0 each), so
+    # the deposited-energy estimate is a count of n_pos pellets and its
+    # relative 1-sigma noise is 1/sqrt(n_pos); allow 4 sigma plus a 5%
+    # systematic margin (timestep-midpoint quadrature of the Bateman power)
+    n_pos = mc_total / sim._e0
+    assert n_pos > 30, f"too few positron pellets ({n_pos:.0f}) for the oracle"
+    tol = 4.0 / np.sqrt(n_pos) + 0.05
+    assert abs(ratio - 1.0) < tol, (ratio, tol, n_pos)
 
 
 def test_radiated_energy_closes_with_deposition(bigrun):
@@ -142,5 +148,14 @@ def test_f32_spectra_agree_with_f64(bigrun):
     sel = lc64 > 0.10 * lc64.max()
     assert sel.sum() >= 3
     ratio = lc32[sel] / lc64[sel]
-    assert np.all(ratio > 0.6) and np.all(ratio < 1.6), ratio
-    assert abs(np.median(ratio) - 1.0) < 0.2, np.median(ratio)
+    # MC-noise-scaled per-bin tolerance: the two runs are independent, so
+    # the ratio's 1-sigma noise is ~sqrt(2/n_bin) with n_bin the escaped
+    # packets behind the bin; estimate n_bin from the bin energy over the
+    # mean packet energy (uniform pellet energies). 4 sigma + 5% margin.
+    width = np.asarray(sim64.ts.width)[:len(lc64)]
+    n_bin = np.maximum(lc64[sel] * width[sel] / sim64._e0, 1.0)
+    tol = 4.0 * np.sqrt(2.0 / n_bin) + 0.05
+    assert np.all(np.abs(ratio - 1.0) < tol), (ratio, tol, n_bin)
+    # zero systematic bias across the bright bins to 3 sigma of the total
+    med_tol = 3.0 * np.sqrt(2.0 / n_bin.sum()) + 0.02
+    assert abs(np.median(ratio) - 1.0) < max(med_tol, 0.05), np.median(ratio)
