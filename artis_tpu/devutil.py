@@ -54,3 +54,41 @@ def demote_to_f32(tree):
         for i, c in zip(dev_idx, casted):
             out[i] = c
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+# ---------------------------------------------------------------------------
+# Test-mode assertions (the reference's TESTMODE assert_testmodeonly,
+# sn3d.h:145-152): zero-cost unless ARTIS_TESTMODE=1 is set at import, in
+# which case physics invariants are checked inside jitted code via a host
+# callback that raises (surfacing as an XlaRuntimeError at the next sync).
+# ---------------------------------------------------------------------------
+import os as _os
+
+TESTMODE = _os.environ.get("ARTIS_TESTMODE", "0") == "1"
+
+
+class TestmodeAssertionError(AssertionError):
+    pass
+
+
+def _raise_if_bad(ok, msg):
+    import numpy as _np
+
+    if not bool(_np.all(ok)):
+        raise TestmodeAssertionError(
+            f"testmode assert failed: {msg} "
+            f"({int((~_np.asarray(ok, bool)).sum())} lanes)"
+        )
+
+
+def assert_testmodeonly(cond, msg: str, mask=None):
+    """Check a (possibly batched) invariant inside traced code.
+
+    ``cond`` is a boolean array/scalar; lanes where ``mask`` is False are
+    exempt (dead/padded lanes). No-op (and fully traced away) unless
+    ARTIS_TESTMODE=1 was set when artis_tpu was imported.
+    """
+    if not TESTMODE:
+        return
+    ok = cond if mask is None else jnp.logical_or(~mask, cond)
+    jax.debug.callback(_raise_if_bad, ok, msg)

@@ -277,7 +277,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                    "frac_excitation", "frac_ion_by_ion", "prob_num_auger",
                    "ionenfrac_num_auger"):
             out[k2] = sf[k2].astype(dtype_c)
-        if opts.nt_excitation_on:
+        if opts.nt_excitation_on and ntd.nexc > 0:
             out["exc_ratecoeff_perdep"] = sf["exc_ratecoeff_perdep"].astype(
                 dtype_c)
             # per-transition deposition fractions, cumulative, for the NT

@@ -71,6 +71,20 @@ def doppler_nucmf_on_nurf(
     if relativistic:
         betasq = dot(vel_rf, vel_rf) / CLIGHTSQUARED
         dopplerfactor = dopplerfactor / jnp.sqrt(1.0 - betasq)
+    from .devutil import assert_testmodeonly
+    # reference: vectors.h:124-128 (positive, finite, sub-2 Doppler factor).
+    # The reference asserts per live packet; in batched compute-then-mask
+    # code dead/unselected lanes legitimately carry garbage, so exempt lanes
+    # that are not live-packet-shaped: coordinate velocity >= c (outside the
+    # homologous grid) or a non-unit direction vector (rpkt.cc:401 asserts
+    # |dir| == 1 on live packets).
+    live = (dot(vel_rf, vel_rf) < CLIGHTSQUARED) \
+        & (jnp.abs(dot(dir_rf, dir_rf) - 1.0) < 1e-2)
+    assert_testmodeonly(
+        jnp.isfinite(dopplerfactor) & (dopplerfactor > 0.0)
+        & (dopplerfactor < 2.0),
+        "doppler_nucmf_on_nurf in (0, 2)", mask=live,
+    )
     return dopplerfactor
 
 

@@ -221,6 +221,16 @@ def calculate_ion_balance_nne(
     charge = (dad.ion_stage - 1)[None, :]
     nne_calculated = jnp.maximum(jnp.sum(nnion * charge, axis=1), opts.minpop)
 
+    from ..devutil import assert_testmodeonly
+    # reference: ltepop.cc assert_testmodeonly(nne >= 0 / isfinite) and
+    # grid.cc set_nne assertions
+    assert_testmodeonly(
+        jnp.isfinite(nne_calculated) & (nne_calculated > 0.0),
+        "ion-balance nne finite and positive")
+    assert_testmodeonly(
+        jnp.all(jnp.isfinite(groundpops) & (groundpops >= 0.0), axis=1),
+        "ground-level populations finite and non-negative")
+
     return cells.replace(
         ion_partfuncts=partfuncts,
         ion_groundlevelpops=groundpops,

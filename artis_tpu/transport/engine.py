@@ -1274,6 +1274,13 @@ def _rpkt_propagate_once(
                 cells.Te, opacity_case,
             ) + (jnp.zeros_like(st_nu_cmf)[:, None] + jnp.zeros((ngc,), st_nu_cmf.dtype),)
         )
+        from ..devutil import assert_testmodeonly
+        # reference: rpkt.cc:777 isfinite(chi_ff), 782-788 chi >= 0
+        assert_testmodeonly(
+            jnp.isfinite(chi_ff) & (chi_ff >= 0.0)
+            & jnp.isfinite(chi_bf) & (chi_bf >= 0.0)
+            & jnp.isfinite(chi_escat) & (chi_escat >= 0.0),
+            "continuum opacities finite and non-negative", mask=need_chi)
         chi_cont_cmf = chi_escat + chi_ff + chi_bf
         chi_cont = chi_cont_cmf * doppler
         if opts.expansionopacities_on:

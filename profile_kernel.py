@@ -142,6 +142,30 @@ def main() -> None:
     print(f"full transport chunk ({opts.dispatch_chunk_iters} iters): "
           f"{dt * 1e3:.1f} ms", flush=True)
 
+    # 5. variant sweep: localise per-crossing cost (block width, in-kernel
+    # LUT estimator scatters, line-walk chunk) at a fixed max_inner
+    def run_variant(label, o):
+        step = jax.jit(
+            lambda k, s: engine_mod.rpkt_step_pallas(
+                k, s, est, ctx, grid, dad, cells, o, opacity_case)
+        )
+        dt, out = timed(step, jax.random.PRNGKey(1), st, reps=3, warm=1)
+        nadv = int(out[-1])
+        print(
+            f"variant {label}: {dt * 1e3:.1f} ms, {nadv} adv, "
+            f"{nadv / dt / 1e6:.2f} M adv/s",
+            flush=True,
+        )
+
+    base = opts.replace(rpkt_crossings_per_dispatch=64)
+    for blk in (256, 512, 1024):
+        run_variant(f"block={blk}", base.replace(pallas_block=blk))
+    run_variant("lut_estimators=off", base.replace(
+        use_lut_photoion=False, use_lut_bfheating=False))
+    for chunk in (128, 256):
+        run_variant(f"linewalk_chunk={chunk}",
+                    base.replace(linewalk_chunk=chunk))
+
 
 if __name__ == "__main__":
     main()
