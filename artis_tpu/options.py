@@ -187,6 +187,9 @@ class Options:
     # its cost scales with the number of macro atoms, not the packet count
     # (overflow stays in the packet state for the next iteration)
     ma_compact_divisor: int = 8
+    # same compaction for the k-packet cooling-channel selection (per-lane
+    # ion cumsums + chunked continuum/level/transition selects)
+    kpkt_compact_divisor: int = 8
     # r-packet phase compaction: when the active r-packet count fits in
     # npkts//rpkt_compact_divisor lanes, the whole rpkt step (opacities, line
     # walk, moves) runs on the compacted buffer — the wavefront-tail answer to

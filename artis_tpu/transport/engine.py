@@ -1884,11 +1884,37 @@ def transport_timestep(
                 jax.random.fold_in(k, 103), st, ctx, grid, cells.Te, cells.thick, opts
             )
             kpkt_mask = (st.ptype == TYPE_KPKT) & (st.prop_time < ctx.t2) & nonthick
-            st, kpkt_rad, ma_mask_k, ma_level_k = do_kpkt_batch(
-                jax.random.fold_in(k, 104), dad, aux, rc, rates, ctx.levelpops, st,
-                kpkt_mask, safe_mgi, cells.Te, cells.nne, ctx.t2, ctx.t2 - ctx.ts,
+            # compact the (sparse) k-packet set into K2 lanes: the cooling
+            # channel selection does per-lane cumulative sums over ions plus
+            # chunked continuum/level/transition selects, so its cost scales
+            # with the buffer width, not the k-packet count.  Overflow lanes
+            # stay TYPE_KPKT and process next iteration.
+            npk = st.npkts
+            K2 = max(min(npk // max(opts.kpkt_compact_divisor, 1), npk), 1)
+            (kidx,) = jnp.nonzero(kpkt_mask, size=K2, fill_value=npk)
+            ksel_valid = kidx < npk
+            kidxc = jnp.minimum(kidx, npk - 1)
+            st_n = jax.tree_util.tree_map(lambda x: x[kidxc], st)
+            st_n, rad_n, ma_mask_n, ma_level_n = do_kpkt_batch(
+                jax.random.fold_in(k, 104), dad, aux, rc, rates, ctx.levelpops,
+                st_n, ksel_valid, safe_mgi[kidxc], cells.Te, cells.nne,
+                ctx.t2, ctx.t2 - ctx.ts,
                 kpktdiffusion_timescale, apply_kpkt_diffusion,
             )
+            kscatter = jnp.where(ksel_valid, kidx, npk)
+            st = jax.tree_util.tree_map(
+                lambda full, part: full.at[kscatter].set(part, mode="drop"),
+                st, st_n,
+            )
+
+            def kexpand(x, fill):
+                full = jnp.full((npk,), fill, x.dtype)
+                return full.at[kscatter].set(
+                    jnp.where(ksel_valid, x, fill), mode="drop")
+
+            kpkt_rad = kexpand(rad_n, False)
+            ma_mask_k = kexpand(ma_mask_n, False)
+            ma_level_k = kexpand(ma_level_n, jnp.int32(0))
             if opts.vpkt_on:
                 est = _vpkt_spawn(
                     jax.random.fold_in(k, 112), st, est, ctx, grid, dad, cells,
