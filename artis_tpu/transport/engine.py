@@ -993,8 +993,11 @@ def rpkt_step_pallas(
     ncont = max(dad.nbfcontinua, 1)
     ngc = max(dad.nbfcontinua_ground, 1)
     nphixs = dad.nphixspoints
-    # cap the chunk: (block, chunk) walk temporaries live in VMEM
-    line_chunk = min(max(opts.linewalk_chunk, 128), max(nlines, 128), 256)
+    # cap the chunk: (block, chunk) walk temporaries live in VMEM.
+    # Must stay a multiple of 128: Mosaic requires the dynamic lane offset of
+    # the per-block nu/tau slab loads to be provably 128-aligned.
+    line_chunk = 128 if nlines <= 128 else min(
+        -(-max(opts.linewalk_chunk, 128) // 128) * 128, 256)
     lpad = -(-max(nlines, 1) // line_chunk) * line_chunk
 
     def padL(x, fill=0.0):

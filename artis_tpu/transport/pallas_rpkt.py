@@ -166,7 +166,8 @@ def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
     ncont_pad = _round_up(ncont, 128)
     ngc_pad = _round_up(ngc, 128)
     nlines = max(int(dad.nlines), 1)
-    line_chunk = min(max(opts.linewalk_chunk, 128), max(nlines, 128), 256)
+    line_chunk = 128 if nlines <= 128 else min(
+        -(-max(opts.linewalk_chunk, 128) // 128) * 128, 256)
     lpad = _round_up(nlines, line_chunk)
     # estimator accumulator columns carried per nonempty cell
     acc_cols = 8

@@ -1,0 +1,133 @@
+"""Ablation profiler: separates the fused Pallas kernel from the XLA
+event-application pass inside rpkt_step_pallas.
+
+Measures, at full rpkt occupancy on the bench scene:
+  a. propagate_blocked alone (the Pallas kernel, no event application);
+  b. rpkt_step_pallas (kernel + gated event pass + estimator reduction);
+  c. the XLA event pass in isolation (b - a, plus a direct timing).
+
+Prints one line per measurement; no JSON contract (bench.py is the metric).
+"""
+
+import os
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("ARTIS_X64", "0")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timed(fn, *args, reps=5, warm=2, **kw):
+    """Times with a real device->host fetch inside the window: on a relay
+    backend block_until_ready can resolve before execution completes, so a
+    value fetch is the only trustworthy completion barrier."""
+    for _ in range(warm):
+        out = fn(*args, **kw)
+        np.asarray(out[-1])
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args, **kw)
+        np.asarray(out[-1])
+        ts.append(time.time() - t0)
+    return min(ts), np.median(ts), out
+
+
+def main() -> None:
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, kilonova_lte
+    from artis_tpu.synthdata import make_run
+    import artis_tpu.transport.engine as engine_mod
+
+    npkts = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+
+    d = tempfile.mkdtemp(prefix="profa")
+    make_run(d, ncells=16, ntimesteps=6, tmin_days=5.0, tmax_days=9.0,
+             ngreyts=1, logrho0=-9.0, logrho_slope=-0.15)
+    opts = kilonova_lte(
+        npkts=npkts, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=20, transport_dtype="float32",
+        dispatch_chunk_iters=24, use_pallas_rpkt=True,
+        rpkt_crossings_per_dispatch=64,
+    )
+    t0 = time.time()
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    print(f"setup {time.time() - t0:.1f}s", flush=True)
+    ctx = sim.update_grid(0)
+    grid, dad, cells, est = sim.grid, sim.dad, sim.cells, sim._zero_est()
+    opacity_case = int(sim.params.opacity_case)
+
+    # force an all-rpkt in-flight state at full occupancy
+    from artis_tpu.packets import TYPE_RPKT
+
+    rng = np.random.default_rng(0)
+    st = sim.state
+    n = st.npkts
+    tmid = float(ctx.ts)
+    ncell = int(grid.ncoordgrid[0])
+    cell = rng.integers(0, ncell, n)
+    rmin = np.asarray(grid.cell_pos_min[:ncell, 0]) * tmid / float(grid.tmin)
+    rmax = np.asarray(grid.cell_pos_max[:ncell, 0]) * tmid / float(grid.tmin)
+    r = rmin[cell] + (rmax[cell] - rmin[cell]) * rng.uniform(0.02, 0.98, n)
+    u = rng.normal(size=(n, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    dv = rng.normal(size=(n, 3))
+    dv /= np.linalg.norm(dv, axis=1, keepdims=True)
+    nu = 10 ** rng.uniform(14.2, 15.4, n)
+    f32 = np.float32
+    st = st.replace(
+        ptype=jnp.full(n, TYPE_RPKT, jnp.int32),
+        pos=jnp.asarray(u * r[:, None], f32), dir=jnp.asarray(dv, f32),
+        where=jnp.asarray(cell, jnp.int32),
+        prop_time=jnp.full(n, tmid, f32),
+        nu_rf=jnp.asarray(nu, f32), nu_cmf=jnp.asarray(nu * 0.98, f32),
+        e_rf=jnp.ones(n, f32), e_cmf=jnp.full(n, 0.98, f32),
+        next_trans=jnp.zeros(n, jnp.int32),
+    )
+
+    from artis_tpu.transport import pallas_rpkt as pk
+
+    for mi in (1, 4, 16, 64):
+        o = opts.replace(rpkt_crossings_per_dispatch=mi)
+
+        # a. kernel only: propagate_blocked via rpkt_step_pallas's own
+        # packing, but returning before the event pass — emulate by calling
+        # the wrapper with the event pass snipped via monkeypatch
+        orig_apply = engine_mod._rpkt_apply_events
+        nadv_box = {}
+
+        def no_apply(key, st_, est_, *a, **kw):
+            nn = st_.npkts
+            return (st_, est_, jnp.zeros(nn, bool), jnp.zeros(nn, jnp.int32),
+                    jnp.zeros(nn, jnp.int32) - 99)
+
+        engine_mod._rpkt_apply_events = no_apply
+        step_k = jax.jit(
+            lambda k, s: engine_mod.rpkt_step_pallas(
+                k, s, est, ctx, grid, dad, cells, o, opacity_case))
+        tmin_k, tmed_k, out = timed(step_k, jax.random.PRNGKey(1), st)
+        nadv = int(out[-1])
+        engine_mod._rpkt_apply_events = orig_apply
+
+        # b. full step (kernel + event pass)
+        step_f = jax.jit(
+            lambda k, s: engine_mod.rpkt_step_pallas(
+                k, s, est, ctx, grid, dad, cells, o, opacity_case))
+        tmin_f, tmed_f, out_f = timed(step_f, jax.random.PRNGKey(1), st)
+        nadv_f = int(out_f[-1])
+
+        print(
+            f"mi={mi:3d}: kernel-only {tmin_k * 1e3:7.1f} ms "
+            f"({nadv / tmin_k / 1e6:7.2f} M adv/s, {nadv} adv) | "
+            f"full {tmin_f * 1e3:7.1f} ms ({nadv_f / tmin_f / 1e6:7.2f} M adv/s)"
+            f" | event-pass delta {(tmin_f - tmin_k) * 1e3:7.1f} ms",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -134,10 +134,11 @@ def main() -> None:
 
     # 4. one full transport chunk at full occupancy
     t2d = jnp.asarray(float(ctx.t2), jnp.float32)
+    kw_chunk = {k: v for k, v in kw.items() if k != "max_iters"}
     dt, _ = timed(
         orig, jax.random.PRNGKey(2), st, est, grid, dad, aux, rc, rates,
         cells, ctx, opts, reps=2, warm=1,
-        max_iters=opts.dispatch_chunk_iters, **kw,
+        max_iters=opts.dispatch_chunk_iters, **kw_chunk,
     )
     print(f"full transport chunk ({opts.dispatch_chunk_iters} iters): "
           f"{dt * 1e3:.1f} ms", flush=True)
