@@ -610,10 +610,17 @@ class Simulation:
         # --- rate coefficient tables ---
         self.log(f"composition setup took {_time.time() - _tsetup:.1f}s")
         self.log("building rate coefficient tables...")
+        # ARTIS_RATECOEFF_CACHE_DIR: shared cross-run cache location (the
+        # md5 of the atomic inputs + table params still gates validity, so a
+        # stale file can never be used) — bench/profile tools run the same
+        # synthetic scene from fresh tmpdirs and would otherwise pay the
+        # device-side LUT integration on every launch
+        _rc_cache = os.environ.get("ARTIS_RATECOEFF_CACHE_DIR") or rundir
+        os.makedirs(_rc_cache, exist_ok=True)
         self.rc = ratecoeff_mod.build_tables(
             self.dad, self.opts.tablesize, self.opts.mintemp, self.opts.maxtemp,
             self.opts.use_lut_photoion, self.opts.use_lut_bfheating,
-            cache_dir=rundir,
+            cache_dir=_rc_cache,
         )
         self.aux = macroatom_mod.build_aux(self.dad)
         if self._f32:

@@ -18,6 +18,7 @@ population tables that turn all plasma lookups into gathers.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -1108,6 +1109,11 @@ def rpkt_step_pallas(
                   if getattr(grid, "model_dim", 1) == 2 else 1),
         n_z_m=(int(grid.model_ncoord[1])
                if getattr(grid, "model_dim", 1) == 2 else 1),
+        # profiling-only section ablation (e.g. "nobf,nowalk"); never set in
+        # production — physics is wrong with any section off
+        ablate=tuple(
+            t for t in os.environ.get("ARTIS_PALLAS_ABLATE", "").split(",")
+            if t),
     )
     (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
      owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,

@@ -275,11 +275,15 @@ def _kernel(
     model_dim: int = 1,
     n_rcyl_m: int = 1,
     n_z_m: int = 1,
+    ablate: tuple = (),
 ):
     B = block
     blk = pl.program_id(0)
-    off = pl.multiple_of(blk * B, B)
-    lane = lambda ref: ref[pl.ds(off, B)]
+    # lane refs are blocked per grid step (BlockSpec (B,) with index map):
+    # each block DMAs only its own B-lane slice in and out.  Full-array lane
+    # specs cost ~0.6 ms/block in HBM<->VMEM traffic (measured round 3) —
+    # the entire fixed overhead of a dispatch.
+    lane = lambda ref: ref[:]
     if not test_mode:
         pltpu.prng_seed(seed_ref[0] + blk * 7919)
 
@@ -718,8 +722,11 @@ def _kernel(
             col = jnp.sum(jnp.where(piota == p, phixs_v, 0.0), axis=1)
             return sig + w * col[None, :]
 
-        sigma = jax.lax.fori_loop(0, nphixs, phixs_term,
-                                  jnp.zeros((B, ncont), F32))
+        if "nophixs" in ablate:  # profiling only: constant cross-section
+            sigma = jnp.zeros((B, ncont), F32) + phixs_v[:, 0][None, :]
+        else:
+            sigma = jax.lax.fori_loop(0, nphixs, phixs_term,
+                                      jnp.zeros((B, ncont), F32))
         # Kramers tail above the table, zero below the edge
         numax = nu_edge_c * last_nuovernuedge
         kram = phixs_v[:, nphixs - 1][None, :] * (
@@ -732,6 +739,8 @@ def _kernel(
         exp_nu = jnp.exp(-4.799243681e-11 * nu / te_p)  # H/KB
         corr = jnp.maximum(0.0, 1.0 - dep_g * exp_nu[:, None])
         contrib_bf = jnp.where(in_window, a_g * sigma * corr, 0.0)  # (B, C)
+        if "nobf" in ablate:  # profiling only
+            contrib_bf = jnp.zeros((B, ncont), F32)
         chi_bf = jnp.sum(contrib_bf, axis=1)
 
         # bf continuum selection for the deferred event application
@@ -739,11 +748,14 @@ def _kernel(
             sel_u = lane(test_sel)
         else:
             sel_u = _u01((B,))
-        target = sel_u * chi_bf
-        cumc = _cumsum_rows(contrib_bf)
-        hit = cumc > target[:, None]
-        first = _first_true_idx(hit, ncont)
-        bf_idx = jnp.where(jnp.any(hit, axis=1), first, 0)
+        if "nosel" in ablate:  # profiling only
+            bf_idx = jnp.zeros((B,), I32)
+        else:
+            target = sel_u * chi_bf
+            cumc = _cumsum_rows(contrib_bf)
+            hit = cumc > target[:, None]
+            first = _first_true_idx(hit, ncont)
+            bf_idx = jnp.where(jnp.any(hit, axis=1), first, 0)
 
         # per-ground-continuum contributions for the LUT estimators:
         # sigma * probability * corrfactor (reference: rpkt.cc:870-880 —
@@ -846,6 +858,8 @@ def _kernel(
                 return acc + cnt
 
             need_search = jnp.any((s["ntr"] <= 0) & need_chi)
+            if "nowalk" in ablate:  # profiling only
+                need_search = need_search & False
             searched = jax.lax.cond(
                 need_search,
                 lambda: jax.lax.fori_loop(0, nlineblocks, count_body,
@@ -854,6 +868,8 @@ def _kernel(
             )
             cursor0 = jnp.where(s["ntr"] > 0, s["ntr"], searched)
             cond_nolines = (s["ntr"] > nlines - 1) | (nu < nu_lastline)
+            if "nowalk" in ablate:  # profiling only: every lane skips the walk
+                cond_nolines = cond_nolines | (nu > 0)
             cursor0 = jnp.where(cond_nolines, nlines,
                                 jnp.minimum(cursor0, nlines)).astype(I32)
             fresh_nolines = cursor0 >= nlines
@@ -1079,12 +1095,15 @@ def _kernel(
              jnp.zeros_like(contrib), jnp.zeros_like(contrib)], axis=1,
         )  # (B, 8)
         oh_seg = jnp.where(_col(seg), oh, 0.0)
-        est_new = s["est"] + jnp.dot(oh_seg.T, est_rows,
-                                     preferred_element_type=F32)
+        if "noest" in ablate:  # profiling only
+            est_new = s["est"]
+        else:
+            est_new = s["est"] + jnp.dot(oh_seg.T, est_rows,
+                                         preferred_element_type=F32)
 
         gam_new = s["gam"]
         bfh_new = s["bfh"]
-        if want_gamma or want_bfheat:
+        if (want_gamma or want_bfheat) and "noest" not in ablate:
             seg_ok = seg & ~thick
             de = jnp.where(_col(seg_ok), contrib[:, None] * gamma_contr, 0.0)
             ohs = jnp.where(_col(seg_ok), oh, 0.0)
@@ -1281,27 +1300,26 @@ def _kernel(
     _, state = jax.lax.while_loop(crossing_cond, crossing_body,
                                   (jnp.int32(0), state))
 
-    osl = pl.ds(off, B)
-    o_posx[osl] = state["px"]; o_posy[osl] = state["py"]
-    o_posz[osl] = state["pz"]
-    o_dirx[osl] = state["dx"]; o_diry[osl] = state["dy"]
-    o_dirz[osl] = state["dz"]
-    o_nu_rf[osl] = state["nurf"]; o_nu_cmf[osl] = state["nucmf"]
-    o_e_rf[osl] = state["erf"]; o_e_cmf[osl] = state["ecmf"]
-    o_prop_time[osl] = state["t"]
-    o_where[osl] = state["cell"]; o_next_trans[osl] = state["ntr"]
-    o_evented[osl] = state["evented"]
-    o_escaped[osl] = state["escaped"]
-    o_thick[osl] = state["ev_thick"]
-    o_is_bb[osl] = state["ev_isbb"]
-    o_act_line[osl] = state["ev_act"]
-    o_bf_idx[osl] = state["ev_bfidx"]
-    o_chi_escat[osl] = state["ev_esc"]; o_chi_ff[osl] = state["ev_ff"]
-    o_chi_bf[osl] = state["ev_bf"]; o_chi_cont[osl] = state["ev_cont"]
-    o_mgi[osl] = state["ev_mgi"]
-    o_em_x[osl] = state["em_x"]; o_em_y[osl] = state["em_y"]
-    o_em_z[osl] = state["em_z"]; o_em_t[osl] = state["em_t"]
-    o_nsc[osl] = state["nsc"]; o_inkscat[osl] = state["inkscat"]
+    o_posx[:] = state["px"]; o_posy[:] = state["py"]
+    o_posz[:] = state["pz"]
+    o_dirx[:] = state["dx"]; o_diry[:] = state["dy"]
+    o_dirz[:] = state["dz"]
+    o_nu_rf[:] = state["nurf"]; o_nu_cmf[:] = state["nucmf"]
+    o_e_rf[:] = state["erf"]; o_e_cmf[:] = state["ecmf"]
+    o_prop_time[:] = state["t"]
+    o_where[:] = state["cell"]; o_next_trans[:] = state["ntr"]
+    o_evented[:] = state["evented"]
+    o_escaped[:] = state["escaped"]
+    o_thick[:] = state["ev_thick"]
+    o_is_bb[:] = state["ev_isbb"]
+    o_act_line[:] = state["ev_act"]
+    o_bf_idx[:] = state["ev_bfidx"]
+    o_chi_escat[:] = state["ev_esc"]; o_chi_ff[:] = state["ev_ff"]
+    o_chi_bf[:] = state["ev_bf"]; o_chi_cont[:] = state["ev_cont"]
+    o_mgi[:] = state["ev_mgi"]
+    o_em_x[:] = state["em_x"]; o_em_y[:] = state["em_y"]
+    o_em_z[:] = state["em_z"]; o_em_t[:] = state["em_t"]
+    o_nsc[:] = state["nsc"]; o_inkscat[:] = state["inkscat"]
     o_est[0] = state["est"]
     o_gamma[0] = state["gam"]
     o_bfheat[0] = state["bfh"]
@@ -1328,7 +1346,7 @@ def _kernel(
         "expansion_mode", "nbins_expo", "cart3d", "cyl2d", "nx", "ny", "nz",
         "stream_lines", "inkernel_scatter", "multibin", "nradbins",
         "want_bfrate", "want_jblue", "njblue",
-        "model_dim", "n_rcyl_m", "n_z_m",
+        "model_dim", "n_rcyl_m", "n_z_m", "ablate",
     ),
 )
 def propagate_blocked(
@@ -1346,7 +1364,7 @@ def propagate_blocked(
     stream_lines=False, inkernel_scatter=True,
     multibin=False, nradbins=0, want_bfrate=False,
     want_jblue=False, njblue=0,
-    model_dim=1, n_rcyl_m=1, n_z_m=1,
+    model_dim=1, n_rcyl_m=1, n_z_m=1, ablate=(),
 ):
     n = lane_f32["posx"].shape[0]
     assert n % block == 0
@@ -1357,7 +1375,9 @@ def propagate_blocked(
                   "nu_cmf", "e_rf", "e_cmf", "prop_time"]
     int_names = ["where", "next_trans", "moving"]
 
-    lane_spec = pl.BlockSpec(memory_space=pltpu.VMEM)  # full array
+    # per-block lane slices: each grid step only moves its own B lanes
+    lane_spec = pl.BlockSpec((block,), lambda i, *_: (i,),
+                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def as_row(x):
@@ -1464,6 +1484,7 @@ def propagate_blocked(
         multibin=multibin, nradbins=nradbins, want_bfrate=want_bfrate,
         want_jblue=want_jblue,
         model_dim=model_dim, n_rcyl_m=n_rcyl_m, n_z_m=n_z_m,
+        ablate=ablate,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -52,26 +52,43 @@ signal.signal(signal.SIGALRM, _on_term)
 signal.alarm(int(os.environ.get("GRAFT_BENCH_ALARM", "1500")))
 
 
-def _backend_alive(timeout_s: float = 60.0) -> bool:
+def _backend_alive(timeout_s: float = 60.0, retries: int = 5,
+                   retry_wait_s: float = 45.0) -> bool:
     """Probe the accelerator backend in a throwaway subprocess.
 
     On a wedged remote-TPU tunnel the first JAX backend touch can block ~20
     minutes; doing it in a killable child keeps this process responsive
     (operating procedure learned in round 2 — never probe in-process).
+
+    A killed client can wedge the tunnel worker for a few minutes before it
+    recovers, so a single failed probe is NOT proof the chip is gone: retry
+    a few times before giving up on the accelerator (round-3 lesson — the
+    r02-style instant CPU fallback records a garbage number when the worker
+    would have come back 2 minutes later).
     """
+    import time as _time
+
     code = (
         "import jax, jax.numpy as jnp\n"
         "x = jnp.ones((128, 128))\n"
         "print(float((x @ x).sum()))\n"
     )
-    try:
-        res = subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout_s,
-            capture_output=True, env=dict(os.environ),
-        )
-        return res.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for attempt in range(retries):
+        try:
+            res = subprocess.run(
+                [sys.executable, "-c", code], timeout=timeout_s,
+                capture_output=True, env=dict(os.environ),
+            )
+            if res.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt < retries - 1:
+            print(f"bench: backend probe {attempt + 1}/{retries} failed, "
+                  f"retrying in {retry_wait_s:.0f}s", file=sys.stderr,
+                  flush=True)
+            _time.sleep(retry_wait_s)
+    return False
 
 
 def main() -> None:

@@ -89,44 +89,38 @@ def main() -> None:
         next_trans=jnp.zeros(n, jnp.int32),
     )
 
-    from artis_tpu.transport import pallas_rpkt as pk
-
-    for mi in (1, 4, 16, 64):
-        o = opts.replace(rpkt_crossings_per_dispatch=mi)
-
-        # a. kernel only: propagate_blocked via rpkt_step_pallas's own
-        # packing, but returning before the event pass — emulate by calling
-        # the wrapper with the event pass snipped via monkeypatch
-        orig_apply = engine_mod._rpkt_apply_events
-        nadv_box = {}
-
-        def no_apply(key, st_, est_, *a, **kw):
-            nn = st_.npkts
-            return (st_, est_, jnp.zeros(nn, bool), jnp.zeros(nn, jnp.int32),
-                    jnp.zeros(nn, jnp.int32) - 99)
-
-        engine_mod._rpkt_apply_events = no_apply
-        step_k = jax.jit(
-            lambda k, s: engine_mod.rpkt_step_pallas(
-                k, s, est, ctx, grid, dad, cells, o, opacity_case))
-        tmin_k, tmed_k, out = timed(step_k, jax.random.PRNGKey(1), st)
-        nadv = int(out[-1])
-        engine_mod._rpkt_apply_events = orig_apply
-
-        # b. full step (kernel + event pass)
+    def run_one(label, o):
         step_f = jax.jit(
             lambda k, s: engine_mod.rpkt_step_pallas(
                 k, s, est, ctx, grid, dad, cells, o, opacity_case))
         tmin_f, tmed_f, out_f = timed(step_f, jax.random.PRNGKey(1), st)
         nadv_f = int(out_f[-1])
-
         print(
-            f"mi={mi:3d}: kernel-only {tmin_k * 1e3:7.1f} ms "
-            f"({nadv / tmin_k / 1e6:7.2f} M adv/s, {nadv} adv) | "
-            f"full {tmin_f * 1e3:7.1f} ms ({nadv_f / tmin_f / 1e6:7.2f} M adv/s)"
-            f" | event-pass delta {(tmin_f - tmin_k) * 1e3:7.1f} ms",
+            f"{label}: {tmin_f * 1e3:7.1f} ms (med {tmed_f * 1e3:7.1f}) "
+            f"{nadv_f} adv, {nadv_f / tmin_f / 1e6:7.2f} M adv/s",
             flush=True,
         )
+
+    mi_list = tuple(
+        int(v) for v in os.environ.get("ARTIS_ABLATE_MI", "1,16,64").split(",")
+        if v)
+    for mi in mi_list:
+        run_one(f"mi={mi:3d} full", opts.replace(rpkt_crossings_per_dispatch=mi))
+
+    # section ablations at mi=64 (each is a fresh Mosaic compile)
+    ab_list = tuple(
+        t for t in os.environ.get(
+            "ARTIS_ABLATE_LIST",
+            "nophixs|nobf,nosel|nosel|nowalk|noest|"
+            "nophixs,nobf,nosel,nowalk,noest").split("|")
+        if t)
+    for ab in ab_list:
+        os.environ["ARTIS_PALLAS_ABLATE"] = ab
+        try:
+            run_one(f"mi=64 ablate={ab:34s}",
+                    opts.replace(rpkt_crossings_per_dispatch=64))
+        finally:
+            os.environ.pop("ARTIS_PALLAS_ABLATE", None)
 
 
 if __name__ == "__main__":

@@ -23,13 +23,15 @@ import numpy as np
 
 
 def timed(fn, *args, reps=3, warm=1, **kw):
+    # a real device->host value fetch is the completion barrier: on the relay
+    # backend block_until_ready can resolve before execution finishes
     for _ in range(warm):
         out = fn(*args, **kw)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        np.asarray(jax.tree_util.tree_leaves(out)[-1])
     t0 = time.time()
     for _ in range(reps):
         out = fn(*args, **kw)
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        np.asarray(jax.tree_util.tree_leaves(out)[-1])
     return (time.time() - t0) / reps, out
 
 
