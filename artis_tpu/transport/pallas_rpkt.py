@@ -77,6 +77,11 @@ def _col(b):
     return b.astype(I32)[:, None] > 0
 
 
+def _rowb(b):
+    """Bool (B,) -> (1,B) for broadcasting over a (N,B) transposed array."""
+    return b.astype(I32)[None, :] > 0
+
+
 def _first_true_idx(cond, maxn):
     """Index of the first True along axis 1 (clipped to [0, maxn-1]);
     Mosaic's argmax only lowers for f32, so reduce a masked f32 iota."""
@@ -217,6 +222,7 @@ def _kernel(
     # replicated tables
     mgi_of_cell,  # (npropcells,) f32 (values: nonemptymgi or -1)
     cellmin0, cellmax0,  # (npropcells,) f32 coord bounds at tmin
+    prop_tab,  # (16, nprop) fused gather table: mgi | 6 cell vals | bounds
     nne_t, te_t, kappagrey_t, rho_t, thick_t, chiffpart_t,  # (ncells,)
     line_nu,  # (Lpad,)
     tau_factor,  # (ncells, Lpad)
@@ -366,13 +372,18 @@ def _kernel(
         rb=jnp.zeros((ncells, o_rb.shape[2]), F32),
         bfr=jnp.zeros((ncells, o_bfr.shape[2]), F32),
         jba=jnp.zeros((ncells, o_jb.shape[2]), F32),
-        nadv=jnp.zeros((), F32), nesc=jnp.zeros((), F32),
-        lum=jnp.zeros((), F32),
-        n_escat=jnp.zeros((), F32), n_thickscat=jnp.zeros((), F32),
+        # per-lane counters, reduced ONCE after the crossing loop: a full
+        # (B,)->scalar reduce every crossing measured as real per-crossing
+        # cost in the round-3 ablation
+        nadv=jnp.zeros((B,), F32), nesc=jnp.zeros((B,), F32),
+        lum=jnp.zeros((B,), F32),
+        n_escat=jnp.zeros((B,), F32), n_thickscat=jnp.zeros((B,), F32),
+        ncrossb=jnp.zeros((B,), F32),
     )
 
     celliota = jax.lax.broadcasted_iota(I32, (B, ncells), 1)
-    propiota = jax.lax.broadcasted_iota(I32, (B, nprop), 1)
+    propiotaT = jax.lax.broadcasted_iota(I32, (nprop, B), 0)
+    celliotaT = jax.lax.broadcasted_iota(I32, (ncells, B), 0)
 
     def one_crossing(it, s):
         mask = s["moving"] > 0
@@ -417,41 +428,64 @@ def _kernel(
                     jnp.where(cellmin0[0][None, :] < cellvmid[:, None], 1, 0),
                     axis=1, dtype=I32,
                 )
-            # cellmax0 slot holds nonemptymgi_of_mgi (float, -1 empty/pad)
-            oh_mgi = (propiota == mgi_model[:, None]).astype(F32)
-            ne_f = jnp.dot(oh_mgi, cellmax0[0].reshape(nprop, 1),
-                           preferred_element_type=F32)[:, 0]
-            mgi = jnp.round(ne_f).astype(I32)
+            # cellmax0 slot holds nonemptymgi_of_mgi (float, -1 empty/pad);
+            # the fused prop_tab is keyed by the model-grid index here
+            gkey = mgi_model
         else:
-            # --- cell-table gathers via one-hot MXU matmuls ---
-            oh_prop = (propiota == s["cell"][:, None]).astype(F32)  # (B, nprop)
-            mgi_f = jnp.dot(oh_prop, mgi_of_cell[0].reshape(nprop, 1),
-                            preferred_element_type=F32)[:, 0]
-            mgi = jnp.round(mgi_f).astype(I32)
-        nonempty = mgi >= 0
-        safe_mgi = jnp.maximum(mgi, 0)
-        oh = (celliota == safe_mgi[:, None]).astype(F32)  # (B, ncells)
+            gkey = s["cell"]
+        # transposed one-hot (nprop, B): the fused-gather dot result then
+        # keeps B on the LANE dimension, so per-lane values are sublane-row
+        # slices (no relayout)
+        ohT_prop = (propiotaT == gkey[None, :]).astype(F32)
+        if "nogather" in ablate:  # profiling only: constant cell values
+            mgi = s["cell"]
+            nonempty = mgi >= 0
+            safe_mgi = jnp.maximum(mgi, 0)
+            oh = (celliota == safe_mgi[:, None]).astype(F32)
+            one = jnp.float32(1.0)
+            nne_p = s["px"] * 0.0 + nne_t[0, 0]
+            te_p = s["px"] * 0.0 + te_t[0, 0]
+            kgrey_p = s["px"] * 0.0 + kappagrey_t[0, 0]
+            rho_p = s["px"] * 0.0 + rho_t[0, 0]
+            thickf_p = s["px"] * 0.0
+            chiffpart_p = s["px"] * 0.0 + chiffpart_t[0, 0]
+            thick = nonempty & (thickf_p > 0.5)
+            if not cart3d and not cyl2d:
+                coordmin0 = s["px"] * 0.0 + cellmin0[0, 0]
+                coordmax0 = s["px"] * 0.0 + cellmax0[0, nprop - 1]
+        else:
+            # --- fused cell-table gather: ONE one-hot MXU dot fetches mgi,
+            # the six cell values and the 1D coord bounds together; the
+            # (16, B) result keeps lanes on the lane dimension so each
+            # value below is a free sublane-row slice ---
+            gvT = jnp.dot(prop_tab[...], ohT_prop,
+                          preferred_element_type=F32)
+            mgi = jnp.round(gvT[0]).astype(I32)
+            nonempty = mgi >= 0
+            safe_mgi = jnp.maximum(mgi, 0)
+            oh = (celliota == safe_mgi[:, None]).astype(F32)  # (B, ncells)
 
-        cellvals = jnp.stack(
-            [nne_t[0], te_t[0], kappagrey_t[0], rho_t[0], thick_t[0],
-             chiffpart_t[0]], axis=1,
-        )  # (ncells, 6)
-        gv = jnp.dot(oh, cellvals, preferred_element_type=F32)  # (B, 6)
-        nne_p, te_p, kgrey_p, rho_p, thickf_p, chiffpart_p = (
-            gv[:, 0], gv[:, 1], gv[:, 2], gv[:, 3], gv[:, 4], gv[:, 5]
-        )
-        # grey transport only for thick==1; thick==2 is the vpkt-only flag
-        # (update_grid.cc:1031-1035) and transports r-packets normally
-        thick = nonempty & (thickf_p > 0.5) & (thickf_p < 1.5)
+            nne_p, te_p, kgrey_p, rho_p, thickf_p, chiffpart_p = (
+                gvT[1], gvT[2], gvT[3], gvT[4], gvT[5], gvT[6]
+            )
+            # grey transport only for thick==1; thick==2 is the vpkt-only
+            # flag (update_grid.cc:1031-1035) and transports r-packets
+            # normally
+            thick = nonempty & (thickf_p > 0.5) & (thickf_p < 1.5)
 
-        if not cart3d and not cyl2d:
-            gb = jnp.dot(oh_prop, jnp.stack([cellmin0[0], cellmax0[0]], axis=1),
-                         preferred_element_type=F32)  # (B, 2)
-            coordmin0, coordmax0 = gb[:, 0], gb[:, 1]
+            if not cart3d and not cyl2d:
+                coordmin0, coordmax0 = gvT[7], gvT[8]
+
+        # transposed cell one-hot for the estimator scatter dots: built
+        # directly from mgi (a per-crossing transpose of `oh` would cost a
+        # full relayout)
+        ohT = (celliotaT == safe_mgi[None, :]).astype(F32)  # (ncells, B)
 
         # --- optical depth target ---
         if test_mode:
             tau_next = lane(test_tau)
+        elif "norng" in ablate:  # profiling only
+            tau_next = s["px"] * 0.0 + 0.693
         else:
             tau_next = -jnp.log(_u01((B,)))
 
@@ -525,28 +559,38 @@ def _kernel(
             pos2xy = s["px"] * s["px"] + s["py"] * s["py"]
             pdotdxy = s["px"] * dxn + s["py"] * dyn
 
+            # squared radial-velocity sign test (see the spherical branch):
+            # exact power-of-two prescale keeps the squares inside float32
+            kgeo = jnp.float32(2.0 ** -33)
+            sxy_k = (xyspeed * kgeo) * tstart  # (B,)
+
             def shell_xy(radius_t, inner):
                 a = 1.0 - (radius_t / tstart / xyspeed) ** 2
                 b = 2.0 * (pdotdxy - radius_t**2 / tstart / xyspeed)
                 c = pos2xy - radius_t**2
                 disc = b * b - 4.0 * a * c
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                d1 = (-b + sq) / 2.0 / a
-                d2 = (-b - sq) / 2.0 / a
+                inv2a = 0.5 / a
+                d1 = (-b + sq) * inv2a
+                d2 = (-b - sq) * inv2a
 
-                def radial(d):
+                rk = radius_t * kgeo
+
+                def vr_parts(d):
                     fx = s["px"] + d * dxn
                     fy = s["py"] + d * dyn
-                    r = jnp.sqrt(fx * fx + fy * fy)
-                    return (dxn * fx + dyn * fy) * xyspeed / jnp.maximum(r, 1.0)
+                    r2k = jnp.maximum(fx * fx + fy * fy, 1.0) * (kgeo * kgeo)
+                    dotf = (dxn * fx + dyn * fy) * kgeo
+                    return dotf, (dotf * dotf) * (sxy_k * sxy_k), (rk * rk) * r2k
 
-                vshell = radius_t / tstart
+                dotf1, a21, b21 = vr_parts(d1)
+                dotf2, a22, b22 = vr_parts(d2)
                 if inner:
-                    bad1 = radial(d1) > vshell
-                    bad2 = radial(d2) > vshell
+                    bad1 = (dotf1 > 0) & (a21 > b21)
+                    bad2 = (dotf2 > 0) & (a22 > b22)
                 else:
-                    bad1 = radial(d1) < vshell
-                    bad2 = radial(d2) < vshell
+                    bad1 = (dotf1 <= 0) | (a21 < b21)
+                    bad2 = (dotf2 <= 0) | (a22 < b22)
                 eps = 2e-6 * radius_t
                 d1 = jnp.where(bad1 | (d1 < eps), -1.0, d1)
                 d2 = jnp.where(bad2 | (d2 < eps), -1.0, d2)
@@ -600,31 +644,51 @@ def _kernel(
                 snext,
             )
         else:
+            # scale factor for the squared radial-velocity sign test below:
+            # an exact power of two, so the rescale costs no precision
+            kgeo = jnp.float32(2.0 ** -33)
+            st_k = (speed * kgeo) * tstart  # (B,) speed*tstart, prescaled
+
             def shell(radius_t, inner):
                 a = 1.0 - (radius_t / tstart / speed) ** 2
                 b = 2.0 * (pdotd - radius_t**2 / tstart / speed)
                 c = pos2 - radius_t**2
                 disc = b * b - 4.0 * a * c
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                d1 = (-b + sq) / 2.0 / a
-                d2 = (-b - sq) / 2.0 / a
+                inv2a = 0.5 / a
+                d1 = (-b + sq) * inv2a
+                d2 = (-b - sq) * inv2a
 
-                def radial(d):
+                # sign test v_r(d) > v_shell without radial()'s sqrt+div
+                # chain: v_r = (dir.f) c / max(r,1), v_shell = radius_t /
+                # tstart; both sides are scaled by the positive
+                # max(r,1)*tstart and squared (the dot-product sign keeps
+                # the inequality direction). All linear factors carry an
+                # exact 2^-33 rescale so the squares stay inside float32.
+                rk = radius_t * kgeo
+
+                def vr_gt(d):
                     fx = s["px"] + d * s["dx"]
                     fy = s["py"] + d * s["dy"]
                     fz = s["pz"] + d * s["dz"]
-                    r = jnp.sqrt(fx * fx + fy * fy + fz * fz)
-                    vr = (s["dx"] * fx + s["dy"] * fy + s["dz"] * fz) * speed \
-                        / jnp.maximum(r, 1.0)
-                    return vr
+                    r2k = jnp.maximum(
+                        fx * fx + fy * fy + fz * fz, 1.0) * (kgeo * kgeo)
+                    dotf = (s["dx"] * fx + s["dy"] * fy + s["dz"] * fz) * kgeo
+                    # both sides carry the same k^4 scale: the comparison
+                    # is exact up to float32 rounding of the products
+                    a2 = (dotf * dotf) * (st_k * st_k)
+                    return dotf, a2, (rk * rk) * r2k
 
-                vshell = radius_t / tstart
                 if inner:
-                    bad1 = radial(d1) > vshell
-                    bad2 = radial(d2) > vshell
+                    dotf1, a21, b21 = vr_gt(d1)
+                    dotf2, a22, b22 = vr_gt(d2)
+                    bad1 = (dotf1 > 0) & (a21 > b21)
+                    bad2 = (dotf2 > 0) & (a22 > b22)
                 else:
-                    bad1 = radial(d1) < vshell
-                    bad2 = radial(d2) < vshell
+                    dotf1, a21, b21 = vr_gt(d1)
+                    dotf2, a22, b22 = vr_gt(d2)
+                    bad1 = (dotf1 <= 0) | (a21 < b21)
+                    bad2 = (dotf2 <= 0) | (a22 < b22)
                 # float32 ping-pong guard: a packet sitting on the shell it
                 # just crossed re-intersects it at d ~ roundoff and never
                 # advances in time; intersections closer than a few ulps of the
@@ -660,6 +724,10 @@ def _kernel(
                 snext,
             )
 
+        if "nogeom" in ablate:  # profiling only: fixed small step, no shell
+            sdist = s["px"] * 0.0 + max_path_step
+            snext = s["cell"]
+
         # intra-cell step cap (grid.cc:2592-2594)
         capped = sdist > max_path_step
         sdist = jnp.where(capped, max_path_step, sdist)
@@ -670,6 +738,8 @@ def _kernel(
 
         # --- doppler + abort-point frequency (rpkt.cc:49-61) ---
         def doppler_at(px, py, pz, t):
+            if "nodop" in ablate:  # profiling only
+                return 1.0 - px * 1e-30
             ndotv = (s["dx"] * px + s["dy"] * py + s["dz"] * pz) / t
             dop = 1.0 - ndotv / CLIGHT
             if relativistic:
@@ -746,6 +816,8 @@ def _kernel(
         # bf continuum selection for the deferred event application
         if test_mode:
             sel_u = lane(test_sel)
+        elif "norng" in ablate:  # profiling only
+            sel_u = tau_next * 0.7
         else:
             sel_u = _u01((B,))
         if "nosel" in ablate:  # profiling only
@@ -1001,7 +1073,7 @@ def _kernel(
                                       preferred_element_type=F32)
                     jrows = jnp.concatenate([tmp_inc, tmp_cnt], axis=1)
                     out_w["jba"] = w["jba"] + jnp.dot(
-                        oh.T, jrows, preferred_element_type=F32)
+                        ohT, jrows, preferred_element_type=F32)
                 return out_w
 
             # early-exit walk: skip blocks wholly below every lane's cursor
@@ -1060,7 +1132,7 @@ def _kernel(
         # dispatch (the engine gates this path off when dipole or vpkt
         # machinery needs the full XLA event application)
         ev_cont_any = take_event & ~thick & ~is_bb & nonempty
-        if test_mode:
+        if test_mode or "norng" in ablate:
             u_split = sel_u
         else:
             u_split = _u01((B,))
@@ -1094,11 +1166,11 @@ def _kernel(
              jnp.zeros_like(contrib), jnp.zeros_like(contrib),
              jnp.zeros_like(contrib), jnp.zeros_like(contrib)], axis=1,
         )  # (B, 8)
-        oh_seg = jnp.where(_col(seg), oh, 0.0)
+        ohT_seg = jnp.where(_rowb(seg), ohT, 0.0)
         if "noest" in ablate:  # profiling only
             est_new = s["est"]
         else:
-            est_new = s["est"] + jnp.dot(oh_seg.T, est_rows,
+            est_new = s["est"] + jnp.dot(ohT_seg, est_rows,
                                          preferred_element_type=F32)
 
         gam_new = s["gam"]
@@ -1106,13 +1178,13 @@ def _kernel(
         if (want_gamma or want_bfheat) and "noest" not in ablate:
             seg_ok = seg & ~thick
             de = jnp.where(_col(seg_ok), contrib[:, None] * gamma_contr, 0.0)
-            ohs = jnp.where(_col(seg_ok), oh, 0.0)
+            ohT_s = jnp.where(_rowb(seg_ok), ohT, 0.0)
             if want_gamma:
                 gadd = de / jnp.maximum(nucmf1, 1e-30)[:, None]
                 gpad = jnp.concatenate(
                     [gadd, jnp.zeros((B, s["gam"].shape[1] - ngc), F32)],
                     axis=1)
-                gam_new = s["gam"] + jnp.dot(ohs.T, gpad,
+                gam_new = s["gam"] + jnp.dot(ohT_s, gpad,
                                              preferred_element_type=F32)
             if want_bfheat:
                 badd = de * jnp.maximum(
@@ -1121,7 +1193,7 @@ def _kernel(
                 bpad = jnp.concatenate(
                     [badd, jnp.zeros((B, s["bfh"].shape[1] - ngc), F32)],
                     axis=1)
-                bfh_new = s["bfh"] + jnp.dot(ohs.T, bpad,
+                bfh_new = s["bfh"] + jnp.dot(ohT_s, bpad,
                                              preferred_element_type=F32)
 
         if not (want_jblue and not expansion_mode):
@@ -1145,8 +1217,8 @@ def _kernel(
             if Cp > ncont:
                 bfr_rows = jnp.concatenate(
                     [bfr_rows, jnp.zeros((B, Cp - ncont), F32)], axis=1)
-            oh_nt = jnp.where(_col(seg_nothick), oh, 0.0)
-            bfr_new = s["bfr"] + jnp.dot(oh_nt.T, bfr_rows,
+            ohT_nt = jnp.where(_rowb(seg_nothick), ohT, 0.0)
+            bfr_new = s["bfr"] + jnp.dot(ohT_nt, bfr_rows,
                                          preferred_element_type=F32)
 
         rb_new = s["rb"]
@@ -1174,7 +1246,7 @@ def _kernel(
                 ohb * (contrib * nucmf1)[:, None],
                 ohb,
             ], axis=1)
-            rb_new = s["rb"] + jnp.dot(oh_seg.T, rows_rb,
+            rb_new = s["rb"] + jnp.dot(ohT_seg, rows_rb,
                                        preferred_element_type=F32)
 
         # second half-move
@@ -1213,37 +1285,44 @@ def _kernel(
         if test_mode:
             z1 = jnp.full((B,), 0.37, F32)
             z2 = jnp.full((B,), 0.81, F32)
+        elif "norng" in ablate:  # profiling only
+            z1 = s["px"] * 0.0 + 0.37
+            z2 = s["px"] * 0.0 + 0.81
         else:
             z1 = _u01((B,))
             z2 = _u01((B,))
-        zmu = 2.0 * z1 - 1.0
-        zphi = 2.0 * jnp.float32(np.pi) * z2
-        sinm = jnp.sqrt(jnp.maximum(1.0 - zmu * zmu, 0.0))
-        cdx = sinm * jnp.cos(zphi)
-        cdy = sinm * jnp.sin(zphi)
-        cdz = zmu
-        # aberration with v = -pos/t (vectors.h:61-74)
-        inv_t = 1.0 / ft
-        vx = -fx * inv_t
-        vy = -fy * inv_t
-        vz = -fz * inv_t
-        vsqr = (vx * vx + vy * vy + vz * vz) / CLIGHTSQUARED
-        grel = 1.0 / jnp.sqrt(jnp.maximum(1.0 - vsqr, 1e-30))
-        ndotv = cdx * vx + cdy * vy + cdz * vz
-        fact1 = grel * (1.0 - ndotv / CLIGHT)
-        fact2 = (grel - grel * grel * ndotv / (grel + 1.0) / CLIGHT) / CLIGHT
-        ndx = (cdx - vx * fact2) / fact1
-        ndy = (cdy - vy * fact2) / fact1
-        ndz = (cdz - vz * fact2) / fact1
-        nlen = jnp.sqrt(ndx * ndx + ndy * ndy + ndz * ndz)
-        ndx = ndx / nlen
-        ndy = ndy / nlen
-        ndz = ndz / nlen
-        ndotv_sc = (ndx * fx + ndy * fy + ndz * fz) / ft
-        dop_sc = 1.0 - ndotv_sc / CLIGHT
-        if relativistic:
-            beta2_sc = (fx * fx + fy * fy + fz * fz) / (ft * ft) / CLIGHTSQUARED
-            dop_sc = dop_sc / jnp.sqrt(jnp.maximum(1.0 - beta2_sc, 1e-30))
+        if "noemit" in ablate:  # profiling only: keep the old direction
+            ndx, ndy, ndz = s["dx"], s["dy"], s["dz"]
+            dop_sc = 1.0 + z1 * 1e-30
+        else:
+            zmu = 2.0 * z1 - 1.0
+            zphi = 2.0 * jnp.float32(np.pi) * z2
+            sinm = jnp.sqrt(jnp.maximum(1.0 - zmu * zmu, 0.0))
+            cdx = sinm * jnp.cos(zphi)
+            cdy = sinm * jnp.sin(zphi)
+            cdz = zmu
+            # aberration with v = -pos/t (vectors.h:61-74)
+            inv_t = 1.0 / ft
+            vx = -fx * inv_t
+            vy = -fy * inv_t
+            vz = -fz * inv_t
+            vsqr = (vx * vx + vy * vy + vz * vz) / CLIGHTSQUARED
+            grel = 1.0 / jnp.sqrt(jnp.maximum(1.0 - vsqr, 1e-30))
+            ndotv = cdx * vx + cdy * vy + cdz * vz
+            fact1 = grel * (1.0 - ndotv / CLIGHT)
+            fact2 = (grel - grel * grel * ndotv / (grel + 1.0) / CLIGHT) / CLIGHT
+            ndx = (cdx - vx * fact2) / fact1
+            ndy = (cdy - vy * fact2) / fact1
+            ndz = (cdz - vz * fact2) / fact1
+            nlen = jnp.sqrt(ndx * ndx + ndy * ndy + ndz * ndz)
+            ndx = ndx / nlen
+            ndy = ndy / nlen
+            ndz = ndz / nlen
+            ndotv_sc = (ndx * fx + ndy * fy + ndz * fz) / ft
+            dop_sc = 1.0 - ndotv_sc / CLIGHT
+            if relativistic:
+                beta2_sc = (fx * fx + fy * fy + fz * fz) / (ft * ft) / CLIGHTSQUARED
+                dop_sc = dop_sc / jnp.sqrt(jnp.maximum(1.0 - beta2_sc, 1e-30))
 
         upd = lambda name, val: jnp.where(take_event, val, s[name])
         return dict(
@@ -1277,16 +1356,14 @@ def _kernel(
             ev_bf=upd("ev_bf", chi_bf),
             ev_cont=upd("ev_cont", chi_cont_cmf),
             ev_mgi=upd("ev_mgi", mgi),
-            est=est_new + (
-                (jax.lax.broadcasted_iota(I32, (ncells, 8), 0) == 0)
-                & (jax.lax.broadcasted_iota(I32, (ncells, 8), 1) == 3)
-            ).astype(F32) * jnp.sum(crossing.astype(F32)),
+            est=est_new,
             gam=gam_new, bfh=bfh_new, rb=rb_new, bfr=bfr_new, jba=jba_new,
-            nadv=s["nadv"] + jnp.sum(mask.astype(F32)),
-            nesc=s["nesc"] + jnp.sum(escaping.astype(F32)),
-            lum=s["lum"] + jnp.sum(jnp.where(escaping, ecmf_out, 0.0)),
-            n_escat=s["n_escat"] + jnp.sum(is_escat.astype(F32)),
-            n_thickscat=s["n_thickscat"] + jnp.sum(ev_thick_k.astype(F32)),
+            nadv=s["nadv"] + mask.astype(F32),
+            nesc=s["nesc"] + escaping.astype(F32),
+            lum=s["lum"] + jnp.where(escaping, ecmf_out, 0.0),
+            n_escat=s["n_escat"] + is_escat.astype(F32),
+            n_thickscat=s["n_thickscat"] + ev_thick_k.astype(F32),
+            ncrossb=s["ncrossb"] + crossing.astype(F32),
         )
 
     def crossing_cond(c):
@@ -1320,7 +1397,11 @@ def _kernel(
     o_em_x[:] = state["em_x"]; o_em_y[:] = state["em_y"]
     o_em_z[:] = state["em_z"]; o_em_t[:] = state["em_t"]
     o_nsc[:] = state["nsc"]; o_inkscat[:] = state["inkscat"]
-    o_est[0] = state["est"]
+    # total boundary-crossing count rides in est[0, 3] (see engine unpack)
+    o_est[0] = state["est"] + (
+        (jax.lax.broadcasted_iota(I32, (ncells, 8), 0) == 0)
+        & (jax.lax.broadcasted_iota(I32, (ncells, 8), 1) == 3)
+    ).astype(F32) * jnp.sum(state["ncrossb"])
     o_gamma[0] = state["gam"]
     o_bfheat[0] = state["bfh"]
     o_rb[0] = state["rb"]
@@ -1330,8 +1411,9 @@ def _kernel(
     mcol = jax.lax.broadcasted_iota(I32, (1, 8, 128), 2)
     misc = jnp.zeros((1, 8, 128), F32)
     for slot, val in enumerate(
-        (state["nadv"], state["nesc"], state["lum"], t2, tmin,
-         state["n_escat"], state["n_thickscat"])
+        (jnp.sum(state["nadv"]), jnp.sum(state["nesc"]),
+         jnp.sum(state["lum"]), t2, tmin,
+         jnp.sum(state["n_escat"]), jnp.sum(state["n_thickscat"]))
     ):
         misc = misc + jnp.where((mrow == slot) & (mcol == 0), val, 0.0)
     o_misc[:] = misc
@@ -1383,7 +1465,33 @@ def propagate_blocked(
     def as_row(x):
         return x.reshape(1, -1) if x.ndim == 1 else x
 
+    # --- fused gather table: one (16, nprop) @ (nprop, B) MXU dot per
+    # crossing fetches mgi + the six cell values (+ the 1D coord bounds)
+    # together.  It is stored TRANSPOSED so each per-lane value is a
+    # sublane-row slice of the (16, B) result: extracting a lane COLUMN
+    # to a (B,) vector forces a sublane<->lane relayout in Mosaic, which
+    # measured as the dominant per-crossing cost (round-3 ablation).
+    # Row key: prop cell for 1D/2D grids, model-grid index for 3D (whose
+    # cellmax0 slot holds nonemptymgi_of_mgi).
+    key = (tables["cellmax0"] if cart3d
+           else tables["mgi_of_cell"]).reshape(-1)[:nprop].astype(F32)
+    safe = jnp.clip(jnp.round(key).astype(I32), 0, max(ncells - 1, 0))
+
+    def _bymgi(name):
+        return tables[name].reshape(-1)[safe].astype(F32)
+
+    zcol = jnp.zeros((nprop,), F32)
+    if cart3d:
+        bmin, bmax = zcol, zcol
+    else:
+        bmin = tables["cellmin0"].reshape(-1)[:nprop].astype(F32)
+        bmax = tables["cellmax0"].reshape(-1)[:nprop].astype(F32)
+    prop_tab = jnp.stack(
+        [key, _bymgi("nne"), _bymgi("Te"), _bymgi("kappagrey"),
+         _bymgi("rho"), _bymgi("thick"), _bymgi("chiffpart"), bmin, bmax]
+        + [zcol] * 7, axis=0)  # (16, nprop)
     tables = {k: as_row(v) for k, v in tables.items()}
+    tables["prop_tab"] = prop_tab
 
     # production linelists: the (ncells, Lpad) tau table and the line
     # frequencies stay in HBM and are DMA-streamed per walk block
@@ -1392,10 +1500,11 @@ def propagate_blocked(
                  else table_spec)
     in_specs = (
         [lane_spec] * (len(lane_names) + len(int_names) + 2)
-        + [table_spec] * 9 + [line_spec, line_spec, line_spec] + [table_spec]
+        + [table_spec] * 10 + [line_spec, line_spec, line_spec] + [table_spec]
     )
     table_list = [
         tables["mgi_of_cell"], tables["cellmin0"], tables["cellmax0"],
+        tables["prop_tab"],
         tables["nne"], tables["Te"], tables["kappagrey"], tables["rho"],
         tables["thick"], tables["chiffpart"], tables["line_nu"],
         tables["tau_factor"], tables["jb_map"], tables["cont_nu_edge"],

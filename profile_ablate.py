@@ -107,6 +107,13 @@ def main() -> None:
     for mi in mi_list:
         run_one(f"mi={mi:3d} full", opts.replace(rpkt_crossings_per_dispatch=mi))
 
+    for blk in (
+        int(v) for v in os.environ.get("ARTIS_ABLATE_BLOCKS", "").split(",")
+        if v
+    ):
+        run_one(f"mi=64 block={blk:5d}",
+                opts.replace(rpkt_crossings_per_dispatch=64, pallas_block=blk))
+
     # section ablations at mi=64 (each is a fresh Mosaic compile)
     ab_list = tuple(
         t for t in os.environ.get(
