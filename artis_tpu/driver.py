@@ -104,14 +104,57 @@ def printout(logfile, msg):
         logfile.flush()
 
 
+def _kappagrey_just2022(x_lan, t_r):
+    """Just+2022 grey kappa: analytic in the lanthanide mass fraction with a
+    temperature suppression below T_R = 2000 K (reference: grid.cc:1790-1820,
+    fit to Kasen+2017 lightcurves for ALCAR simulations)."""
+    x_lan = np.asarray(x_lan, dtype=np.float64)
+    t_r = np.asarray(t_r, dtype=np.float64)
+    kappa = np.where(
+        x_lan < 1e-7, 0.2,
+        np.where(x_lan < 1e-3, 3.0 * (x_lan / 1e-3) ** 0.3,
+                 np.where(x_lan < 1e-1, 3.0 * (x_lan / 1e-3) ** 0.5,
+                          30.0 * (x_lan / 1e-1) ** 0.1)))
+    return np.where(t_r < 2000.0, kappa * (t_r / 2000.0) ** 5, kappa)
+
+
+def sf_default_carry(ncells, nions, naug, nexc, dtype):
+    """Fresh cross-timestep Spencer-Fano carry state: the skip-solution
+    defaults (nonthermal.cc:2393-2419 — Axelrod heating fraction 0.97 and
+    zeroed eff_ionpot so rates fall back to the WF approximation; here
+    frac_ionization stays 0 because it routes transport deposits and zero
+    eff_ionpot routes everything to heating) plus the solution-reuse
+    bookkeeping (nneperion_when_solved / timestep_last_solved,
+    nonthermal.cc:2421-2442)."""
+    base = jnp.zeros((naug,), dtype).at[0].set(1.0)
+    return dict(
+        eff_ionpot=jnp.zeros((ncells, nions), dtype),
+        frac_heating=jnp.full((ncells,), 0.97, dtype),
+        frac_ionization=jnp.zeros((ncells,), dtype),
+        frac_excitation=jnp.zeros((ncells,), dtype),
+        frac_ion_by_ion=jnp.zeros((ncells, nions), dtype),
+        prob_num_auger=jnp.broadcast_to(base, (ncells, nions, naug)),
+        ionenfrac_num_auger=jnp.broadcast_to(base, (ncells, nions, naug)),
+        exc_ratecoeff_perdep=jnp.zeros((ncells, max(nexc, 1)), dtype),
+        exc_fracdep_cum=jnp.zeros((ncells, max(nexc, 1)), dtype),
+        xe_when_solved=jnp.full((ncells,), -1.0, dtype),
+        ts_last_solved=jnp.full((ncells,), -1, jnp.int32),
+    )
+
+
+_SF_BOOKKEEPING = ("xe_when_solved", "ts_last_solved")
+
+
 def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                           ffheating_norm, dep_heating, mode: str,
                           binj_norm=None, binnuj_norm=None, bincount=None,
                           gammaest_norm=None, bfrate_normed=None,
                           jblue_normed=None, jblue_contribcount=None,
+                          sf_carry=None, nts_dev=None,
                           radfield_use_bins: bool = False,
                           nlte_indices=None, ntd=None, nt_wf=None,
-                          nt_sf_skip: bool = False, vpkt_exclude=()):
+                          nt_sf_skip: bool = False, vpkt_exclude=(),
+                          num_lte_timesteps: int = 0):
     """All device work of one grid update fused into a single dispatch:
     radiation-field fits, T_e solve or LTE T_J path, Saha/nne balance, level
     populations, ff-opacity parts and the macro-atom/cooling rate tables
@@ -246,24 +289,29 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         return jnp.where(dep_heating[:, None] > 0, r, 0.0)
 
     def _sf_defaults():
-        # values in force when the SF solve is skipped
-        # (nonthermal.cc:2393-2419): Axelrod heating fraction 0.97 and
-        # zeroed eff_ionpot, so rates fall back to the WF approximation.
-        # frac_ionization is kept 0 here (not the reported 0.03 constant)
-        # because it routes transport deposits, and with zero eff_ionpot the
-        # reference's get_ntion_energyrate routes everything to heating.
-        base = jnp.zeros((naug,), dtype_c).at[0].set(1.0)
-        return dict(
-            eff_ionpot=jnp.zeros((ncells, nions), dtype_c),
-            frac_heating=jnp.full((ncells,), 0.97, dtype_c),
-            frac_ionization=jnp.zeros((ncells,), dtype_c),
-            frac_excitation=jnp.zeros((ncells,), dtype_c),
-            frac_ion_by_ion=jnp.zeros((ncells, nions), dtype_c),
-            prob_num_auger=jnp.broadcast_to(base, (ncells, nions, naug)),
-            ionenfrac_num_auger=jnp.broadcast_to(base, (ncells, nions, naug)),
-            exc_ratecoeff_perdep=jnp.zeros((ncells, max(nexc, 1)), dtype_c),
-            exc_fracdep_cum=jnp.zeros((ncells, max(nexc, 1)), dtype_c),
+        # values in force when the SF solve is skipped (see sf_default_carry)
+        full = sf_default_carry(ncells, nions, naug, nexc, dtype_c)
+        return {k: v for k, v in full.items() if k not in _SF_BOOKKEEPING}
+
+    def _sf_carry_init():
+        """(sfst, xe_last, ts_last) start state for this timestep: the
+        carried cross-timestep solution where still valid, defaults where
+        stale.  A solution is stale when it is older than
+        sf_max_ts_between_solutions timesteps or was solved during the LTE
+        phase (reference keep-conditions, nonthermal.cc:2432-2442); staleness
+        invalidates via xe=-1 so the in-loop x_e gate forces a re-solve."""
+        if sf_carry is None or ntd is None or nts_dev is None:
+            return (_sf_defaults(),
+                    jnp.full((ncells,), -1.0, dtype_c),
+                    jnp.full((ncells,), -1, jnp.int32))
+        sfst = {k: v for k, v in sf_carry.items() if k not in _SF_BOOKKEEPING}
+        ts_last = sf_carry["ts_last_solved"]
+        stale = (
+            (nts_dev - ts_last > opts.sf_max_ts_between_solutions)
+            | (ts_last <= num_lte_timesteps)
         )
+        xe_last = jnp.where(stale, -1.0, sf_carry["xe_when_solved"])
+        return sfst, xe_last, ts_last
 
     def _sf_solve(cells_c, nnion0):
         boltz0 = ltepop_mod.calculate_levelpops(dad, cells_c, opts)
@@ -316,11 +364,10 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
         tol = opts.nlte_convergence_tol
         maxiter = max(opts.nlte_outer_iters, 1)
         lp0 = ltepop_mod.calculate_levelpops(dad, cells, opts)
-        sf0 = _sf_defaults()
+        sf0, xe0, ts_last0 = _sf_carry_init()
         # grey (thick==1) cells keep the T_J route set above; the reference
         # never calls solve_Te_nltepops for them (update_grid.cc:961-978)
         converged0 = cells.thick == 1
-        xe0 = jnp.full((ncells,), -1.0, dtype_c)
 
         def _freeze(mask, new, old):
             return jax.tree_util.tree_map(
@@ -329,15 +376,17 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                 new, old)
 
         def _body(carry):
-            it, converged, cells_c, lp_c, sfst, xe_last, fd, it_used = carry
+            (it, converged, cells_c, lp_c, sfst, xe_last, solved, fd,
+             it_used) = carry
             active = ~converged
             nnion0 = ltepop_mod.get_nnion(dad, cells_c)
             nniontot = jnp.maximum(jnp.sum(nnion0, axis=1), 1e-300)
             if ntd is not None and not nt_sf_skip:
                 # re-solve Spencer-Fano only where x_e moved >= 5% since the
                 # last solution (the NT_MAX_FRACDIFF_NNEPERION gate,
-                # nonthermal.cc:2426-2442); skip the whole batched solve
-                # when no active cell needs it
+                # nonthermal.cc:2426-2442; cross-timestep reuse arrives
+                # pre-invalidated by _sf_carry_init); skip the whole batched
+                # solve when no active cell needs it
                 xe = cells_c.nne / nniontot
                 need = active & (
                     (xe_last <= 0)
@@ -351,6 +400,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
                 )
                 sfst = _freeze(need, sf_new, sfst)
                 xe_last = jnp.where(need, xe, xe_last)
+                solved = solved | need
             nt_rate_c = _nt_rate(sfst, cells_c, nniontot)
             if ntd is not None:
                 heatfrac = sfst["frac_heating"]
@@ -390,19 +440,27 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             fd = jnp.where(active, fd_new, fd)
             it_used = jnp.where(active, it + 1, it_used)
             converged = converged | (fd_new <= tol)
-            return (it + 1, converged, cells_c, lp_c, sfst, xe_last, fd,
-                    it_used)
+            return (it + 1, converged, cells_c, lp_c, sfst, xe_last, solved,
+                    fd, it_used)
 
         def _cond(carry):
             return (carry[0] < maxiter) & ~jnp.all(carry[1])
 
-        (_, _, cells, levelpops, sfst, _, nlte_fracdiff, nlte_iters) = \
-            jax.lax.while_loop(
-                _cond, _body,
-                (jnp.int32(0), converged0, cells, lp0, sf0, xe0,
-                 jnp.zeros((ncells,), dtype_c),
-                 jnp.zeros((ncells,), jnp.int32)),
-            )
+        (_, _, cells, levelpops, sfst, xe_out, sf_solved, nlte_fracdiff,
+         nlte_iters) = jax.lax.while_loop(
+            _cond, _body,
+            (jnp.int32(0), converged0, cells, lp0, sf0, xe0,
+             jnp.zeros((ncells,), bool),
+             jnp.zeros((ncells,), dtype_c),
+             jnp.zeros((ncells,), jnp.int32)),
+        )
+        if nts_dev is not None:
+            ts_last_out = jnp.where(
+                sf_solved, nts_dev.astype(jnp.int32), ts_last0)
+        else:
+            ts_last_out = ts_last0
+        sf_carry_out = dict(
+            sfst, xe_when_solved=xe_out, ts_last_solved=ts_last_out)
         if ntd is not None:
             nt_frac_ion_by_ion = sfst["frac_ion_by_ion"]
             nt_frac_ionization = sfst["frac_ionization"]
@@ -410,13 +468,46 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             nt_ionenfrac = sfst["ionenfrac_num_auger"]
             nt_exc_fracdep_cum = sfst["exc_fracdep_cum"]
     else:
+        # no NLTE outer loop: pass the SF carry through (or, below, update
+        # it from the single solve)
+        if sf_carry is not None:
+            sf_carry_out = sf_carry
+        else:
+            sf_carry_out = dict(
+                _sf_defaults(),
+                xe_when_solved=jnp.full((ncells,), -1.0, dtype_c),
+                ts_last_solved=jnp.full((ncells,), -1, jnp.int32))
         if mode == "nlte" and (ntd is not None or nt_wf is not None):
             # no NLTE levels: SF + T_e + ion balance run once, no iteration
             # (update_grid.cc:710-721 "break; no iteration is needed")
             nnion0 = ltepop_mod.get_nnion(dad, cells)
             nniontot = jnp.maximum(jnp.sum(nnion0, axis=1), 1e-300)
-            sfst = (_sf_solve(cells, nnion0)
-                    if ntd is not None and not nt_sf_skip else _sf_defaults())
+            if ntd is not None and not nt_sf_skip:
+                sf0, xe0, ts_last0 = _sf_carry_init()
+                xe = cells.nne / nniontot
+                need = (
+                    (xe0 <= 0)
+                    | (jnp.abs(xe0 / jnp.maximum(xe, 1e-300) - 1.0) >= 0.05)
+                )
+                sf_new = jax.lax.cond(
+                    jnp.any(need),
+                    lambda c: _sf_solve(c, nnion0),
+                    lambda c: sf0, cells,
+                )
+                sfst = jax.tree_util.tree_map(
+                    lambda n, o: jnp.where(
+                        need.reshape((ncells,) + (1,) * (n.ndim - 1)), n, o),
+                    sf_new, sf0)
+                if nts_dev is not None:
+                    ts_last_out = jnp.where(
+                        need, nts_dev.astype(jnp.int32), ts_last0)
+                else:
+                    ts_last_out = ts_last0
+                sf_carry_out = dict(
+                    sfst, xe_when_solved=jnp.where(need, xe, xe0),
+                    ts_last_solved=ts_last_out)
+            else:
+                sfst = _sf_defaults()
             if ntd is not None:
                 nt_frac_ion_by_ion = sfst["frac_ion_by_ion"]
                 nt_frac_ionization = sfst["frac_ionization"]
@@ -479,7 +570,7 @@ def _plasma_update_device(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
             nt_frac_ion_by_ion, nt_frac_ionization, nt_frac_excitation,
             nt_ionenfrac, nt_exc_fracdep_cum,
             tr_bins, w_bins, vcum_tau, vcum_taunu, expo_kappa, expo_pc,
-            expo_wcum, expo_binoff, nlte_fracdiff, nlte_iters)
+            expo_wcum, expo_binoff, nlte_fracdiff, nlte_iters, sf_carry_out)
 
 
 class Simulation:
@@ -927,7 +1018,8 @@ class Simulation:
                 _plasma_update_device, nlte_indices=self.nlte_indices,
                 ntd=self.ntd, nt_wf=self.nt_wf,
                 vpkt_exclude=(self.vpkt_cfg.exclude
-                              if self.vpkt_cfg is not None else ())
+                              if self.vpkt_cfg is not None else ()),
+                num_lte_timesteps=int(self.params.num_lte_timesteps),
             ),
             static_argnames=("opts", "mode", "radfield_use_bins",
                              "nt_sf_skip"),
@@ -953,9 +1045,8 @@ class Simulation:
             opcase2_normal = GREY_OP * rho_sum / (0.9 * fe_sum + 0.1 * self.grid.ngrid)
             kappa = opcase2_normal / rho_tmin * (0.9 * ffegrp + 0.1)
         elif case == 3:
-            self.rho_crit = (
-                9.1093897e-28 * CLIGHT * 56 * MH / (PI * 1e-10)
-            )  # placeholder; full rho_crit set per timestep
+            # rho_crit is recomputed at every timestep in update_grid (the
+            # per-timestep regime switch, update_grid.cc:1090-1097)
             kappagrey = 0.9 * ffegrp + 0.1
             opcase3_sum = (kappagrey * rho_tmin).sum()
             self.opcase3_normal = GREY_OP * rho_sum / opcase3_sum
@@ -966,16 +1057,205 @@ class Simulation:
                 [ye <= 0.1, ye <= 0.15, ye <= 0.2, ye <= 0.25, ye <= 0.3, ye <= 0.35],
                 [19.5, 32.2, 22.3, 5.6, 5.36, 3.3], default=0.96,
             )
+        elif case == 6:
+            # Just+2022 T_R/lanthanide-fraction kappa at t=tmin; recomputed
+            # every timestep in update_grid (update_grid.cc:885-887)
+            elem_massfrac0, _ = decay_mod.update_abundances(
+                self.dec, self.initnucmassfrac[mgi], self.stable_initabund,
+                self.ad.elem_meanweight_init, np.asarray(self.ad.elem_z),
+                self.params.tmin,
+            )
+            kappa = _kappagrey_just2022(
+                self._lanthanide_massfrac(elem_massfrac0),
+                np.asarray(self.cells.TR),
+            )
         else:
             kappa = np.full_like(rho_tmin, GREY_OP)
         self._kappagrey_np = np.asarray(kappa)
         self.cells = self.cells.replace(kappagrey=jnp.asarray(kappa))
+
+    def _lanthanide_massfrac(self, elem_massfrac):
+        """Summed lanthanide (57 <= Z <= 71) mass fraction per cell
+        (reference: grid.cc:1795-1801)."""
+        zarr = np.asarray(self.ad.elem_z)
+        lan = (zarr >= 57) & (zarr <= 71)
+        return np.asarray(elem_massfrac)[:, lan].sum(axis=1)
 
     def _total_masses(self):
         vol = model_io.model_cell_volume_at_tmin(self.model, self.params.tmin)
         mtot = (self.model.rho_tmin * vol).sum()
         mfegroup = (self.model.rho_tmin * vol * self.model.ffegrp).sum()
         return mtot, mfegroup
+
+    # ------------------------------------------------------------------
+    def _plasma_call(self, nts: int, mode_force=None, prev_est="self"):
+        """Normalise the previous timestep's estimators and invoke the jitted
+        plasma update (factored out of update_grid so warm_plasma can
+        pre-compile every (mode, signature) this run will dispatch).
+
+        Returns (mode, results-tuple)."""
+        p = self.params
+        opts = self.opts
+        tmid = float(self.ts.mid[nts])
+        ncells = self.grid.nonempty_npts
+        mgi = self.mgi_of_nonempty
+        lte_mode = nts < p.num_lte_timesteps
+        if isinstance(prev_est, str):
+            prev_est = self.prev_est
+
+        # "first" means no previous transport estimators exist; a RESUMED run
+        # restores prev_est from the checkpoint and must use it (the reference
+        # reads the LUT estimators back from gridsave, grid.cc:865-905)
+        first_ts = prev_est is None
+        if first_ts:
+            j_norm = jnp.zeros(ncells)
+            nuj_norm = jnp.zeros(ncells)
+        else:
+            # normalise estimators from the previous timestep's transport
+            nts_prev = nts - 1
+            deltat = float(self.ts.width[nts_prev])
+            if not hasattr(self, "_assoc_vol"):
+                vol_tmin = grid_mod.get_cell_volume_tmin(self.grid, self.grid_host)
+                assoc_vol = np.zeros(self.grid.npts_model + 1)
+                np.add.at(assoc_vol, self.grid_host.mgi_of_cell, vol_tmin)
+                self._assoc_vol = assoc_vol
+            deltav = self._assoc_vol[mgi] * (float(self.ts.mid[nts_prev]) / p.tmin) ** 3
+            norm4pi = self._e0 * ONEOVER4PI / (deltav * deltat)  # nprocs folded into psum
+            j_norm = prev_est.j * jnp.asarray(norm4pi)
+            nuj_norm = prev_est.nuj * jnp.asarray(norm4pi)
+
+        # deposition heating rate density [erg/s/cm3]: path estimators
+        # normalised, NT heating fraction = 1 with the NT solver off
+        # (nonthermal.cc:2096-2159)
+        if first_ts:
+            ffheating_norm = jnp.zeros(ncells)
+            dep_heating = jnp.zeros(ncells)
+            mode = "first"
+        else:
+            ffheating_norm = prev_est.ffheating * jnp.asarray(norm4pi * FOURPI)
+            dep_norm = jnp.asarray(norm4pi * FOURPI)
+            dep_heating = (
+                prev_est.dep_gamma + prev_est.dep_positron
+                + prev_est.dep_electron + prev_est.dep_alpha
+            ) * dep_norm
+            mode = "lte" if lte_mode or bool(np.all(np.asarray(self.cells.thick) == 1)) else "nlte"
+        if mode_force is not None:
+            mode = mode_force
+
+        if self._f32:
+            j_norm = demote_to_f32(j_norm)
+            nuj_norm = demote_to_f32(nuj_norm)
+            ffheating_norm = demote_to_f32(ffheating_norm)
+            dep_heating = demote_to_f32(dep_heating)
+        if self.opts.multibin_radfield and prev_est is not None:
+            normb = jnp.asarray(norm4pi)[:, None] if not first_ts else 0.0
+            binj_norm = prev_est.radfieldbin_j * normb
+            binnuj_norm = prev_est.radfieldbin_nuj * normb
+            bincount = prev_est.radfieldbin_count
+            if self._f32:
+                binj_norm = demote_to_f32(binj_norm)
+                binnuj_norm = demote_to_f32(binnuj_norm)
+        else:
+            binj_norm = binnuj_norm = bincount = None
+        gammaest_norm = None
+        if (self.opts.use_lut_photoion and prev_est is not None
+                and not first_ts):
+            from .constants import H as _H
+            gammaest_norm = prev_est.gammaestimator * jnp.asarray(
+                norm4pi * FOURPI / _H
+            )[:, None]
+            if self._f32:
+                gammaest_norm = demote_to_f32(gammaest_norm)
+        bfrate_normed = None
+        if (self.opts.detailed_bf_estimators_on and prev_est is not None
+                and not first_ts
+                and nts >= self.opts.detailed_bf_estimators_usefromtimestep):
+            from .constants import H as _H
+            # prev_bfrate_normed = bfrate_raw * estimator_normfactor / H
+            # (reference: radfield.cc:946)
+            bfrate_normed = prev_est.bfrate * jnp.asarray(
+                norm4pi * FOURPI / _H
+            )[:, None]
+            if self._f32:
+                bfrate_normed = demote_to_f32(bfrate_normed)
+        jblue_normed = None
+        jblue_contribcount = None
+        if (self.opts.detailed_line_estimators_on and prev_est is not None
+                and not first_ts):
+            # prev_Jb_lu_normed = raw * estimator_normfactor_over4pi
+            # (reference: radfield.cc:919)
+            jb_arr = prev_est.jblue_raw * jnp.asarray(norm4pi)[:, None]
+            jblue_contribcount = prev_est.jblue_count
+            if self._f32:
+                jb_arr = demote_to_f32(jb_arr)
+            jblue_normed = (self.jblue_of_line, jb_arr)
+        results = self._plasma_jit(
+            self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
+            jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
+            ffheating_norm, dep_heating, mode=mode,
+            binj_norm=binj_norm, binnuj_norm=binnuj_norm, bincount=bincount,
+            gammaest_norm=gammaest_norm, bfrate_normed=bfrate_normed,
+            jblue_normed=jblue_normed, jblue_contribcount=jblue_contribcount,
+            sf_carry=self._sf_carry_or_default(),
+            nts_dev=jnp.asarray(nts, jnp.int32),
+            radfield_use_bins=bool(nts >= self.opts.first_nlte_radfield_timestep),
+            nt_sf_skip=bool(nts == self.params.num_lte_timesteps),
+        )
+        return mode, results
+
+    def _sf_carry_or_default(self):
+        """The cross-timestep Spencer-Fano carry (sf_max_ts_between_solutions
+        reuse, nonthermal.cc:2432-2442), or a fresh default-state dict so the
+        jit signature stays uniform across timesteps."""
+        if self.ntd is None:
+            return None
+        carry = getattr(self, "_sf_carry", None)
+        if carry is not None:
+            return carry
+        naug = self.opts.nt_max_auger_electrons + 1
+        nexc = (self.ntd.exc_upper.shape[0]
+                if self.opts.nt_excitation_on else 1)
+        return sf_default_carry(
+            self.grid.nonempty_npts, self.dad.nions_total, naug, nexc,
+            jnp.float32 if self._f32 else jnp.float64)
+
+    def warm_plasma(self, nts_start: int):
+        """Pre-compile the plasma-update programs for every (mode, static
+        signature) the run from nts_start can dispatch, so no XLA compile
+        fires inside a timestep's grid update (a grey->non-grey mode switch
+        used to cost ~15 s at the first non-grey timestep on TPU).
+
+        Signatures are enumerated from the timestep schedule; the dynamic
+        all-cells-thick override only ever demotes "nlte" to "lte", which is
+        warmed anyway.  Results are discarded; driver state is untouched."""
+        p = self.params
+        first_done = self.prev_est is not None
+        seen = set()
+        todo = []  # (mode, representative nts) per unique static signature
+        for nts in range(nts_start, p.timestep_finish):
+            if not first_done and nts == nts_start:
+                mode = "first"
+            else:
+                mode = "lte" if nts < p.num_lte_timesteps else "nlte"
+            sig = (mode,
+                   bool(nts >= self.opts.first_nlte_radfield_timestep),
+                   bool(nts == p.num_lte_timesteps))
+            if sig not in seen:
+                seen.add(sig)
+                todo.append((mode, nts))
+        t0 = _time.time()
+        zero_est = self._zero_est()
+        for mode, nts in todo:
+            pe = None if mode == "first" else zero_est
+            mode_out, results = self._plasma_call(
+                nts, mode_force=(None if mode == "first" else mode),
+                prev_est=pe)
+            jax.block_until_ready(results[0].Te)
+        self.log(
+            f"warm_plasma: {len(todo)} plasma programs compiled in "
+            f"{_time.time() - t0:.1f}s "
+            f"(modes {[m for m, _ in todo]})"
+        )
 
     # ------------------------------------------------------------------
     def update_grid(self, nts: int):
@@ -1020,105 +1300,27 @@ class Simulation:
         nnetot = cellstate_mod.calculate_nnetot(self.cells, self.dad)
         self.cells = self.cells.replace(nnetot=nnetot)
 
-        # "first" means no previous transport estimators exist; a RESUMED run
-        # restores prev_est from the checkpoint and must use it (the reference
-        # reads the LUT estimators back from gridsave, grid.cc:865-905)
-        first_ts = self.prev_est is None
-        if first_ts:
-            j_norm = jnp.zeros(ncells)
-            nuj_norm = jnp.zeros(ncells)
-        else:
-            # normalise estimators from the previous timestep's transport
-            nts_prev = nts - 1
-            deltat = float(self.ts.width[nts_prev])
-            if not hasattr(self, "_assoc_vol"):
-                vol_tmin = grid_mod.get_cell_volume_tmin(self.grid, self.grid_host)
-                assoc_vol = np.zeros(self.grid.npts_model + 1)
-                np.add.at(assoc_vol, self.grid_host.mgi_of_cell, vol_tmin)
-                self._assoc_vol = assoc_vol
-            deltav = self._assoc_vol[mgi] * (float(self.ts.mid[nts_prev]) / p.tmin) ** 3
-            norm4pi = self._e0 * ONEOVER4PI / (deltav * deltat)  # nprocs folded into psum
-            j_norm = self.prev_est.j * jnp.asarray(norm4pi)
-            nuj_norm = self.prev_est.nuj * jnp.asarray(norm4pi)
+        if p.opacity_case == 6:
+            # Just+2022 kappa recomputed per timestep from the decayed
+            # lanthanide fraction and the previous fit's T_R — the reference
+            # recomputes BEFORE the new radiation-field fits
+            # (update_grid.cc:885-887 -> grid.cc:1790-1820)
+            kgrey6 = _kappagrey_just2022(
+                self._lanthanide_massfrac(elem_massfrac),
+                np.asarray(self.cells.TR))
+            self._kappagrey_np = np.asarray(kgrey6)
+            self.cells = self.cells.replace(kappagrey=jnp.asarray(kgrey6))
 
-        # deposition heating rate density [erg/s/cm3]: path estimators
-        # normalised, NT heating fraction = 1 with the NT solver off
-        # (nonthermal.cc:2096-2159)
-        if first_ts:
-            ffheating_norm = jnp.zeros(ncells)
-            dep_heating = jnp.zeros(ncells)
-            mode = "first"
-        else:
-            ffheating_norm = self.prev_est.ffheating * jnp.asarray(norm4pi * FOURPI)
-            dep_norm = jnp.asarray(norm4pi * FOURPI)
-            dep_heating = (
-                self.prev_est.dep_gamma + self.prev_est.dep_positron
-                + self.prev_est.dep_electron + self.prev_est.dep_alpha
-            ) * dep_norm
-            mode = "lte" if lte_mode or bool(np.all(np.asarray(self.cells.thick) == 1)) else "nlte"
-
-        if self._f32:
-            j_norm = demote_to_f32(j_norm)
-            nuj_norm = demote_to_f32(nuj_norm)
-            ffheating_norm = demote_to_f32(ffheating_norm)
-            dep_heating = demote_to_f32(dep_heating)
-        if self.opts.multibin_radfield and self.prev_est is not None:
-            normb = jnp.asarray(norm4pi)[:, None] if not first_ts else 0.0
-            binj_norm = self.prev_est.radfieldbin_j * normb
-            binnuj_norm = self.prev_est.radfieldbin_nuj * normb
-            bincount = self.prev_est.radfieldbin_count
-            if self._f32:
-                binj_norm = demote_to_f32(binj_norm)
-                binnuj_norm = demote_to_f32(binnuj_norm)
-        else:
-            binj_norm = binnuj_norm = bincount = None
-        gammaest_norm = None
-        if (self.opts.use_lut_photoion and self.prev_est is not None
-                and not first_ts):
-            from .constants import H as _H
-            gammaest_norm = self.prev_est.gammaestimator * jnp.asarray(
-                norm4pi * FOURPI / _H
-            )[:, None]
-            if self._f32:
-                gammaest_norm = demote_to_f32(gammaest_norm)
-        bfrate_normed = None
-        if (self.opts.detailed_bf_estimators_on and self.prev_est is not None
-                and not first_ts
-                and nts >= self.opts.detailed_bf_estimators_usefromtimestep):
-            from .constants import H as _H
-            # prev_bfrate_normed = bfrate_raw * estimator_normfactor / H
-            # (reference: radfield.cc:946)
-            bfrate_normed = self.prev_est.bfrate * jnp.asarray(
-                norm4pi * FOURPI / _H
-            )[:, None]
-            if self._f32:
-                bfrate_normed = demote_to_f32(bfrate_normed)
-        jblue_normed = None
-        jblue_contribcount = None
-        if (self.opts.detailed_line_estimators_on and self.prev_est is not None
-                and not first_ts):
-            # prev_Jb_lu_normed = raw * estimator_normfactor_over4pi
-            # (reference: radfield.cc:919)
-            jb_arr = self.prev_est.jblue_raw * jnp.asarray(norm4pi)[:, None]
-            jblue_contribcount = self.prev_est.jblue_count
-            if self._f32:
-                jb_arr = demote_to_f32(jb_arr)
-            jblue_normed = (self.jblue_of_line, jb_arr)
+        mode, results = self._plasma_call(nts)
         (self.cells, levelpops, nnion, chi_ff_part, self.rates,
          tau_sob, bf_a, bf_dep, nt_fibi, nt_fi, nt_fe, nt_ionenfrac,
          nt_exc_fracdep_cum,
          self.radfieldbin_tr, self.radfieldbin_w,
          vcum_tau, vcum_taunu, expo_kappa, expo_pc,
-         expo_wcum, expo_binoff, nlte_fracdiff, nlte_iters) = self._plasma_jit(
-            self.dad, self.rc, self.cells, opts, j_norm, nuj_norm,
-            jnp.asarray(tmid, dtype=jnp.float32 if self._f32 else jnp.float64),
-            ffheating_norm, dep_heating, mode=mode,
-            binj_norm=binj_norm, binnuj_norm=binnuj_norm, bincount=bincount,
-            gammaest_norm=gammaest_norm, bfrate_normed=bfrate_normed,
-            jblue_normed=jblue_normed, jblue_contribcount=jblue_contribcount,
-            radfield_use_bins=bool(nts >= self.opts.first_nlte_radfield_timestep),
-            nt_sf_skip=bool(nts == self.params.num_lte_timesteps),
-        )
+         expo_wcum, expo_binoff, nlte_fracdiff, nlte_iters,
+         sf_carry_out) = results
+        if self.ntd is not None:
+            self._sf_carry = sf_carry_out
         if mode == "nlte" and self.opts.nlte_enabled and self.nlte_indices:
             fdmax = float(jnp.max(nlte_fracdiff))
             itmax = int(jnp.max(nlte_iters))
@@ -1282,6 +1484,9 @@ class Simulation:
             f"warm_transport: {1 + len(tail_widths)} programs compiled in "
             f"{_time.time() - t0:.1f}s (widths {[self.opts.npkts] + tail_widths})"
         )
+        # also warm the plasma-update programs (both the grey and non-grey
+        # specialisations) so no compile fires at a mid-run mode switch
+        self.warm_plasma(nts)
 
     # ------------------------------------------------------------------
     def do_timestep(self, nts: int):
@@ -1317,6 +1522,16 @@ class Simulation:
         sub = None
         tail_idx = None
         transport_kwargs = self._transport_kwargs(nts)
+        # drained wavefronts (late timesteps: most packets escaped) start
+        # straight in tail mode — one cheap count fetch replaces several
+        # full-width dispatches worth of launch + round-trip cost
+        n_act0 = int(jnp.sum((self.state.ptype != TYPE_ESCAPE).astype(jnp.int32)))
+        if use_tail:
+            w0 = _pick_width(n_act0)
+            if w0 is not None:
+                sub, tail_idx = _gather_active(self.state, t2dev, w0)
+                cur_w = w0
+                mode_tail = True
         for chunk in range(65536):  # hard backstop; each chunk advances or drains
             key = jax.random.fold_in(base_key, chunk)
             if not mode_tail:
@@ -1409,6 +1624,12 @@ class Simulation:
         )
         self.total_rpkt_steps = getattr(self, "total_rpkt_steps", 0) + int(nsteps)
         self.total_transport_seconds = getattr(self, "total_transport_seconds", 0.0) + dt_transport
+        if not hasattr(self, "transport_log"):
+            self.transport_log = []
+        self.transport_log.append(dict(
+            nts=nts, steps=int(nsteps), seconds=dt_transport,
+            iters=int(iters), active_start=n_act0,
+        ))
 
         self.prev_est = self.est
         if self.opts.vpkt_on:
@@ -1567,6 +1788,12 @@ class Simulation:
                 blob[f"est_{f.name}"] = np.asarray(getattr(self.prev_est, f.name))
         for k, v in self.dep_ts.items():
             blob[f"dep_ts_{k}"] = v
+        # cross-timestep Spencer-Fano carry (the reference saves nt_solution
+        # in gridsave too, nonthermal restart block) — required for bit-exact
+        # resume when sf_max_ts_between_solutions > 0
+        if getattr(self, "_sf_carry", None) is not None:
+            for k, v in self._sf_carry.items():
+                blob[f"sfcarry_{k}"] = np.asarray(v)
         np.savez_compressed(
             os.path.join(self.rundir, f"gridsave_ts{next_nts}.npz"),
             lc_lum=self.lc_lum, lc_lumcmf=self.lc_lumcmf,
@@ -1634,6 +1861,12 @@ class Simulation:
         for k in self.dep_ts:
             if f"dep_ts_{k}" in g:
                 self.dep_ts[k] = g[f"dep_ts_{k}"]
+        sfkeys = [k for k in g.files if k.startswith("sfcarry_")]
+        if sfkeys:
+            self._sf_carry = {
+                k[len("sfcarry_"):]: jnp.asarray(g[k]) for k in sfkeys}
+            if self._f32:
+                self._sf_carry = demote_to_f32(self._sf_carry)
 
     def finish(self):
         """Final outputs: packets file for exspec (reference: sn3d.cc:860-877)."""

@@ -217,7 +217,12 @@ class Options:
     # reference's sort-escaped-to-the-end, update_packets.cc:281-332)
     tail_width_divisor: int = 16
     tail_crossings_per_dispatch: int = 1024
-    tail_chunk_iters: int = 8
+    # while-iterations per tail dispatch: the device-side loop exits on its
+    # own when every packet reaches t2, so a large cap means ONE host
+    # round-trip per drained timestep instead of one per few iterations
+    # (~244 ms each through a tunneled backend); bounded so a single device
+    # execution stays under the remote relay's ~100 s deadline
+    tail_chunk_iters: int = 64
     # smallest buffer in the descending tail-width ladder (each 4x step down
     # is its own compiled program; kernel wall time scales with buffer width)
     tail_min_width: int = 256
@@ -239,6 +244,10 @@ class Options:
     transport_chunk_steps: int = 64
     # line-walk chunk width (lines scanned per vector step in get_event)
     linewalk_chunk: int = 256
+    # PROFILING ONLY: wavefront phases to skip at trace time ("conv", "kpkt",
+    # "gamma", "rpkt", "ma", "eventpass") so profile_transport.py can
+    # attribute per-iteration cost; physics is wrong with any phase off
+    phase_ablate: tuple = ()
     # escape-direction binning (reference exspec.h: MABINS=100)
     ncosthetabins: int = 10
     nphibins: int = 10

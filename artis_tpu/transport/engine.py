@@ -903,12 +903,38 @@ def rpkt_step(
         return (st, est, jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
                 jnp.zeros(n, jnp.int32) - 99)
 
-    out = jax.lax.cond(jnp.any(ev["take_event"]), _apply, _none, st, est)
+    if "eventpass" in opts.phase_ablate:  # profiling only
+        out = _none(st, est)
+    else:
+        out = jax.lax.cond(jnp.any(ev["take_event"]), _apply, _none, st, est)
     return out + (nadv,)
 
 
 # test hook: (tau_minuslogu, sel_u) arrays injected into the Pallas kernel
 _PALLAS_TEST_INJECT = None
+
+_ABLATE_WARNED = False
+
+
+def _ablate_sections() -> tuple:
+    """ARTIS_PALLAS_ABLATE kernel-section ablations (profiling only).
+
+    A leftover exported env var would silently disable physics sections
+    (RNG, bound-free, line walk, estimators), so a non-empty tuple logs a
+    loud warning once per process."""
+    global _ABLATE_WARNED
+    sections = tuple(
+        t for t in os.environ.get("ARTIS_PALLAS_ABLATE", "").split(",") if t)
+    if sections and not _ABLATE_WARNED:
+        _ABLATE_WARNED = True
+        import sys
+        print(
+            "WARNING: ARTIS_PALLAS_ABLATE is set "
+            f"({','.join(sections)}) — kernel physics sections are DISABLED; "
+            "results are for profiling only",
+            file=sys.stderr, flush=True,
+        )
+    return sections
 
 from .expansionopacity import NBINS as _EXPO_NBINS
 
@@ -994,11 +1020,10 @@ def rpkt_step_pallas(
     ncont = max(dad.nbfcontinua, 1)
     ngc = max(dad.nbfcontinua_ground, 1)
     nphixs = dad.nphixspoints
-    # cap the chunk: (block, chunk) walk temporaries live in VMEM.
-    # Must stay a multiple of 128: Mosaic requires the dynamic lane offset of
-    # the per-block nu/tau slab loads to be provably 128-aligned.
-    line_chunk = 128 if nlines <= 128 else min(
-        -(-max(opts.linewalk_chunk, 128) // 128) * 128, 256)
+    # (block, chunk) walk temporaries live in VMEM; the chunk formula is
+    # shared with vmem_estimate_bytes so the eligibility gate sizes VMEM for
+    # the chunk the kernel actually uses
+    line_chunk = pk.pick_line_chunk(opts, nlines)
     lpad = -(-max(nlines, 1) // line_chunk) * line_chunk
 
     def padL(x, fill=0.0):
@@ -1111,9 +1136,7 @@ def rpkt_step_pallas(
                if getattr(grid, "model_dim", 1) == 2 else 1),
         # profiling-only section ablation (e.g. "nobf,nowalk"); never set in
         # production — physics is wrong with any section off
-        ablate=tuple(
-            t for t in os.environ.get("ARTIS_PALLAS_ABLATE", "").split(",")
-            if t),
+        ablate=_ablate_sections(),
     )
     (opx, opy, opz, odx, ody, odz, onurf, onucmf, oerf, oecmf, otime,
      owhere, ontr, oevented, oescaped, othick, oisbb, oact, obfidx,
@@ -1222,7 +1245,10 @@ def rpkt_step_pallas(
         return (st, est, jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
                 jnp.zeros(n, jnp.int32) - 99)
 
-    out = jax.lax.cond(jnp.any(touched), _apply, _none, st, est)
+    if "eventpass" in opts.phase_ablate:  # profiling only
+        out = _none(st, est)
+    else:
+        out = jax.lax.cond(jnp.any(touched), _apply, _none, st, est)
     return out + (nadv,)
 
 
@@ -1867,17 +1893,18 @@ def transport_timestep(
                 st = st.replace(ptype=jnp.where(nt_dep, TYPE_KPKT, st.ptype))
             return st, est
 
-        any_convertible = jnp.any(
-            active & (
-                (st.ptype == TYPE_RADIOACTIVE_PELLET)
-                | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_BETAMINUS)
-                | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_BETAPLUS)
-                | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_ALPHA)
-                | (st.ptype == TYPE_NTLEPTON_DEPOSITED)
-                | (st.ptype == TYPE_NTALPHA_DEPOSITED)
+        if "conv" not in opts.phase_ablate:
+            any_convertible = jnp.any(
+                active & (
+                    (st.ptype == TYPE_RADIOACTIVE_PELLET)
+                    | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_BETAMINUS)
+                    | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_BETAPLUS)
+                    | (st.ptype == TYPE_NONTHERMAL_PREDEPOSIT_ALPHA)
+                    | (st.ptype == TYPE_NTLEPTON_DEPOSITED)
+                    | (st.ptype == TYPE_NTALPHA_DEPOSITED)
+                )
             )
-        )
-        st, est = gated(any_convertible, conversions, (st, est))
+            st, est = gated(any_convertible, conversions, (st, est))
 
         # 4. k-packets
         nonemptymgi = jnp.take(grid.nonemptymgi_of_cell, st.where)
@@ -1948,23 +1975,28 @@ def transport_timestep(
                 ))
             return st, est, ma_mask_k, ma_level_k
 
-        st, est, ma_mask_k, ma_level_k = jax.lax.cond(
-            any_kpkt, kpkt_phase,
-            lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
-                             jnp.zeros_like(st.ptype, dtype=jnp.int32)),
-            st, est,
-        )
+        if "kpkt" not in opts.phase_ablate:
+            st, est, ma_mask_k, ma_level_k = jax.lax.cond(
+                any_kpkt, kpkt_phase,
+                lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
+                                 jnp.zeros_like(st.ptype, dtype=jnp.int32)),
+                st, est,
+            )
+        else:
+            ma_mask_k = jnp.zeros_like(st.ptype, dtype=bool)
+            ma_level_k = jnp.zeros_like(st.ptype, dtype=jnp.int32)
 
         # 5. gamma packets
-        any_gamma = jnp.any(active & (st.ptype == TYPE_GAMMA))
-        st, est = gated(
-            any_gamma,
-            lambda st, est: gamma_step(
-                jax.random.fold_in(k, 106), st, est, ctx, grid, cells.rho,
-                cells.nnetot, cells.ffegrp, gamma_kappagrey, opts,
-            ),
-            (st, est),
-        )
+        if "gamma" not in opts.phase_ablate:
+            any_gamma = jnp.any(active & (st.ptype == TYPE_GAMMA))
+            st, est = gated(
+                any_gamma,
+                lambda st, est: gamma_step(
+                    jax.random.fold_in(k, 106), st, est, ctx, grid, cells.rho,
+                    cells.nnetot, cells.ffegrp, gamma_kappagrey, opts,
+                ),
+                (st, est),
+            )
 
         # 6. r-packets (single instantiation: host-level chunk-width selection
         # in the driver replaces the old in-program full/compact duality,
@@ -1978,14 +2010,19 @@ def transport_timestep(
                 opacity_case,
             )
 
-        st, est, ma_mask_r, ma_level_r, ma_act_line, nadv_r = jax.lax.cond(
-            n_rpkt > 0, rpkt_phase,
-            lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
-                             jnp.zeros_like(st.ptype, dtype=jnp.int32),
-                             jnp.zeros_like(st.ptype, dtype=jnp.int32) - 99,
-                             jnp.zeros((), jnp.int32)),
-            st, est,
-        )
+        if "rpkt" not in opts.phase_ablate:
+            st, est, ma_mask_r, ma_level_r, ma_act_line, nadv_r = jax.lax.cond(
+                n_rpkt > 0, rpkt_phase,
+                lambda st, est: (st, est, jnp.zeros_like(st.ptype, dtype=bool),
+                                 jnp.zeros_like(st.ptype, dtype=jnp.int32),
+                                 jnp.zeros_like(st.ptype, dtype=jnp.int32) - 99,
+                                 jnp.zeros((), jnp.int32)),
+                st, est,
+            )
+        else:
+            ma_mask_r = jnp.zeros_like(st.ptype, dtype=bool)
+            ma_level_r = jnp.zeros_like(st.ptype, dtype=jnp.int32)
+            nadv_r = jnp.zeros((), jnp.int32)
         # rpkt crossing-step counter (the headline throughput metric)
         nsteps = nsteps + nadv_r.astype(nsteps.dtype)
 
@@ -2109,9 +2146,10 @@ def transport_timestep(
             )
             return st2, est
 
-        st, est = jax.lax.cond(
-            jnp.any(ma_mask), ma_phase, lambda st, est: (st, est), st, est
-        )
+        if "ma" not in opts.phase_ablate:
+            st, est = jax.lax.cond(
+                jnp.any(ma_mask), ma_phase, lambda st, est: (st, est), st, est
+            )
 
         return st, est, nsteps
 

@@ -163,6 +163,17 @@ def pick_block(opts, ncells: int, npropcells: int) -> int:
     return block
 
 
+def pick_line_chunk(opts, nlines: int) -> int:
+    """Line-walk chunk width shared by the kernel wrapper and the VMEM
+    estimate.  Must stay a multiple of 128: Mosaic requires the dynamic lane
+    offset of the per-block nu/tau slab loads to be provably 128-aligned
+    (a drift between the two call sites caused the dec2d95 Mosaic alignment
+    failure — keep this the single source of truth)."""
+    if nlines <= 128:
+        return 128
+    return min(-(-max(opts.linewalk_chunk, 128) // 128) * 128, 256)
+
+
 def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
                         block: int) -> int:
     """Rough, conservative VMEM footprint of one kernel block."""
@@ -171,8 +182,7 @@ def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
     ncont_pad = _round_up(ncont, 128)
     ngc_pad = _round_up(ngc, 128)
     nlines = max(int(dad.nlines), 1)
-    line_chunk = 128 if nlines <= 128 else min(
-        -(-max(opts.linewalk_chunk, 128) // 128) * 128, 256)
+    line_chunk = pick_line_chunk(opts, nlines)
     lpad = _round_up(nlines, line_chunk)
     # estimator accumulator columns carried per nonempty cell
     acc_cols = 8
@@ -201,8 +211,10 @@ def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
     onehot = 3 * block * max(ncells, npropcells)
     # per-lane continuum temporaries (sigma/contrib/window etc.)
     lane_tmp = block * (4 * ncont_pad + line_chunk + 64)
+    # prop-cell tables: 3 legacy rows (mgi/cellmin0/cellmax0) plus the
+    # 16-row fused VMEM-resident prop_tab gather table
     total = (ncells * (acc_cols + cell_tab_cols)
-             + 3 * npropcells + onehot + lane_tmp
+             + 19 * npropcells + onehot + lane_tmp
              + ncont_pad * (int(dad.nphixspoints) + ngc))
     return total * 4
 
@@ -449,7 +461,9 @@ def _kernel(
             rho_p = s["px"] * 0.0 + rho_t[0, 0]
             thickf_p = s["px"] * 0.0
             chiffpart_p = s["px"] * 0.0 + chiffpart_t[0, 0]
-            thick = nonempty & (thickf_p > 0.5)
+            # mirror the production condition: thick==2 is the vpkt-only
+            # flag and must NOT take the grey branch here
+            thick = nonempty & (thickf_p > 0.5) & (thickf_p < 1.5)
             if not cart3d and not cyl2d:
                 coordmin0 = s["px"] * 0.0 + cellmin0[0, 0]
                 coordmax0 = s["px"] * 0.0 + cellmax0[0, nprop - 1]

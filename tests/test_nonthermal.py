@@ -243,3 +243,74 @@ def test_wf_mode_end_to_end(tmp_path):
     assert np.all(np.isfinite(np.asarray(sim.cells.Te)))
     # WF mode: every deposited lepton goes straight to the k-packet channel
     assert total[0] == 0 and total[1] == 0
+
+
+def test_sf_solution_reuse_across_timesteps(tmp_path):
+    """sf_max_ts_between_solutions: a carried Spencer-Fano solution is kept
+    across timesteps while x_e moved < 5% AND the solution is within the age
+    cap AND was solved after the LTE phase (reference keep-conditions,
+    nonthermal.cc:2432-2442).  Knob 0 forces a cross-timestep re-solve; a
+    large knob reuses the carried solution with identical physics.
+
+    Probes _plasma_call directly with a controlled carry so the gate
+    decision is exact: the same grid update is evaluated three times on
+    bit-identical inputs, differing only in the carried solution's age and
+    the knob value."""
+    import jax.numpy as jnp
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, nltenebular
+    from artis_tpu.synthdata import make_run
+
+    d = str(tmp_path)
+    make_run(d, ncells=4, ntimesteps=6, tmax_days=2.5, ngreyts=0,
+             num_lte_timesteps=1)
+    opts = nltenebular(
+        npkts=256, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=16, linewalk_chunk=64, sf_points=48,
+        radfieldbincount=32, detailed_bf_estimators_usefromtimestep=1,
+        nlte_enabled=False,  # single-pass SF branch: fully deterministic
+        sf_max_ts_between_solutions=0,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    assert sim.ntd is not None
+    sim.do_timestep(0)
+    sim.do_timestep(1)  # the nt_sf_skip timestep: carry stays default
+
+    # fresh solve at nts=3: the default carry is stale, every cell solves
+    mode, res = sim._plasma_call(3)
+    assert mode == "nlte"
+    carry = res[-1]
+    assert np.all(np.asarray(carry["ts_last_solved"]) == 3)
+    assert np.all(np.asarray(carry["xe_when_solved"]) > 0)
+
+    # age the solution: pretend it was solved at ts2
+    aged = dict(carry, ts_last_solved=jnp.full_like(
+        carry["ts_last_solved"], 2))
+
+    # knob 0: age 3-2 > 0 -> stale -> re-solve everywhere
+    sim._sf_carry = aged
+    _, res0 = sim._plasma_call(3)
+    assert np.all(np.asarray(res0[-1]["ts_last_solved"]) == 3)
+
+    # knob 5: within the age cap, x_e unchanged (same inputs) -> reuse
+    sim.opts = sim.opts.replace(sf_max_ts_between_solutions=5)
+    sim._sf_carry = aged
+    _, res5 = sim._plasma_call(3)
+    assert np.all(np.asarray(res5[-1]["ts_last_solved"]) == 2)
+
+    # identical physics: the re-solved run (identical inputs) and the reused
+    # carry agree — frac_heating, the NT ionisation split and T_e all match
+    np.testing.assert_allclose(
+        np.asarray(res5[-1]["frac_heating"]),
+        np.asarray(res0[-1]["frac_heating"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(res5[9]), np.asarray(res0[9]), rtol=1e-6)  # frac_ionization
+    np.testing.assert_allclose(
+        np.asarray(res5[0].Te), np.asarray(res0[0].Te), rtol=1e-6)
+
+    # solved-during-LTE-phase solutions are never reused: ts_last <= num_lte
+    lte_aged = dict(carry, ts_last_solved=jnp.full_like(
+        carry["ts_last_solved"], 1))
+    sim._sf_carry = lte_aged
+    _, res_lte = sim._plasma_call(3)
+    assert np.all(np.asarray(res_lte[-1]["ts_last_solved"]) == 3)
