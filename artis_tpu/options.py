@@ -207,6 +207,12 @@ class Options:
     # line tables above this element count are HBM-streamed (per-block DMA in
     # the kernel's Sobolev walk) instead of VMEM-resident
     pallas_stream_threshold: int = 1_500_000
+    # bf-continuum tables above this continuum count are HBM-streamed in
+    # nu-windowed chunks of pallas_bf_chunk (lifts the former 512-continuum
+    # VMEM cap to nebular-scale atomic data; reference windowed bf sum
+    # rpkt.cc:833-893)
+    pallas_bf_stream_threshold: int = 512
+    pallas_bf_chunk: int = 256
     pallas_block: int = 1024
     # wavefront-tail dispatch: once the active packet count fits in a buffer
     # of npkts//tail_width_divisor lanes (min 1024), the driver gathers the

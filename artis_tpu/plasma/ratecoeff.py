@@ -263,7 +263,7 @@ def radfield_bf_integrals_cells(
     t_e: jax.Array,  # (ncells,)
     t_r: jax.Array,  # (ncells,) full-spectrum T_R
     w_full: jax.Array,  # (ncells,) full-spectrum W
-    bf_dep: jax.Array,  # (ncells, ncont) stimulated-recomb departure ratio
+    bf_dep: jax.Array,  # (ncells, ncont) LOG stimulated-recomb departure
     tr_bins=None,  # (ncells, nbins) multibin fits; None -> fullspec J only
     w_bins=None,
     nbins: int = 0,
@@ -321,7 +321,8 @@ def radfield_bf_integrals_cells(
 
         hnu_kte = HOVERKB * nu[None, :, :] / t_e_s[:, None, None]
         corrfac = jnp.maximum(
-            1.0 - bf_dep[:, ci, None] * jnp.exp(-jnp.minimum(hnu_kte, 80.0)), 0.0
+            1.0 - jnp.exp(jnp.clip(bf_dep[:, ci, None] - hnu_kte, -80.0, 80.0)),
+            0.0
         )
         integ_c = jnp.sum(
             wsimp[None, None, :] * sigma[None, :, :] * ONEOVERH / nu[None, :, :]

@@ -16,6 +16,8 @@ def write_synthetic_atomicdata(
     nphixspoints=20,
     nphixsnuincrement=0.1,
     seed=42,
+    nphixs_levels=2,  # lower levels per ion pair given phixs tables
+    trans_lo_max=None,  # cap the lower level of written transitions
 ):
     rng = np.random.default_rng(seed)
     folder = str(folder)
@@ -52,7 +54,9 @@ def write_synthetic_atomicdata(
             for ionstage in range(1, nions + 2):
                 nlev = nlevels_per_ion if ionstage <= nions else 2
                 rows = []
-                for lo in range(1, nlev + 1):
+                lo_hi = nlev if trans_lo_max is None else min(
+                    trans_lo_max, nlev)
+                for lo in range(1, lo_hi + 1):
                     for up in range(lo + 1, nlev + 1):
                         A = 10.0 ** rng.uniform(4, 8)
                         coll_str = -1.0
@@ -66,7 +70,8 @@ def write_synthetic_atomicdata(
         f.write(f"{nphixspoints}\n{nphixsnuincrement}\n")
         for z, nions in elements:
             for ionstage in range(1, nions):  # lower ion of each pair
-                for lowerlevel in range(1, 3):  # levels 1,2 (1-based)
+                nlo = min(max(nphixs_levels, 1), nlevels_per_ion)
+                for lowerlevel in range(1, nlo + 1):  # 1-based
                     if lowerlevel == 1:
                         # multi-target table
                         f.write(f"{z} {ionstage + 1} -1 {ionstage} {lowerlevel} 10.0\n")

@@ -75,7 +75,7 @@ class StepContext:
     chi_ff_nnionpart: jax.Array  # (ncells,)
     tau_sob_factor: jax.Array  # (ncells, nlines) linewalk.build_tau_factor
     bf_a: jax.Array  # (ncells, nbfcontinua) opacity.build_bf_tables
-    bf_dep: jax.Array  # (ncells, nbfcontinua)
+    bf_dep: jax.Array  # (ncells, nbfcontinua) LOG departure (f32-safe form)
     expopac_kappa: jax.Array  # (ncells, NBINS) expansion opacities [cm2/g]
     expopac_planck_cum: jax.Array  # (ncells, NBINS) Planck-weighted cumulative
     expopac_wcum: jax.Array  # (ncells, nlines) cumulative bb-line weights
@@ -1122,6 +1122,8 @@ def rpkt_step_pallas(
         nx=int(grid.ncoordgrid[0]), ny=int(grid.ncoordgrid[1]),
         nz=int(grid.ncoordgrid[2]), rmax=float(grid.rmax),
         stream_lines=(ncells * lpad > opts.pallas_stream_threshold),
+        stream_bf=(dad.nbfcontinua > opts.pallas_bf_stream_threshold),
+        bf_chunk=pk.pick_bf_chunk(opts),
         inkernel_scatter=inkernel_scatter,
         multibin=opts.multibin_radfield,
         nradbins=opts.radfieldbincount if opts.multibin_radfield else 0,

@@ -52,8 +52,13 @@ def build_bf_tables(
     """Per-timestep (ncells, nbfcontinua) bound-free factor tables.
 
     A[cell, cont] = nnlevel * prob, masked by the keep rule (rpkt.h:128-134);
-    D[cell, cont] = stimulated-recombination departure coefficient
-    (rpkt.cc:855-872 without the packet-frequency exponential).
+    LD[cell, cont] = LOG of the stimulated-recombination departure
+    coefficient (rpkt.cc:855-872 without the packet-frequency exponential).
+    The log form is mandatory for float32 pipelines: the raw departure
+    carries exp(+h nu_edge / k T_e) and overflows float32 (observed 1e74 on
+    nebular-scale data), which would silently zero the stimulated correction;
+    consumers apply it as corr = 1 - exp(LD - h nu / k T_e), whose argument
+    is O(h (nu_edge - nu) / k T_e) and always representable.
     Precomputing these turns the per-packet chi_bf chunk pass from ~8 gathers
     into 2 row-gathers + the cross-section interpolation.
     """
@@ -68,17 +73,22 @@ def build_bf_tables(
     keep = (nnion_p / jnp.maximum(nnetot[:, None], 1e-300) > 1e-6) | is_ground[None, :]
     g_l = dad.level_g[dad.cont_uniquelower]
     g_u = dad.level_g[dad.cont_uniqueupper]
-    sf = (
-        SAHACONST
-        * (g_l / g_u)[None, :]
-        * t_e[:, None] ** -1.5
-        * exp_clipped(HOVERKB * dad.cont_nu_edge[None, :] / t_e[:, None])
+    # log-departure as a sum of logs: every term is moderate even where the
+    # raw product overflows
+    ldep = (
+        jnp.log(jnp.maximum(nnupper, 1e-300))
+        - jnp.log(jnp.maximum(nnlevel, 1e-300))
+        + jnp.log(jnp.maximum(nne, 1e-300))[:, None]
+        + jnp.log(SAHACONST)
+        + jnp.log((g_l / g_u)[None, :])
+        - 1.5 * jnp.log(t_e)[:, None]
+        + HOVERKB * dad.cont_nu_edge[None, :] / t_e[:, None]
     )
-    departure = nnupper / jnp.maximum(nnlevel, 1e-300) * nne[:, None] * sf
+    bf_ldep = jnp.where(nnupper > 0, ldep, -1e30)
     a_tab = jnp.where(
         keep & (nnlevel > 0), nnlevel * dad.cont_probability[None, :], 0.0
     )
-    return a_tab, departure
+    return a_tab, bf_ldep
 
 
 def calculate_chi_bf(
@@ -123,7 +133,7 @@ def calculate_chi_bf(
     bf_dep = padc(bf_dep)
 
     t_e_p = t_e[cellidx]
-    exp_nu = jnp.exp(-HOVERKB * nu / t_e_p)  # (npkts,)
+    hnu_kt = HOVERKB * nu / t_e_p  # (npkts,)
 
     def chunk_contrib(c):
         sl = lambda x: jax.lax.dynamic_slice_in_dim(x, c * chunk, chunk)
@@ -137,7 +147,8 @@ def calculate_chi_bf(
         sigma_bf = photoionization_crosssection(
             dad, sl(cont_row)[None, :], nu_edge, jnp.maximum(nu[:, None], 1e-30)
         )
-        corrfactor = jnp.maximum(0.0, 1.0 - dep_g * exp_nu[:, None])
+        corrfactor = jnp.maximum(
+            0.0, 1.0 - jnp.exp(jnp.clip(dep_g - hnu_kt[:, None], -80.0, 80.0)))
         return jnp.where(in_window, a_g * sigma_bf * corrfactor, 0.0)
 
     def body(carry, c):
@@ -166,7 +177,8 @@ def calculate_chi_bf(
             sigma_bf = photoionization_crosssection(
                 dad, sl(cont_row)[None, :], nu_edge, jnp.maximum(nu[:, None], 1e-30)
             )
-            corrfactor = jnp.maximum(0.0, 1.0 - dep_g * exp_nu[:, None])
+            corrfactor = jnp.maximum(
+            0.0, 1.0 - jnp.exp(jnp.clip(dep_g - hnu_kt[:, None], -80.0, 80.0)))
             contr = jnp.where(in_window, sigma_bf * sl(cont_prob)[None, :] * corrfactor, 0.0)
             gidx = sl(cont_gidx)
             gidx_s = jnp.where(gidx >= 0, gidx, ngc)  # invalid -> dropped
@@ -287,7 +299,7 @@ def accumulate_bf_estimators(
     cont_prob = padk(dad.cont_probability)
     bf_dep_p = padc(bf_dep)
     t_e_p = t_e[cellidx]
-    exp_nu = jnp.exp(-HOVERKB * nu / t_e_p)
+    hnu_kt = HOVERKB * nu / t_e_p
     ncells = bfrate.shape[0]
     safe_cell = jnp.where(active, cellidx, ncells)  # dropped when inactive
 
@@ -302,7 +314,8 @@ def accumulate_bf_estimators(
         sigma_bf = photoionization_crosssection(
             dad, sl(cont_row)[None, :], nu_edge, jnp.maximum(nu[:, None], 1e-30)
         )
-        corrfactor = jnp.maximum(0.0, 1.0 - dep_g * exp_nu[:, None])
+        corrfactor = jnp.maximum(
+            0.0, 1.0 - jnp.exp(jnp.clip(dep_g - hnu_kt[:, None], -80.0, 80.0)))
         contr = jnp.where(
             in_window, sigma_bf * sl(cont_prob)[None, :] * corrfactor, 0.0
         ) * weight[:, None]

@@ -20,7 +20,12 @@ binned expansion opacities, no multibin radfield. Other configurations fall
 back to the XLA path. Production linelists beyond the VMEM budget are
 HBM-streamed: the Sobolev walk DMAs one (ncells, chunk) tau slab per block,
 with an early-exit while_loop so a typical crossing touches only the block(s)
-around each packet's line cursor.
+around each packet's line cursor. Nebular-scale bf continua (beyond
+pallas_bf_stream_threshold) are likewise HBM-streamed: each crossing DMAs
+only the chunks intersecting the block's [nu/last_nuovernuedge, nu] window
+(the reference's allcontbegin/end window, rpkt.cc:805-811), with a second
+windowed pass after the event decision for continuum selection and the
+detailed bf-rate estimators.
 """
 
 from __future__ import annotations
@@ -135,8 +140,8 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         npropcells = int(grid.ncoordgrid[0]) * int(grid.ncoordgrid[1])
     else:
         npropcells = int(grid.ncoordgrid[0])
-    if dad.nbfcontinua > 512:
-        return False
+    # continua beyond pallas_bf_stream_threshold are HBM-streamed in
+    # nu-windowed chunks — no hard cap; the VMEM estimate below governs
     # beyond the VMEM-resident budget the tau/nu line tables are HBM-streamed
     # (per-block DMA in the walk); cap only at a few GB of HBM
     if ncells * max(dad.nlines, 1) * 4 > 4_000_000_000:
@@ -163,6 +168,12 @@ def pick_block(opts, ncells: int, npropcells: int) -> int:
     return block
 
 
+def pick_bf_chunk(opts) -> int:
+    """bf-streaming chunk width: a 128 multiple (DMA lane offsets must be
+    128-aligned), shared by the kernel wrapper and the VMEM estimate."""
+    return max(-(-max(opts.pallas_bf_chunk, 128) // 128) * 128, 128)
+
+
 def pick_line_chunk(opts, nlines: int) -> int:
     """Line-walk chunk width shared by the kernel wrapper and the VMEM
     estimate.  Must stay a multiple of 128: Mosaic requires the dynamic lane
@@ -179,11 +190,14 @@ def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
     """Rough, conservative VMEM footprint of one kernel block."""
     ngc = max(int(dad.nbfcontinua_ground), 1)
     ncont = max(int(dad.nbfcontinua), 1)
-    ncont_pad = _round_up(ncont, 128)
+    bf_chunk = pick_bf_chunk(opts)
+    stream_bf = int(dad.nbfcontinua) > opts.pallas_bf_stream_threshold
+    ncont_pad = _round_up(ncont, bf_chunk if stream_bf else 128)
     ngc_pad = _round_up(ngc, 128)
     nlines = max(int(dad.nlines), 1)
     line_chunk = pick_line_chunk(opts, nlines)
     lpad = _round_up(nlines, line_chunk)
+    nchp = _round_up(max(ncont_pad // bf_chunk, 1), 128)
     # estimator accumulator columns carried per nonempty cell
     acc_cols = 8
     if opts.use_lut_photoion:
@@ -193,13 +207,16 @@ def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
     if opts.multibin_radfield:
         acc_cols += 3 * _round_up(max(opts.radfieldbincount, 1), 128)
     if opts.detailed_bf_estimators_on and int(dad.nbfcontinua) > 0:
+        # the o_bfr accumulator stays VMEM-resident even when the bf TABLES
+        # stream; huge (ncells x ncont) products fall back to the XLA path
         acc_cols += ncont_pad
     if opts.detailed_line_estimators_on and not opts.expansionopacities_on:
         acc_cols += 2 * 128
     # per-cell tables resident in VMEM
     cell_tab_cols = 6  # nne/Te/kappagrey/rho/thick/chiffpart
     if int(dad.nbfcontinua) > 0:
-        cell_tab_cols += 2 * ncont_pad  # bf_a, bf_dep
+        # bf_a/bf_dep: full tables resident, or one DMA slab pair streamed
+        cell_tab_cols += 2 * (bf_chunk if stream_bf else ncont_pad)
     if opts.expansionopacities_on:
         cell_tab_cols += 128  # binned expansion opacities
     stream = (ncells * lpad > opts.pallas_stream_threshold
@@ -209,13 +226,17 @@ def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
         cell_tab_cols += line_cols  # tau slab (streamed) or full table
     # one-hot temporaries: a few (block, N) f32 live at once
     onehot = 3 * block * max(ncells, npropcells)
-    # per-lane continuum temporaries (sigma/contrib/window etc.)
-    lane_tmp = block * (4 * ncont_pad + line_chunk + 64)
+    # per-lane continuum temporaries (sigma/contrib/window etc.); streamed
+    # mode works on (block, bf_chunk) slabs plus (block, nchunks) partials
+    cont_tmp_cols = (4 * bf_chunk + nchp) if stream_bf else 4 * ncont_pad
+    lane_tmp = block * (cont_tmp_cols + line_chunk + 64)
+    # phixs/gmap/edge/prob: full tables resident, or streamed slabs
+    bf_aux = ((bf_chunk if stream_bf else ncont_pad)
+              * (int(dad.nphixspoints) + ngc + 2))
     # prop-cell tables: 3 legacy rows (mgi/cellmin0/cellmax0) plus the
     # 16-row fused VMEM-resident prop_tab gather table
     total = (ncells * (acc_cols + cell_tab_cols)
-             + 19 * npropcells + onehot + lane_tmp
-             + ncont_pad * (int(dad.nphixspoints) + ngc))
+             + 19 * npropcells + onehot + lane_tmp + bf_aux)
     return total * 4
 
 
@@ -240,12 +261,13 @@ def _kernel(
     tau_factor,  # (ncells, Lpad)
     jb_map,  # (Lpad,) f32 detailed-line estimator column (njblue = dropped)
     cont_nu_edge,  # (Cpad,)
-    bf_a, bf_dep,  # (ncells, Cpad)
+    bf_a, bf_dep,  # (ncells, Cpad); bf_dep holds LOG departure
     cont_phixs,  # (Cpad, P)
     cont_gmap,  # (Cpad, ngc) one-hot ground map (f32)
     gc_nu_edge,  # (ngc,)
     cont_prob,  # (Cpad,) continuum probability (for bf-rate estimators)
     expo_kappa,  # (ncells, NBpad) binned expansion opacities [cm2/g]
+    bf_ctab,  # (2, nbfchunks_pad): per-bf-chunk [start edge, next start edge]
     consts,  # (1, 4) SMEM f32: [t2, tmin, -, -] (traced per timestep)
     # outputs
     o_posx, o_posy, o_posz, o_dirx, o_diry, o_dirz, o_nu_rf, o_nu_cmf,
@@ -285,6 +307,8 @@ def _kernel(
     ny: int = 1,
     nz: int = 1,
     stream_lines: bool = False,
+    stream_bf: bool = False,
+    bf_chunk: int = 256,
     inkernel_scatter: bool = True,
     multibin: bool = False,
     nradbins: int = 0,
@@ -311,6 +335,41 @@ def _kernel(
     nu_lastline = consts[0, 4]
     Lpad = line_nu.shape[1]
     nlineblocks = Lpad // line_chunk
+
+    if stream_bf:
+        # bf tables live in HBM; the windowed chi/selection loops DMA one
+        # bf_chunk-wide slab set per touched chunk (few chunks per crossing:
+        # the nu window spans [nu/last_nuovernuedge, nu] of the ascending
+        # edge list, the TPU analogue of the reference's allcontbegin/end
+        # binary search, rpkt.cc:805-811)
+        (bfa_slab, bfdep_slab, phixs_slab, gmap_slab, bfedge_slab,
+         bfprob_slab, bf_sems) = scratch[-7:]
+        scratch = scratch[:-7]
+
+        def fetch_bf_chunk(c0):
+            cps = [
+                pltpu.make_async_copy(
+                    bf_a.at[:, pl.ds(c0, bf_chunk)], bfa_slab, bf_sems.at[0]),
+                pltpu.make_async_copy(
+                    bf_dep.at[:, pl.ds(c0, bf_chunk)], bfdep_slab,
+                    bf_sems.at[1]),
+                pltpu.make_async_copy(
+                    cont_phixs.at[pl.ds(c0, bf_chunk), :], phixs_slab,
+                    bf_sems.at[2]),
+                pltpu.make_async_copy(
+                    cont_nu_edge.at[:, pl.ds(c0, bf_chunk)], bfedge_slab,
+                    bf_sems.at[3]),
+                pltpu.make_async_copy(
+                    cont_prob.at[:, pl.ds(c0, bf_chunk)], bfprob_slab,
+                    bf_sems.at[4]),
+                pltpu.make_async_copy(
+                    cont_gmap.at[pl.ds(c0, bf_chunk), :], gmap_slab,
+                    bf_sems.at[5]),
+            ]
+            for cp in cps:
+                cp.start()
+            for cp in cps:
+                cp.wait()
 
     if stream_lines:
         # line tables live in HBM; each walk block DMAs one (ncells, chunk)
@@ -382,7 +441,10 @@ def _kernel(
         gam=jnp.zeros((ncells, o_gamma.shape[2]), F32),
         bfh=jnp.zeros((ncells, o_bfheat.shape[2]), F32),
         rb=jnp.zeros((ncells, o_rb.shape[2]), F32),
-        bfr=jnp.zeros((ncells, o_bfr.shape[2]), F32),
+        # streamed-bf kernels accumulate bf-rate estimators straight into the
+        # o_bfr output ref (zero-initialised below) instead of a VMEM carry
+        bfr=jnp.zeros((1, 128) if stream_bf else (ncells, o_bfr.shape[2]),
+                      F32),
         jba=jnp.zeros((ncells, o_jb.shape[2]), F32),
         # per-lane counters, reduced ONCE after the crossing loop: a full
         # (B,)->scalar reduce every crossing measured as real per-crossing
@@ -787,75 +849,142 @@ def _kernel(
             1.0 - jnp.exp(-4.799243681e-11 * nu / te_p)
         )
 
-        # bf: full (B, C) evaluation; sigma interp via the hat-function sum
-        nu_edge_c = cont_nu_edge[0, :ncont][None, :]  # (1, C)
-        in_window = (nu[:, None] >= nu_edge_c) & (
-            nu_edge_c * last_nuovernuedge >= nu[:, None]
-        ) & _col(need_chi)
-        ireal = (nu[:, None] / nu_edge_c - 1.0) / phixs_dnu  # (B, C)
-        # linear interpolation as a sum of hat functions over the table
-        # grid; dynamic fori keeps the module small (a static unroll of
-        # NPHIXS blocks made the Mosaic compile explode), and the column is
-        # extracted with a masked reduce since dynamic lane offsets must be
-        # 128-aligned
-        phixs_v = cont_phixs[:ncont, :]  # (C, P)
-        piota = jax.lax.broadcasted_iota(I32, (ncont, nphixs), 1)
+        hnu_kt = 4.799243681e-11 * nu / te_p  # (H/KB) nu / Te
 
-        def phixs_term(p, sig):
-            w = jnp.maximum(1.0 - jnp.abs(ireal - p.astype(F32)), 0.0)
-            col = jnp.sum(jnp.where(piota == p, phixs_v, 0.0), axis=1)
-            return sig + w * col[None, :]
+        def _bf_slab_terms(edge_k, phixs_k, K):
+            """in_window and the interpolated cross-section for one (B, K)
+            slab of continua; sigma interp is a hat-function sum (dynamic
+            fori keeps the module small — a static unroll of NPHIXS blocks
+            made the Mosaic compile explode; the column is extracted with a
+            masked reduce since dynamic lane offsets must be 128-aligned)."""
+            in_w = (nu[:, None] >= edge_k) & (
+                edge_k * last_nuovernuedge >= nu[:, None]
+            ) & _col(need_chi)
+            ireal_k = (nu[:, None] / edge_k - 1.0) / phixs_dnu  # (B, K)
+            piota_k = jax.lax.broadcasted_iota(I32, (K, nphixs), 1)
 
-        if "nophixs" in ablate:  # profiling only: constant cross-section
-            sigma = jnp.zeros((B, ncont), F32) + phixs_v[:, 0][None, :]
-        else:
-            sigma = jax.lax.fori_loop(0, nphixs, phixs_term,
-                                      jnp.zeros((B, ncont), F32))
-        # Kramers tail above the table, zero below the edge
-        numax = nu_edge_c * last_nuovernuedge
-        kram = phixs_v[:, nphixs - 1][None, :] * (
-            numax / jnp.maximum(nu[:, None], 1e-30)) ** 3
-        sigma = jnp.where(ireal < 0, 0.0, jnp.where(
-            ireal < nphixs - 1, sigma, kram))
+            def phixs_term(p, sig):
+                w = jnp.maximum(1.0 - jnp.abs(ireal_k - p.astype(F32)), 0.0)
+                col = jnp.sum(jnp.where(piota_k == p, phixs_k, 0.0), axis=1)
+                return sig + w * col[None, :]
 
-        a_g = jnp.dot(oh, bf_a[:, :ncont], preferred_element_type=F32)
-        dep_g = jnp.dot(oh, bf_dep[:, :ncont], preferred_element_type=F32)
-        exp_nu = jnp.exp(-4.799243681e-11 * nu / te_p)  # H/KB
-        corr = jnp.maximum(0.0, 1.0 - dep_g * exp_nu[:, None])
-        contrib_bf = jnp.where(in_window, a_g * sigma * corr, 0.0)  # (B, C)
-        if "nobf" in ablate:  # profiling only
-            contrib_bf = jnp.zeros((B, ncont), F32)
-        chi_bf = jnp.sum(contrib_bf, axis=1)
+            if "nophixs" in ablate:  # profiling only: constant cross-section
+                sigma_k = jnp.zeros((B, K), F32) + phixs_k[:, 0][None, :]
+            else:
+                sigma_k = jax.lax.fori_loop(0, nphixs, phixs_term,
+                                            jnp.zeros((B, K), F32))
+            # Kramers tail above the table, zero below the edge
+            numax_k = edge_k * last_nuovernuedge
+            kram = phixs_k[:, nphixs - 1][None, :] * (
+                numax_k / jnp.maximum(nu[:, None], 1e-30)) ** 3
+            sigma_k = jnp.where(ireal_k < 0, 0.0, jnp.where(
+                ireal_k < nphixs - 1, sigma_k, kram))
+            return in_w, sigma_k
 
-        # bf continuum selection for the deferred event application
+        # bf continuum selection uniform (also reused as the event-split
+        # draw in test mode further down)
         if test_mode:
             sel_u = lane(test_sel)
         elif "norng" in ablate:  # profiling only
             sel_u = tau_next * 0.7
         else:
             sel_u = _u01((B,))
-        if "nosel" in ablate:  # profiling only
-            bf_idx = jnp.zeros((B,), I32)
-        else:
-            target = sel_u * chi_bf
-            cumc = _cumsum_rows(contrib_bf)
-            hit = cumc > target[:, None]
-            first = _first_true_idx(hit, ncont)
-            bf_idx = jnp.where(jnp.any(hit, axis=1), first, 0)
 
-        # per-ground-continuum contributions for the LUT estimators:
-        # sigma * probability * corrfactor (reference: rpkt.cc:870-880 —
-        # multi-target continua contribute prob-weighted, NOT once each)
-        if want_gamma or want_bfheat:
-            contr_nolevel = jnp.where(
-                in_window, sigma * corr * cont_prob[0, :ncont][None, :], 0.0)
-            # fold multi-target continua onto their ground continuum column
-            gamma_contr = jnp.dot(
-                contr_nolevel, cont_gmap[:ncont, :],
-                preferred_element_type=F32,
-            )  # (B, ngc)
+        if stream_bf:
+            # windowed streaming: only the bf chunks intersecting the block's
+            # [nu/last_nuovernuedge, nu] window are DMAed and evaluated (the
+            # TPU analogue of the reference's allcontbegin/allcontend window,
+            # rpkt.cc:805-811); per-chunk partial sums feed the deferred
+            # selection pass after the event decision
+            nchp = bf_ctab.shape[1]
+            row0 = bf_ctab[0, :][None, :]  # chunk start edge (+inf pad)
+            row1 = bf_ctab[1, :][None, :]  # next chunk start (+inf at end)
+            nu_lo_w = nu / last_nuovernuedge
+            c_first = jnp.sum(
+                jnp.where(row1 <= nu_lo_w[:, None], 1.0, 0.0), axis=1)
+            c_lastx = jnp.sum(
+                jnp.where(row0 <= nu[:, None], 1.0, 0.0), axis=1)
+            lane_has = need_chi & (c_lastx > c_first)
+            bf_cb = jnp.minimum(
+                jnp.min(jnp.where(lane_has, c_first, 1e9)),
+                jnp.max(jnp.where(lane_has, c_lastx, 0.0))).astype(I32)
+            bf_ce = jnp.max(jnp.where(lane_has, c_lastx, 0.0)).astype(I32)
+            nch_iota_f = jax.lax.broadcasted_iota(F32, (1, nchp), 1)
+
+            def bf_chi_body(c, carry):
+                chi_acc, gam_acc, part = carry
+                c0 = c * bf_chunk
+                fetch_bf_chunk(c0)
+                edge_k = bfedge_slab[0][None, :]
+                in_w, sigma_k = _bf_slab_terms(edge_k, phixs_slab[:, :],
+                                               bf_chunk)
+                a_g = jnp.dot(oh, bfa_slab[:, :],
+                              preferred_element_type=F32)
+                dep_g = jnp.dot(oh, bfdep_slab[:, :],
+                                preferred_element_type=F32)
+                corr_k = jnp.maximum(
+                    0.0, 1.0 - jnp.exp(jnp.clip(
+                        dep_g - hnu_kt[:, None], -80.0, 80.0)))
+                contrib_k = jnp.where(in_w, a_g * sigma_k * corr_k, 0.0)
+                if "nobf" in ablate:  # profiling only
+                    contrib_k = jnp.zeros((B, bf_chunk), F32)
+                csum = jnp.sum(contrib_k, axis=1)
+                chi_acc = chi_acc + csum
+                part = part + csum[:, None] * (
+                    nch_iota_f == c.astype(F32)).astype(F32)
+                if want_gamma or want_bfheat:
+                    contr_nl = jnp.where(
+                        in_w, sigma_k * corr_k * bfprob_slab[0][None, :], 0.0)
+                    gam_acc = gam_acc + jnp.dot(
+                        contr_nl, gmap_slab[:, :ngc],
+                        preferred_element_type=F32)
+                return chi_acc, gam_acc, part
+
+            chi_bf, gamma_contr_acc, bfpart = jax.lax.fori_loop(
+                bf_cb, bf_ce, bf_chi_body,
+                (jnp.zeros((B,), F32), jnp.zeros((B, ngc), F32),
+                 jnp.zeros((B, nchp), F32)))
+            gamma_contr = (gamma_contr_acc if (want_gamma or want_bfheat)
+                           else None)
+            bf_idx = jnp.zeros((B,), I32)  # resolved in the selection pass
+            sigma = corr = in_window = None
         else:
-            gamma_contr = None
+            nu_edge_c = cont_nu_edge[0, :ncont][None, :]  # (1, C)
+            in_window, sigma = _bf_slab_terms(
+                nu_edge_c, cont_phixs[:ncont, :], ncont)
+            a_g = jnp.dot(oh, bf_a[:, :ncont], preferred_element_type=F32)
+            dep_g = jnp.dot(oh, bf_dep[:, :ncont], preferred_element_type=F32)
+            corr = jnp.maximum(
+                0.0, 1.0 - jnp.exp(jnp.clip(
+                    dep_g - hnu_kt[:, None], -80.0, 80.0)))
+            contrib_bf = jnp.where(in_window, a_g * sigma * corr, 0.0)
+            if "nobf" in ablate:  # profiling only
+                contrib_bf = jnp.zeros((B, ncont), F32)
+            chi_bf = jnp.sum(contrib_bf, axis=1)
+
+            if "nosel" in ablate:  # profiling only
+                bf_idx = jnp.zeros((B,), I32)
+            else:
+                target = sel_u * chi_bf
+                cumc = _cumsum_rows(contrib_bf)
+                hit = cumc > target[:, None]
+                first = _first_true_idx(hit, ncont)
+                bf_idx = jnp.where(jnp.any(hit, axis=1), first, 0)
+
+            # per-ground-continuum contributions for the LUT estimators:
+            # sigma * probability * corrfactor (reference: rpkt.cc:870-880 —
+            # multi-target continua contribute prob-weighted, NOT once each)
+            if want_gamma or want_bfheat:
+                contr_nolevel = jnp.where(
+                    in_window, sigma * corr * cont_prob[0, :ncont][None, :],
+                    0.0)
+                # fold multi-target continua onto their ground continuum col
+                gamma_contr = jnp.dot(
+                    contr_nolevel, cont_gmap[:ncont, :],
+                    preferred_element_type=F32,
+                )  # (B, ngc)
+            else:
+                gamma_contr = None
 
         chi_cont_cmf = chi_escat + chi_ff + chi_bf
         chi_cont = chi_cont_cmf * doppler
@@ -1214,7 +1343,73 @@ def _kernel(
             jba_new = s["jba"]
 
         bfr_new = s["bfr"]
-        if want_bfrate:
+        if stream_bf:
+            # second windowed pass: continuum selection for the lanes that
+            # took a continuum event this crossing, plus (optionally) the
+            # detailed bf-rate accumulation — both need per-chunk sigma/corr
+            # again, and the bf-rate weight needs the segment length, so
+            # this pass runs after the event decision
+            sel_need = take_event & ~thick & ~is_bb & nonempty
+            targetc = sel_u * chi_bf
+            cumpart = _cumsum_rows(bfpart)
+            hitc = cumpart > targetc[:, None]
+            nchp2 = bfpart.shape[1]
+            cstar = _first_true_idx(hitc, nchp2)
+            has_hitc = jnp.any(hitc, axis=1)
+            cum_excl = cumpart - bfpart
+            nch_iota_i = jax.lax.broadcasted_iota(I32, (B, nchp2), 1)
+            residc = targetc - jnp.sum(
+                jnp.where(nch_iota_i == cstar[:, None], cum_excl, 0.0),
+                axis=1)
+            want_sel = sel_need & has_hitc
+            if want_bfrate:
+                seg_nothick = seg & ~thick
+                w_bfr = jnp.where(
+                    seg_nothick,
+                    contrib / jnp.maximum(nucmf1, 1e-30) * doppler, 0.0)
+                any_bfr = jnp.any(seg_nothick)
+                ohT_nt = jnp.where(_rowb(seg_nothick), ohT, 0.0)
+            else:
+                any_bfr = jnp.zeros((), bool)
+
+            def bf_sel_body(c, bfidx_c):
+                c0 = c * bf_chunk
+                pred = jnp.any(want_sel & (cstar == c)) | any_bfr
+
+                def do(bfidx_c):
+                    fetch_bf_chunk(c0)
+                    edge_k = bfedge_slab[0][None, :]
+                    in_w, sigma_k = _bf_slab_terms(edge_k, phixs_slab[:, :],
+                                                   bf_chunk)
+                    a_g = jnp.dot(oh, bfa_slab[:, :],
+                                  preferred_element_type=F32)
+                    dep_g = jnp.dot(oh, bfdep_slab[:, :],
+                                    preferred_element_type=F32)
+                    corr_k = jnp.maximum(
+                        0.0, 1.0 - jnp.exp(jnp.clip(
+                            dep_g - hnu_kt[:, None], -80.0, 80.0)))
+                    contrib_k = jnp.where(in_w, a_g * sigma_k * corr_k, 0.0)
+                    cum_k = _cumsum_rows(contrib_k)
+                    here = want_sel & (cstar == c)
+                    hit_k = cum_k > residc[:, None]
+                    idx_k = _first_true_idx(hit_k, bf_chunk)
+                    bfidx_c = jnp.where(
+                        here & jnp.any(hit_k, axis=1), c0 + idx_k, bfidx_c)
+                    if want_bfrate:
+                        bfr_rows = jnp.where(
+                            in_w,
+                            sigma_k * corr_k * bfprob_slab[0][None, :],
+                            0.0) * w_bfr[:, None]
+                        add = jnp.dot(ohT_nt, bfr_rows,
+                                      preferred_element_type=F32)
+                        cur = o_bfr[0, :, pl.ds(c0, bf_chunk)]
+                        o_bfr[0, :, pl.ds(c0, bf_chunk)] = cur + add
+                    return bfidx_c
+
+                return jax.lax.cond(pred, do, lambda b: b, bfidx_c)
+
+            bf_idx = jax.lax.fori_loop(bf_cb, bf_ce, bf_sel_body, bf_idx)
+        elif want_bfrate:
             # detailed per-continuum photoionisation-rate estimators
             # (reference: radfield.cc:204-233; XLA counterpart
             # opacity.accumulate_bf_estimators): contribution
@@ -1388,6 +1583,9 @@ def _kernel(
         it, s = c
         return it + 1, one_crossing(it, s)
 
+    if stream_bf:
+        o_bfr[0] = jnp.zeros((ncells, o_bfr.shape[2]), F32)
+
     _, state = jax.lax.while_loop(crossing_cond, crossing_body,
                                   (jnp.int32(0), state))
 
@@ -1419,7 +1617,8 @@ def _kernel(
     o_gamma[0] = state["gam"]
     o_bfheat[0] = state["bfh"]
     o_rb[0] = state["rb"]
-    o_bfr[0] = state["bfr"]
+    if not stream_bf:
+        o_bfr[0] = state["bfr"]
     o_jb[0] = state["jba"]
     mrow = jax.lax.broadcasted_iota(I32, (1, 8, 128), 1)
     mcol = jax.lax.broadcasted_iota(I32, (1, 8, 128), 2)
@@ -1440,7 +1639,8 @@ def _kernel(
         "max_inner", "relativistic", "want_gamma", "want_bfheat",
         "test_mode", "block", "phixs_dnu", "last_nuovernuedge",
         "expansion_mode", "nbins_expo", "cart3d", "cyl2d", "nx", "ny", "nz",
-        "stream_lines", "inkernel_scatter", "multibin", "nradbins",
+        "stream_lines", "stream_bf", "bf_chunk", "inkernel_scatter",
+        "multibin", "nradbins",
         "want_bfrate", "want_jblue", "njblue",
         "model_dim", "n_rcyl_m", "n_z_m", "ablate",
     ),
@@ -1457,7 +1657,8 @@ def propagate_blocked(
     want_gamma, want_bfheat, test_mode, block,
     expansion_mode=False, nbins_expo=0,
     cart3d=False, cyl2d=False, nx=1, ny=1, nz=1, rmax=0.0,
-    stream_lines=False, inkernel_scatter=True,
+    stream_lines=False, stream_bf=False, bf_chunk=256,
+    inkernel_scatter=True,
     multibin=False, nradbins=0, want_bfrate=False,
     want_jblue=False, njblue=0,
     model_dim=1, n_rcyl_m=1, n_z_m=1, ablate=(),
@@ -1466,6 +1667,50 @@ def propagate_blocked(
     assert n % block == 0
     nblocks = n // block
     ngc_pad = _round_up(max(ngc, 1), 128)
+
+    if stream_bf:
+        # pad the bf tables to a whole number of DMA chunks and build the
+        # (2, nchunks) chunk-edge table the kernel uses to bound each
+        # crossing's nu window (edges ascend; pads are +inf = never in
+        # window)
+        cpad_bf = _round_up(max(ncont, 1), bf_chunk)
+        nch = cpad_bf // bf_chunk
+
+        def _padlast(x, width, fill=0.0):
+            if x.shape[-1] < width:
+                padw = [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
+                return jnp.pad(x, padw, constant_values=fill)
+            return x
+
+        def _padrows(x, rows, fill=0.0):
+            if x.shape[0] < rows:
+                return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)),
+                               constant_values=fill)
+            return x
+
+        tables = dict(tables)
+        tables["cont_nu_edge"] = _padlast(
+            jnp.reshape(tables["cont_nu_edge"], (1, -1)), cpad_bf,
+            fill=float("inf"))
+        tables["bf_a"] = _padlast(tables["bf_a"], cpad_bf)
+        tables["bf_dep"] = _padlast(tables["bf_dep"], cpad_bf)
+        tables["cont_prob"] = _padlast(
+            jnp.reshape(tables["cont_prob"], (1, -1)), cpad_bf)
+        tables["cont_phixs"] = _padrows(tables["cont_phixs"], cpad_bf)
+        tables["cont_gmap"] = _padrows(tables["cont_gmap"], cpad_bf)
+        nchp = _round_up(nch, 128)
+        edges_flat = tables["cont_nu_edge"][0]
+        starts = edges_flat[:: bf_chunk]  # (nch,)
+        nexts = jnp.concatenate(
+            [starts[1:], jnp.full((1,), jnp.inf, F32)])
+        bf_ctab = jnp.stack([
+            jnp.concatenate(
+                [starts, jnp.full((nchp - nch,), jnp.inf, F32)]),
+            jnp.concatenate(
+                [nexts, jnp.full((nchp - nch,), jnp.inf, F32)]),
+        ])  # (2, nchp)
+    else:
+        bf_ctab = jnp.full((2, 128), jnp.inf, F32)
 
     lane_names = ["posx", "posy", "posz", "dirx", "diry", "dirz", "nu_rf",
                   "nu_cmf", "e_rf", "e_cmf", "prop_time"]
@@ -1512,9 +1757,13 @@ def propagate_blocked(
     stream_lines = stream_lines and not expansion_mode
     line_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_lines
                  else table_spec)
+    # nebular-scale bf continua: the bf tables stay in HBM, windowed chunks
+    # DMA-streamed per crossing (lifts the former 512-continuum VMEM cap)
+    bf_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_bf
+               else table_spec)
     in_specs = (
         [lane_spec] * (len(lane_names) + len(int_names) + 2)
-        + [table_spec] * 10 + [line_spec, line_spec, line_spec] + [table_spec]
+        + [table_spec] * 10 + [line_spec, line_spec, line_spec] + [bf_spec]
     )
     table_list = [
         tables["mgi_of_cell"], tables["cellmin0"], tables["cellmax0"],
@@ -1524,7 +1773,8 @@ def propagate_blocked(
         tables["tau_factor"], tables["jb_map"], tables["cont_nu_edge"],
     ]
     # bf_a, bf_dep, cont_phixs, cont_gmap, gc_nu_edge appended below
-    in_specs += [table_spec] * 7 + [
+    in_specs += [bf_spec, bf_spec, bf_spec, bf_spec, table_spec, bf_spec,
+                 table_spec, table_spec] + [
         pl.BlockSpec(memory_space=pltpu.SMEM)
     ]
     nu_lastline = tables["line_nu"][
@@ -1533,7 +1783,7 @@ def propagate_blocked(
     table_list += [
         tables["bf_a"], tables["bf_dep"], tables["cont_phixs"],
         tables["cont_gmap"], tables["gc_nu_edge"], tables["cont_prob"],
-        tables["expo_kappa"],
+        tables["expo_kappa"], bf_ctab,
         jnp.stack([t2.astype(F32), jnp.asarray(tmin, F32),
                    jnp.asarray(max_path_step, F32),
                    jnp.asarray(rmax, F32), nu_lastline]).reshape(1, 5),
@@ -1556,7 +1806,8 @@ def propagate_blocked(
                 (nblocks, ncells, 3 * _round_up(max(nradbins, 1), 128)), F32),
             jax.ShapeDtypeStruct(
                 (nblocks, ncells,
-                 _round_up(ncont, 128) if want_bfrate else 128), F32),
+                 _round_up(ncont, bf_chunk if stream_bf else 128)
+                 if want_bfrate else 128), F32),
             jax.ShapeDtypeStruct(
                 (nblocks, ncells,
                  2 * _round_up(max(njblue, 1), 128) if want_jblue else 128),
@@ -1584,7 +1835,9 @@ def propagate_blocked(
                 (1, ncells, 3 * _round_up(max(nradbins, 1), 128)),
                 lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, ncells, _round_up(ncont, 128) if want_bfrate else 128),
+                (1, ncells,
+                 _round_up(ncont, bf_chunk if stream_bf else 128)
+                 if want_bfrate else 128),
                 lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, ncells,
@@ -1603,7 +1856,8 @@ def propagate_blocked(
         want_bfheat=want_bfheat, test_mode=test_mode, block=block,
         expansion_mode=expansion_mode, nbins_expo=nbins_expo,
         cart3d=cart3d, cyl2d=cyl2d, nx=nx, ny=ny, nz=nz,
-        stream_lines=stream_lines, inkernel_scatter=inkernel_scatter,
+        stream_lines=stream_lines, stream_bf=stream_bf, bf_chunk=bf_chunk,
+        inkernel_scatter=inkernel_scatter,
         multibin=multibin, nradbins=nradbins, want_bfrate=want_bfrate,
         want_jblue=want_jblue,
         model_dim=model_dim, n_rcyl_m=n_rcyl_m, n_z_m=n_z_m,
@@ -1616,13 +1870,27 @@ def propagate_blocked(
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=(
-            [
-                pltpu.VMEM((ncells, line_chunk), F32),
-                pltpu.VMEM((1, line_chunk), F32),
-                pltpu.VMEM((1, line_chunk), F32),
-                pltpu.SemaphoreType.DMA((3,)),
-            ]
-            if stream_lines else []
+            (
+                [
+                    pltpu.VMEM((ncells, line_chunk), F32),
+                    pltpu.VMEM((1, line_chunk), F32),
+                    pltpu.VMEM((1, line_chunk), F32),
+                    pltpu.SemaphoreType.DMA((3,)),
+                ]
+                if stream_lines else []
+            )
+            + (
+                [
+                    pltpu.VMEM((ncells, bf_chunk), F32),  # bf_a slab
+                    pltpu.VMEM((ncells, bf_chunk), F32),  # bf_dep slab
+                    pltpu.VMEM((bf_chunk, nphixs), F32),  # phixs slab
+                    pltpu.VMEM((bf_chunk, max(ngc, 1)), F32),  # gmap slab
+                    pltpu.VMEM((1, bf_chunk), F32),  # edge slab
+                    pltpu.VMEM((1, bf_chunk), F32),  # prob slab
+                    pltpu.SemaphoreType.DMA((6,)),
+                ]
+                if stream_bf else []
+            )
         ),
     )
     inputs = (

@@ -126,9 +126,13 @@ def main() -> None:
     tw = tail_widths[-1] if tail_widths else 1024
     st_tail, _ = _gather_active(st_drain, t2dev, tw)
 
+    phases_sel = tuple(
+        p for p in os.environ.get(
+            "ARTIS_PROFT_PHASES", ",".join(PHASES)).split(",") if p)
+
     def run_state(label, st_s, o, iters):
         base = None
-        for ab in (None, *PHASES):
+        for ab in (None, *phases_sel):
             o_ab = o if ab is None else o.replace(
                 phase_ablate=tuple(t for t in PHASES if t == ab))
             try:
@@ -153,11 +157,17 @@ def main() -> None:
                 print(f"{label} iters={iters} -{ab:9s}: {ms:8.1f} ms "
                       f"(delta {base - ms:+8.1f} ms)", flush=True)
 
-    run_state("full ", st_full, opts, 1)
-    run_state("mixed", st_mixed, opts, 1)
-    o_tail = tail_opts_of(tw)
-    run_state(f"tail{tw}", st_tail, o_tail, 1)
-    run_state(f"tail{tw}", st_tail, o_tail, 8)
+    # ARTIS_PROFT_STATES / ARTIS_PROFT_PHASES select a subset (each phase
+    # ablation is a fresh XLA+Mosaic compile — a full sweep takes a while)
+    states = os.environ.get("ARTIS_PROFT_STATES", "full,mixed,tail").split(",")
+    if "full" in states:
+        run_state("full ", st_full, opts, 1)
+    if "mixed" in states:
+        run_state("mixed", st_mixed, opts, 1)
+    if "tail" in states:
+        o_tail = tail_opts_of(tw)
+        run_state(f"tail{tw}", st_tail, o_tail, 1)
+        run_state(f"tail{tw}", st_tail, o_tail, 8)
 
     # --- count-fetch cost (the per-chunk host round-trip) ---
     it_c = jnp.zeros((), jnp.int32)

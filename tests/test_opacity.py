@@ -177,6 +177,8 @@ def test_gamma_contr_ground_continua(dad):
             sig = float(photoionization_crosssection(
                 dad, jnp.asarray([ci]).astype(int)[0] * 0 + np.asarray(dad.cont_phixsrow)[ci],
                 edges[ci], nu[p]))
-            corr = max(0.0, 1.0 - dep[c, ci] * np.exp(-HOVERKB * nu[p] / t_e[c]))
+            # build_bf_tables returns LOG departure (float32-safe form)
+            corr = max(0.0, 1.0 - np.exp(np.clip(
+                dep[c, ci] - HOVERKB * nu[p] / t_e[c], -80.0, 80.0)))
             expected[g] += sig * prob[ci] * corr
         np.testing.assert_allclose(gc[p], expected, rtol=1e-5, atol=1e-40)
