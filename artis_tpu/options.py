@@ -214,6 +214,16 @@ class Options:
     pallas_bf_stream_threshold: int = 512
     pallas_bf_chunk: int = 256
     pallas_block: int = 1024
+    # tile-sorted dispatch for O(100^3) 3D models (CARTESIAN3D grids with a
+    # 3D input model): the wavefront is sorted by cell-tile so every kernel
+    # block touches one pallas_tile-cell slice of the prop/mgi tables —
+    # per-crossing cost stays flat in the model size (PERF.md design; the
+    # TPU answer to the reference's per-cell recursion over the 3D grid,
+    # grid.cc:1048-1096).  Engaged automatically when the untiled kernel's
+    # VMEM estimate exceeds the budget; pallas_force_tiled engages it
+    # unconditionally (testing).
+    pallas_tile: int = 1024
+    pallas_force_tiled: bool = False
     # wavefront-tail dispatch: once the active packet count fits in a buffer
     # of npkts//tail_width_divisor lanes (min 1024), the driver gathers the
     # stragglers into that narrow buffer and dispatches a second compiled

@@ -972,7 +972,18 @@ def rpkt_step_pallas(
         _nprop_blk = int(grid.ncoordgrid[0]) * int(grid.ncoordgrid[1])
     else:
         _nprop_blk = int(grid.ncoordgrid[0])
-    block = pk.pick_block(opts, _ncells_blk, _nprop_blk)
+    # tile-sorted dispatch for O(100^3) 3D models: lanes sorted by cell-tile,
+    # tile-homogeneous blocks, per-tile table slices + revisited accumulators
+    # (the TPU answer to the reference's per-cell 3D recursion,
+    # grid.cc:1048-1096; design PERF.md)
+    tiled = pk.use_tiled(opts, dad, grid, _ncells_blk)
+    if tiled:
+        tile = pk.pick_tile(opts)
+        mpad = pk.tiled_mpad(opts)
+        block = pk.pick_block(opts, mpad, tile)
+    else:
+        tile = mpad = 0
+        block = pk.pick_block(opts, _ncells_blk, _nprop_blk)
     npad = -(-n // block) * block
     f32 = jnp.float32
 
@@ -1052,6 +1063,17 @@ def rpkt_step_pallas(
         t_cmax = jnp.concatenate(
             [ne_of_mgi, jnp.full((nprop - npts,), -1.0, f32)]
         )
+        if tiled:
+            # per-tile 8-aligned offset into the nonemptymgi row space:
+            # slab DMAs and tile-local one-hots address rows relative to it
+            ntiles = -(-nprop // tile)
+            nef = jnp.concatenate(
+                [ne_of_mgi, jnp.full((ntiles * tile - npts,), -1.0, f32)]
+            ).reshape(ntiles, tile)
+            ne_min = jnp.min(jnp.where(nef >= 0, nef, jnp.float32(3e38)),
+                             axis=1)
+            ne_min = jnp.where(ne_min > jnp.float32(1e38), 0.0, ne_min)
+            tile_ne0 = (ne_min.astype(jnp.int32) // 8) * 8
     else:
         t_mgi = grid.nonemptymgi_of_cell[:nprop].astype(f32)
         t_cmin = grid.cell_pos_min[:nprop, 0].astype(f32)
@@ -1104,6 +1126,28 @@ def rpkt_step_pallas(
         test_sel = padf(ts_, 0.5)
     else:
         test_tau = test_sel = jnp.zeros((npad,), f32)
+
+    inv_perm = block_tile = block_ne0 = None
+    if tiled:
+        # sort lanes by cell-tile (inactive lanes key past every real tile,
+        # so the per-block tile sequence is monotone and tile runs are
+        # consecutive — the revisited-accumulator contract of the kernel);
+        # each block takes its FIRST lane's tile and stragglers at tile
+        # boundaries pause one dispatch (re-sorted into their tile next time)
+        keys = jnp.where(lane_i32["moving"] > 0,
+                         lane_i32["where"] // tile, ntiles)
+        perm = jnp.argsort(keys)
+        keys_s = keys[perm]
+        lane_f32 = {k: v[perm] for k, v in lane_f32.items()}
+        lane_i32 = {k: v[perm] for k, v in lane_i32.items()}
+        test_tau = test_tau[perm]
+        test_sel = test_sel[perm]
+        block_tile = jnp.minimum(keys_s[::block], ntiles - 1).astype(
+            jnp.int32)
+        lane_i32["moving"] = jnp.where(
+            keys_s == jnp.repeat(block_tile, block), lane_i32["moving"], 0)
+        block_ne0 = tile_ne0[block_tile]
+        inv_perm = jnp.argsort(perm)
     outs = pk.propagate_blocked(
         seed, lane_f32, lane_i32, tables, test_tau, test_sel,
         ctx.t2.astype(f32), jnp.asarray(ctx.tmin, f32),
@@ -1121,8 +1165,12 @@ def rpkt_step_pallas(
         cart3d=cart3d, cyl2d=cyl2d,
         nx=int(grid.ncoordgrid[0]), ny=int(grid.ncoordgrid[1]),
         nz=int(grid.ncoordgrid[2]), rmax=float(grid.rmax),
-        stream_lines=(ncells * lpad > opts.pallas_stream_threshold),
-        stream_bf=(dad.nbfcontinua > opts.pallas_bf_stream_threshold),
+        stream_lines=(tiled
+                      or ncells * lpad > opts.pallas_stream_threshold),
+        stream_bf=((tiled and dad.nbfcontinua > 0)
+                   or dad.nbfcontinua > opts.pallas_bf_stream_threshold),
+        tiled=tiled, tile=tile,
+        block_tile=block_tile, block_ne0=block_ne0,
         bf_chunk=pk.pick_bf_chunk(opts),
         inkernel_scatter=inkernel_scatter,
         multibin=opts.multibin_radfield,
@@ -1146,7 +1194,27 @@ def rpkt_step_pallas(
      oemx, oemy, oemz, oemt, onsc, oinkscat,
      oest, ogamma, obfheat, orb, obfr, ojb, omisc) = outs
 
-    sl = lambda x: x.reshape(-1)[:n]  # lane outputs come back (nblocks, block)
+    if tiled:
+        # lane outputs come back tile-sorted: undo the sort, then strip pad
+        sl = lambda x: x.reshape(-1)[inv_perm][:n]
+        # per-TILE accumulators scatter back into global nonemptymgi rows at
+        # each tile's ne0 offset; tiles no block visited hold unwritten HBM
+        # and are masked out (padded rows carry exact zeros and fold onto
+        # the clip row harmlessly)
+        visited = jnp.zeros((ntiles,), bool).at[block_tile].set(True)
+        _rows = jnp.clip(
+            tile_ne0[:, None] + jnp.arange(mpad, dtype=jnp.int32)[None, :],
+            0, ncells - 1).reshape(-1)
+
+        def fold(o):  # (ntiles, mpad, k) -> (ncells, k)
+            a = jnp.where(visited[:, None, None], o, 0.0)
+            return jnp.zeros((ncells, o.shape[2]), o.dtype).at[_rows].add(
+                a.reshape(-1, o.shape[2]))
+    else:
+        sl = lambda x: x.reshape(-1)[:n]  # lane outputs come back (nblocks, block)
+
+        def fold(o):  # (nblocks, ncells, k) -> (ncells, k)
+            return jnp.sum(o, axis=0)
     dtype = st.pos.dtype
     touched = sl(oevented) > 0
     escaped = sl(oescaped) > 0
@@ -1180,7 +1248,7 @@ def rpkt_step_pallas(
         stokes=jnp.where(scat[:, None], stokes_reset, st.stokes),
     )
 
-    est_sum = jnp.sum(oest, axis=0)  # (ncells, 8)
+    est_sum = fold(oest)  # (ncells, 8)
     misc = jnp.sum(omisc, axis=0)[:, 0]  # (8,)
     cnt = est.counters.at[stats.CELLCROSSINGS].add(
         est_sum[:, 3].sum().astype(est.counters.dtype))
@@ -1196,19 +1264,19 @@ def rpkt_step_pallas(
         counters=cnt,
     )
     if opts.use_lut_photoion:
-        gsum = jnp.sum(ogamma, axis=0)[:, : dad.nbfcontinua_ground]
+        gsum = fold(ogamma)[:, : dad.nbfcontinua_ground]
         est = est.replace(
             gammaestimator=est.gammaestimator + gsum.astype(est.gammaestimator.dtype))
     if opts.use_lut_bfheating:
-        bsum = jnp.sum(obfheat, axis=0)[:, : dad.nbfcontinua_ground]
+        bsum = fold(obfheat)[:, : dad.nbfcontinua_ground]
         est = est.replace(
             bfheatingestimator=est.bfheatingestimator
             + bsum.astype(est.bfheatingestimator.dtype))
     if opts.detailed_bf_estimators_on and dad.nbfcontinua > 0:
-        bfrsum = jnp.sum(obfr, axis=0)[:, : dad.nbfcontinua]
+        bfrsum = fold(obfr)[:, : dad.nbfcontinua]
         est = est.replace(bfrate=est.bfrate + bfrsum.astype(est.bfrate.dtype))
     if opts.detailed_line_estimators_on and not opts.expansionopacities_on:
-        jbsum = jnp.sum(ojb, axis=0)
+        jbsum = fold(ojb)
         njbp = ojb.shape[2] // 2
         njb = est.jblue_raw.shape[1]
         est = est.replace(
@@ -1218,7 +1286,7 @@ def rpkt_step_pallas(
             + jbsum[:, njbp:njbp + njb].astype(est.jblue_count.dtype),
         )
     if opts.multibin_radfield:
-        rbsum = jnp.sum(orb, axis=0)  # (ncells, 3*nbpad)
+        rbsum = fold(orb)  # (ncells, 3*nbpad)
         nbp = orb.shape[2] // 3
         nb = est.radfieldbin_j.shape[1]
         est = est.replace(

@@ -105,6 +105,44 @@ def _u01(shape):
     return jnp.maximum(u[0], 1e-12)
 
 
+def _tiled_eligible(opts, grid) -> bool:
+    """Tile-sorted dispatch applies to 3D models on their own 3D grid
+    (prop cell == model cell, nonemptymgi monotone in cell index by
+    construction, grid.py:154+187) — the reference's O(100^3) production
+    regime (grid.cc:1048-1096).  Expansion-opacity mode keeps a per-cell
+    binned kappa table resident in VMEM and is not tiled yet."""
+    return (grid.grid_type == GridType.CARTESIAN3D
+            and int(getattr(grid, "model_dim", 1) or 1) == 3
+            and not opts.expansionopacities_on)
+
+
+def pick_tile(opts) -> int:
+    """Prop-cell tile width for tile-sorted dispatch: a 128 multiple (the
+    tiled prop_tab BlockSpec slices lanes at tile granularity)."""
+    return max(-(-max(opts.pallas_tile, 128) // 128) * 128, 128)
+
+
+def tiled_mpad(opts) -> int:
+    """Accumulator/table-slab row count per tile: the nonemptymgi range of a
+    tile spans at most `tile` rows, plus up to 7 rows of downward 8-alignment
+    of the DMA row offset."""
+    return pick_tile(opts) + 8
+
+
+def use_tiled(opts, dad, grid, ncells: int) -> bool:
+    """Whether the engine should dispatch tile-sorted: eligible 3D-model
+    grids where the untiled kernel no longer fits the VMEM budget (or
+    unconditionally under pallas_force_tiled, for tests)."""
+    if not _tiled_eligible(opts, grid):
+        return False
+    if opts.pallas_force_tiled:
+        return True
+    nprop = int(grid.npts_model) + 1
+    block = pick_block(opts, ncells, nprop)
+    return vmem_estimate_bytes(
+        opts, dad, ncells, nprop, block) > VMEM_BUDGET_BYTES
+
+
 def supported(opts, dad, grid, ncells: int) -> bool:
     """Host-side check that this configuration fits the v1 kernel."""
     if not opts.use_pallas_rpkt:
@@ -148,12 +186,21 @@ def supported(opts, dad, grid, ncells: int) -> bool:
         return False
     # VMEM budget: tables + estimator accumulators + one-hot temporaries at
     # the block width the wrapper would pick.  Replaces the former blanket
-    # 1024-cell cap so multi-thousand-cell 3D models keep the fused kernel;
-    # O(100^3) models additionally hit the per-crossing gather FLOP wall and
-    # need the tile-sorted dispatch documented in PERF.md.
+    # 1024-cell cap so multi-thousand-cell 3D models keep the fused kernel.
     block = pick_block(opts, ncells, npropcells)
-    return vmem_estimate_bytes(
-        opts, dad, ncells, npropcells, block) <= VMEM_BUDGET_BYTES
+    if vmem_estimate_bytes(
+            opts, dad, ncells, npropcells, block) <= VMEM_BUDGET_BYTES:
+        return True
+    # O(100^3) models exceed the untiled budget: tile-sorted dispatch keeps
+    # the fused kernel with per-tile table slices (PERF.md design)
+    if _tiled_eligible(opts, grid):
+        tile = pick_tile(opts)
+        mpad = tiled_mpad(opts)
+        tblock = pick_block(opts, mpad, tile)
+        return vmem_estimate_bytes(
+            opts, dad, mpad, tile, tblock,
+            tiled=True) <= VMEM_BUDGET_BYTES
+    return False
 
 
 VMEM_BUDGET_BYTES = 14 * 1024 * 1024  # ~16 MB/core minus pipeline headroom
@@ -186,12 +233,16 @@ def pick_line_chunk(opts, nlines: int) -> int:
 
 
 def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
-                        block: int) -> int:
-    """Rough, conservative VMEM footprint of one kernel block."""
+                        block: int, tiled: bool = False) -> int:
+    """Rough, conservative VMEM footprint of one kernel block.
+
+    In tiled mode ncells/npropcells are the PER-TILE row counts (mpad/tile)
+    and the line + bf tables always stream (slab DMA per tile row range)."""
     ngc = max(int(dad.nbfcontinua_ground), 1)
     ncont = max(int(dad.nbfcontinua), 1)
     bf_chunk = pick_bf_chunk(opts)
-    stream_bf = int(dad.nbfcontinua) > opts.pallas_bf_stream_threshold
+    stream_bf = tiled or (
+        int(dad.nbfcontinua) > opts.pallas_bf_stream_threshold)
     ncont_pad = _round_up(ncont, bf_chunk if stream_bf else 128)
     ngc_pad = _round_up(ngc, 128)
     nlines = max(int(dad.nlines), 1)
@@ -219,8 +270,8 @@ def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
         cell_tab_cols += 2 * (bf_chunk if stream_bf else ncont_pad)
     if opts.expansionopacities_on:
         cell_tab_cols += 128  # binned expansion opacities
-    stream = (ncells * lpad > opts.pallas_stream_threshold
-              and not opts.expansionopacities_on)
+    stream = (tiled or ncells * lpad > opts.pallas_stream_threshold) \
+        and not opts.expansionopacities_on
     line_cols = line_chunk if stream else lpad
     if not opts.expansionopacities_on:
         cell_tab_cols += line_cols  # tau slab (streamed) or full table
@@ -247,6 +298,8 @@ def _round_up(x: int, m: int) -> int:
 def _kernel(
     # scalar prefetch
     seed_ref,  # (1,) int32
+    bt_ref,  # (nblocks,) int32 tile id per block (tiled mode; (1,) dummy)
+    bn_ref,  # (nblocks,) int32 8-aligned nonemptymgi row offset per block
     # per-lane blocked inputs
     posx, posy, posz, dirx, diry, dirz, nu_rf, nu_cmf, e_rf, e_cmf,
     prop_time, where_i, next_trans_i, moving_i,
@@ -317,10 +370,28 @@ def _kernel(
     model_dim: int = 1,
     n_rcyl_m: int = 1,
     n_z_m: int = 1,
+    tiled: bool = False,
+    tile: int = 0,
     ablate: tuple = (),
 ):
     B = block
     blk = pl.program_id(0)
+    if tiled:
+        # tile-sorted dispatch: every lane of this block lives in prop cells
+        # [tile0, tile0+tile) whose nonemptymgi values span at most `ncells`
+        # (= mpad) rows starting at ne0 (monotone by construction for 3D
+        # models, grid.py:154+187); prop_tab arrives as this tile's
+        # (16, tile) slice via its BlockSpec, the per-mgi tables are
+        # DMA-row-sliced at ne0 below
+        tile0 = bt_ref[pl.program_id(0)] * tile
+        ne0 = bn_ref[pl.program_id(0)]
+        # blocks arrive sorted by tile, so all blocks of one tile are a
+        # consecutive grid-step run revisiting the same (1, mpad, k)
+        # accumulator slice; the run's FIRST block zeroes it, later blocks
+        # accumulate on top, and Pallas writes it back to HBM when the out
+        # index map changes (the standard grid-reduction pattern)
+        first_visit = jnp.logical_or(
+            blk == 0, bt_ref[blk] != bt_ref[jnp.maximum(blk - 1, 0)])
     # lane refs are blocked per grid step (BlockSpec (B,) with index map):
     # each block DMAs only its own B-lane slice in and out.  Full-array lane
     # specs cost ~0.6 ms/block in HBM<->VMEM traffic (measured round 3) —
@@ -347,12 +418,15 @@ def _kernel(
         scratch = scratch[:-7]
 
         def fetch_bf_chunk(c0):
+            if tiled:
+                bfa_src = bf_a.at[pl.ds(ne0, ncells), pl.ds(c0, bf_chunk)]
+                bfdep_src = bf_dep.at[pl.ds(ne0, ncells), pl.ds(c0, bf_chunk)]
+            else:
+                bfa_src = bf_a.at[:, pl.ds(c0, bf_chunk)]
+                bfdep_src = bf_dep.at[:, pl.ds(c0, bf_chunk)]
             cps = [
-                pltpu.make_async_copy(
-                    bf_a.at[:, pl.ds(c0, bf_chunk)], bfa_slab, bf_sems.at[0]),
-                pltpu.make_async_copy(
-                    bf_dep.at[:, pl.ds(c0, bf_chunk)], bfdep_slab,
-                    bf_sems.at[1]),
+                pltpu.make_async_copy(bfa_src, bfa_slab, bf_sems.at[0]),
+                pltpu.make_async_copy(bfdep_src, bfdep_slab, bf_sems.at[1]),
                 pltpu.make_async_copy(
                     cont_phixs.at[pl.ds(c0, bf_chunk), :], phixs_slab,
                     bf_sems.at[2]),
@@ -385,9 +459,9 @@ def _kernel(
             return nu_slab[0]
 
         def fetch_tau(l0):
-            cp = pltpu.make_async_copy(
-                tau_factor.at[:, pl.ds(l0, line_chunk)], tau_slab,
-                dma_sems.at[1])
+            src = (tau_factor.at[pl.ds(ne0, ncells), pl.ds(l0, line_chunk)]
+                   if tiled else tau_factor.at[:, pl.ds(l0, line_chunk)])
+            cp = pltpu.make_async_copy(src, tau_slab, dma_sems.at[1])
             cp.start()
             cp.wait()
             return tau_slab[:, :]
@@ -424,7 +498,13 @@ def _kernel(
         terr=jnp.zeros((B,), F32),
         cell=lane(where_i),
         ntr=lane(next_trans_i),
-        moving=(lane(moving_i) > 0).astype(I32),
+        # tiled: a lane outside this block's tile must not advance (the
+        # engine masks stragglers already — this is the in-kernel guarantee
+        # that an out-of-tile lane can never read the wrong prop_tab slice)
+        moving=((lane(moving_i) > 0)
+                & ((lane(where_i) >= tile0)
+                   & (lane(where_i) < tile0 + tile) if tiled else True)
+                ).astype(I32),
         evented=jnp.zeros((B,), I32),
         escaped=jnp.zeros((B,), I32),
         ev_thick=jnp.zeros((B,), I32),
@@ -507,6 +587,9 @@ def _kernel(
             gkey = mgi_model
         else:
             gkey = s["cell"]
+        if tiled:
+            # the fused prop_tab arrives as this block's (16, tile) slice
+            gkey = gkey - tile0
         # transposed one-hot (nprop, B): the fused-gather dot result then
         # keeps B on the LANE dimension, so per-lane values are sublane-row
         # slices (no relayout)
@@ -514,7 +597,12 @@ def _kernel(
         if "nogather" in ablate:  # profiling only: constant cell values
             mgi = s["cell"]
             nonempty = mgi >= 0
-            safe_mgi = jnp.maximum(mgi, 0)
+            if tiled:
+                lmgi = mgi - ne0
+                nonempty = nonempty & (lmgi >= 0) & (lmgi < ncells)
+                safe_mgi = jnp.clip(lmgi, 0, ncells - 1)
+            else:
+                safe_mgi = jnp.maximum(mgi, 0)
             oh = (celliota == safe_mgi[:, None]).astype(F32)
             one = jnp.float32(1.0)
             nne_p = s["px"] * 0.0 + nne_t[0, 0]
@@ -538,7 +626,13 @@ def _kernel(
                           preferred_element_type=F32)
             mgi = jnp.round(gvT[0]).astype(I32)
             nonempty = mgi >= 0
-            safe_mgi = jnp.maximum(mgi, 0)
+            if tiled:
+                # one-hots and accumulators are tile-local: row = mgi - ne0
+                lmgi = mgi - ne0
+                nonempty = nonempty & (lmgi >= 0) & (lmgi < ncells)
+                safe_mgi = jnp.clip(lmgi, 0, ncells - 1)
+            else:
+                safe_mgi = jnp.maximum(mgi, 0)
             oh = (celliota == safe_mgi[:, None]).astype(F32)  # (B, ncells)
 
             nne_p, te_p, kgrey_p, rho_p, thickf_p, chiffpart_p = (
@@ -1487,6 +1581,15 @@ def _kernel(
         escaping = take_boundary & (snext == BOUNDARY_ESCAPE)
         crossing = take_boundary & (snext >= 0)
         cell_out = jnp.where(crossing, snext, s["cell"])
+        if tiled:
+            # a packet crossing out of this block's tile pauses (moving=0):
+            # the next dispatch re-sorts it into a block of its new tile —
+            # free in diffusion-dominated cells, bounded by the tile's
+            # surface-to-volume ratio in streaming regimes (PERF.md design)
+            out_tile = crossing & (
+                (snext < tile0) | (snext >= tile0 + tile))
+        else:
+            out_tile = crossing & (crossing != crossing)  # all-False
 
         # isotropic re-emission in the cmf at the post-move position
         # (reference: rpkt.cc:945-970 emit_rpkt; rpkt.cc:292-409 isotropic
@@ -1551,7 +1654,8 @@ def _kernel(
             em_t=jnp.where(inkscat, ft, s["em_t"]),
             nsc=s["nsc"] + inkscat.astype(I32),
             inkscat=(inkscat | (s["inkscat"] > 0)).astype(I32),
-            moving=(mask & ~take_event & ~take_tlimit & ~escaping).astype(I32),
+            moving=(mask & ~take_event & ~take_tlimit & ~escaping
+                    & ~out_tile).astype(I32),
             evented=((s["evented"] > 0) | take_event).astype(I32),
             escaped=((s["escaped"] > 0) | escaping).astype(I32),
             ev_thick=((take_event & thick)
@@ -1584,10 +1688,26 @@ def _kernel(
         return it + 1, one_crossing(it, s)
 
     if stream_bf:
-        o_bfr[0] = jnp.zeros((ncells, o_bfr.shape[2]), F32)
+        # streamed-bf kernels read-modify-write o_bfr inside the loop: in
+        # tiled mode only the first block of each tile run may zero it
+        if tiled:
+            @pl.when(first_visit)
+            def _zero_bfr():
+                o_bfr[0] = jnp.zeros((ncells, o_bfr.shape[2]), F32)
+        else:
+            o_bfr[0] = jnp.zeros((ncells, o_bfr.shape[2]), F32)
 
     _, state = jax.lax.while_loop(crossing_cond, crossing_body,
                                   (jnp.int32(0), state))
+
+    if tiled:
+        # revisited per-tile accumulators: zero on the run's first block,
+        # then accumulate this block's loop-carried contributions
+        def acc(ref, val):
+            ref[0] = jnp.where(first_visit, 0.0, ref[0]) + val
+    else:
+        def acc(ref, val):
+            ref[0] = val
 
     o_posx[:] = state["px"]; o_posy[:] = state["py"]
     o_posz[:] = state["pz"]
@@ -1610,16 +1730,16 @@ def _kernel(
     o_em_z[:] = state["em_z"]; o_em_t[:] = state["em_t"]
     o_nsc[:] = state["nsc"]; o_inkscat[:] = state["inkscat"]
     # total boundary-crossing count rides in est[0, 3] (see engine unpack)
-    o_est[0] = state["est"] + (
+    acc(o_est, state["est"] + (
         (jax.lax.broadcasted_iota(I32, (ncells, 8), 0) == 0)
         & (jax.lax.broadcasted_iota(I32, (ncells, 8), 1) == 3)
-    ).astype(F32) * jnp.sum(state["ncrossb"])
-    o_gamma[0] = state["gam"]
-    o_bfheat[0] = state["bfh"]
-    o_rb[0] = state["rb"]
+    ).astype(F32) * jnp.sum(state["ncrossb"]))
+    acc(o_gamma, state["gam"])
+    acc(o_bfheat, state["bfh"])
+    acc(o_rb, state["rb"])
     if not stream_bf:
-        o_bfr[0] = state["bfr"]
-    o_jb[0] = state["jba"]
+        acc(o_bfr, state["bfr"])
+    acc(o_jb, state["jba"])
     mrow = jax.lax.broadcasted_iota(I32, (1, 8, 128), 1)
     mcol = jax.lax.broadcasted_iota(I32, (1, 8, 128), 2)
     misc = jnp.zeros((1, 8, 128), F32)
@@ -1642,7 +1762,7 @@ def _kernel(
         "stream_lines", "stream_bf", "bf_chunk", "inkernel_scatter",
         "multibin", "nradbins",
         "want_bfrate", "want_jblue", "njblue",
-        "model_dim", "n_rcyl_m", "n_z_m", "ablate",
+        "model_dim", "n_rcyl_m", "n_z_m", "tiled", "tile", "ablate",
     ),
 )
 def propagate_blocked(
@@ -1661,12 +1781,34 @@ def propagate_blocked(
     inkernel_scatter=True,
     multibin=False, nradbins=0, want_bfrate=False,
     want_jblue=False, njblue=0,
-    model_dim=1, n_rcyl_m=1, n_z_m=1, ablate=(),
+    model_dim=1, n_rcyl_m=1, n_z_m=1,
+    tiled=False, tile=0, block_tile=None, block_ne0=None, ablate=(),
 ):
+    """In tiled mode (tile-sorted dispatch for O(100^3) 3D models):
+    `ncells` is the PER-TILE accumulator row count (mpad), `nprop` == tile,
+    block_tile/block_ne0 are (nblocks,) scalar-prefetch arrays, lanes arrive
+    pre-sorted by tile with tile-homogeneous blocks, and the per-mgi tables
+    in `tables` arrive GLOBAL-height (row-padded by mpad for the slab DMA).
+    stream_lines/stream_bf must be set by the caller whenever the respective
+    table is non-trivial (the kernel only row-slices the streamed forms)."""
     n = lane_f32["posx"].shape[0]
     assert n % block == 0
     nblocks = n // block
     ngc_pad = _round_up(max(ngc, 1), 128)
+    if block_tile is None:
+        block_tile = jnp.zeros((1,), I32)
+    if block_ne0 is None:
+        block_ne0 = jnp.zeros((1,), I32)
+    if tiled:
+        # caller passes GLOBAL ncells/nprop; the kernel's static dims are
+        # per-tile: one (16, tile) prop_tab slice and mpad accumulator rows
+        mpad = tile + 8
+        ntiles = -(-nprop // tile)
+        k_ncells, k_nprop = mpad, tile
+        assert stream_lines and not expansion_mode
+    else:
+        mpad = ntiles = 0
+        k_ncells, k_nprop = ncells, nprop
 
     if stream_bf:
         # pad the bf tables to a whole number of DMA chunks and build the
@@ -1750,6 +1892,34 @@ def propagate_blocked(
          _bymgi("rho"), _bymgi("thick"), _bymgi("chiffpart"), bmin, bmax]
         + [zcol] * 7, axis=0)  # (16, nprop)
     tables = {k: as_row(v) for k, v in tables.items()}
+    if tiled:
+        # pad prop_tab width to whole tiles; pad cells read as empty (mgi -1)
+        wpad = ntiles * tile
+        if prop_tab.shape[1] < wpad:
+            w = wpad - prop_tab.shape[1]
+            prop_tab = jnp.concatenate(
+                [prop_tab,
+                 jnp.concatenate([jnp.full((1, w), -1.0, F32),
+                                  jnp.zeros((15, w), F32)])], axis=1)
+        # the kernel reads cell values only through prop_tab on eligible
+        # (cart3d 3D-model) grids: drop the global per-cell/per-prop tables
+        # so they don't occupy VMEM (nogather ablation reads [0, 0] only)
+        z128 = jnp.zeros((1, 128), F32)
+        for nm in ("mgi_of_cell", "cellmin0", "cellmax0", "nne", "Te",
+                   "kappagrey", "rho", "thick", "chiffpart"):
+            tables[nm] = z128
+        # slab DMAs read rows [ne0, ne0+mpad): row-pad the per-mgi tables
+        def _rowpad(x):
+            return jnp.pad(x, ((0, mpad), (0, 0)))
+        tables["tau_factor"] = _rowpad(tables["tau_factor"])
+        if stream_bf:
+            tables["bf_a"] = _rowpad(tables["bf_a"])
+            tables["bf_dep"] = _rowpad(tables["bf_dep"])
+        else:
+            # no bf continua in this config: per-tile dummies keep the
+            # resident-path dot shapes consistent (in_window is all-False)
+            tables["bf_a"] = jnp.zeros((mpad, 128), F32)
+            tables["bf_dep"] = jnp.zeros((mpad, 128), F32)
     tables["prop_tab"] = prop_tab
 
     # production linelists: the (ncells, Lpad) tau table and the line
@@ -1761,9 +1931,16 @@ def propagate_blocked(
     # DMA-streamed per crossing (lifts the former 512-continuum VMEM cap)
     bf_spec = (pl.BlockSpec(memory_space=pl.ANY) if stream_bf
                else table_spec)
+    # tile-sorted dispatch: each block sees only its tile's (16, tile)
+    # prop_tab slice, selected by the per-block tile id (scalar prefetch)
+    prop_spec = (
+        pl.BlockSpec((16, tile), lambda i, s, bt, bn: (0, bt[i]),
+                     memory_space=pltpu.VMEM)
+        if tiled else table_spec)
     in_specs = (
         [lane_spec] * (len(lane_names) + len(int_names) + 2)
-        + [table_spec] * 10 + [line_spec, line_spec, line_spec] + [bf_spec]
+        + [table_spec] * 3 + [prop_spec] + [table_spec] * 6
+        + [line_spec, line_spec, line_spec] + [bf_spec]
     )
     table_list = [
         tables["mgi_of_cell"], tables["cellmin0"], tables["cellmax0"],
@@ -1791,6 +1968,17 @@ def propagate_blocked(
 
     f32_out = jax.ShapeDtypeStruct((n,), F32)
     i32_out = jax.ShapeDtypeStruct((n,), I32)
+    # estimator accumulators: per-block rows untiled; per-TILE rows tiled
+    # (blocks sorted by tile revisit one (1, mpad, k) slice per tile run,
+    # zeroed on first visit — memory stays ~ the global estimator size
+    # instead of scaling with nblocks)
+    acc_dim = ntiles if tiled else nblocks
+    acc_cols = [
+        8, ngc_pad, ngc_pad, 3 * _round_up(max(nradbins, 1), 128),
+        (_round_up(ncont, bf_chunk if stream_bf else 128)
+         if want_bfrate else 128),
+        (2 * _round_up(max(njblue, 1), 128) if want_jblue else 128),
+    ]
     out_shape = (
         [f32_out] * 11  # state floats
         + [i32_out] * 2  # where, next_trans
@@ -1798,58 +1986,27 @@ def propagate_blocked(
         + [f32_out] * 4  # chi_escat, chi_ff, chi_bf, chi_cont
         + [i32_out]  # mgi
         + [f32_out] * 4 + [i32_out] * 2  # em_xyz/t, nsc, inkscat
-        + [
-            jax.ShapeDtypeStruct((nblocks, ncells, 8), F32),
-            jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
-            jax.ShapeDtypeStruct((nblocks, ncells, ngc_pad), F32),
-            jax.ShapeDtypeStruct(
-                (nblocks, ncells, 3 * _round_up(max(nradbins, 1), 128)), F32),
-            jax.ShapeDtypeStruct(
-                (nblocks, ncells,
-                 _round_up(ncont, bf_chunk if stream_bf else 128)
-                 if want_bfrate else 128), F32),
-            jax.ShapeDtypeStruct(
-                (nblocks, ncells,
-                 2 * _round_up(max(njblue, 1), 128) if want_jblue else 128),
-                F32),
-            jax.ShapeDtypeStruct((nblocks, 8, 128), F32),
-        ]
+        + [jax.ShapeDtypeStruct((acc_dim, k_ncells, c), F32)
+           for c in acc_cols]
+        + [jax.ShapeDtypeStruct((nblocks, 8, 128), F32)]
     )
-    out_specs = (
-        [lane_spec] * 13
-        + [lane_spec] * 6
-        + [lane_spec] * 4
-        + [lane_spec]
-    )
-    # fix dtype-specific specs: lane_spec works for both f32 and i32
+    if tiled:
+        def _acc_map(i, s, bt, bn):
+            return (bt[i], 0, 0)
+    else:
+        def _acc_map(i, *_):
+            return (i, 0, 0)
     out_specs = (
         [lane_spec] * 30
-        + [
-            pl.BlockSpec((1, ncells, 8), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncells, ngc_pad), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ncells, ngc_pad), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, ncells, 3 * _round_up(max(nradbins, 1), 128)),
-                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, ncells,
-                 _round_up(ncont, bf_chunk if stream_bf else 128)
-                 if want_bfrate else 128),
-                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, ncells,
-                 2 * _round_up(max(njblue, 1), 128) if want_jblue else 128),
-                lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-        ]
+        + [pl.BlockSpec((1, k_ncells, c), _acc_map,
+                        memory_space=pltpu.VMEM) for c in acc_cols]
+        + [pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                        memory_space=pltpu.VMEM)]
     )
 
     kern = partial(
         _kernel,
-        nlines=nlines, ncont=ncont, nprop=nprop, ncells=ncells, ngc=ngc,
+        nlines=nlines, ncont=ncont, nprop=k_nprop, ncells=k_ncells, ngc=ngc,
         nphixs=nphixs, line_chunk=line_chunk, max_inner=max_inner,
         relativistic=relativistic, phixs_dnu=phixs_dnu,
         last_nuovernuedge=last_nuovernuedge, want_gamma=want_gamma,
@@ -1861,18 +2018,19 @@ def propagate_blocked(
         multibin=multibin, nradbins=nradbins, want_bfrate=want_bfrate,
         want_jblue=want_jblue,
         model_dim=model_dim, n_rcyl_m=n_rcyl_m, n_z_m=n_z_m,
+        tiled=tiled, tile=tile,
         ablate=ablate,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(nblocks,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=(
             (
                 [
-                    pltpu.VMEM((ncells, line_chunk), F32),
+                    pltpu.VMEM((k_ncells, line_chunk), F32),
                     pltpu.VMEM((1, line_chunk), F32),
                     pltpu.VMEM((1, line_chunk), F32),
                     pltpu.SemaphoreType.DMA((3,)),
@@ -1881,8 +2039,8 @@ def propagate_blocked(
             )
             + (
                 [
-                    pltpu.VMEM((ncells, bf_chunk), F32),  # bf_a slab
-                    pltpu.VMEM((ncells, bf_chunk), F32),  # bf_dep slab
+                    pltpu.VMEM((k_ncells, bf_chunk), F32),  # bf_a slab
+                    pltpu.VMEM((k_ncells, bf_chunk), F32),  # bf_dep slab
                     pltpu.VMEM((bf_chunk, nphixs), F32),  # phixs slab
                     pltpu.VMEM((bf_chunk, max(ngc, 1)), F32),  # gmap slab
                     pltpu.VMEM((1, bf_chunk), F32),  # edge slab
@@ -1908,5 +2066,6 @@ def propagate_blocked(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(jnp.asarray([seed], I32), *inputs)
+    )(jnp.asarray([seed], I32), block_tile.astype(I32),
+      block_ne0.astype(I32), *inputs)
     return outs
