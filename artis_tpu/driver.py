@@ -1435,12 +1435,24 @@ class Simulation:
             tail_widths.append(tail_widths[-1] // 4)
 
         def _tail_opts(w):
+            # tail programs run their device-side loop to convergence (or the
+            # iteration cap): descending the ladder mid-drain costs a host
+            # round-trip + gather per width, which the narrower programs'
+            # cheaper iterations rarely pay back
             return self.opts.replace(
                 rpkt_crossings_per_dispatch=self.opts.tail_crossings_per_dispatch,
                 npkts=w, pallas_block=min(self.opts.pallas_block, w),
+                exit_below=0,
             )
 
         return tail_widths, _tail_opts
+
+    def _full_opts(self, tail_widths):
+        """Options for the full-width transport program: exit the device loop
+        early once the wavefront fits the widest tail buffer."""
+        if tail_widths:
+            return self.opts.replace(exit_below=tail_widths[0])
+        return self.opts
 
     def _transport_kwargs(self, nts: int):
         p = self.params
@@ -1472,7 +1484,7 @@ class Simulation:
         t0 = _time.time()
         self._transport_jit(
             key, dead, est, self.grid, self.dad, self.aux, self.rc,
-            self.rates, self.cells, ctx, self.opts,
+            self.rates, self.cells, ctx, self._full_opts(tail_widths),
             max_iters=self.opts.dispatch_chunk_iters, **kwargs)
         for w in tail_widths:
             sub = jax.tree_util.tree_map(lambda x: x[:w], dead)
@@ -1480,6 +1492,21 @@ class Simulation:
                 key, sub, est, self.grid, self.dad, self.aux, self.rc,
                 self.rates, self.cells, ctx, _tail_opts(w),
                 max_iters=self.opts.tail_chunk_iters, **kwargs)
+        # settle pass: right after a burst of cold compiles a relay backend
+        # serves the next few dispatches seconds slower (server-side cache
+        # writes); re-running each (now compiled) program absorbs that
+        # outside any measured window
+        out = self._transport_jit(
+            key, dead, est, self.grid, self.dad, self.aux, self.rc,
+            self.rates, self.cells, ctx, self._full_opts(tail_widths),
+            max_iters=self.opts.dispatch_chunk_iters, **kwargs)
+        for w in tail_widths:
+            sub = jax.tree_util.tree_map(lambda x: x[:w], dead)
+            out = self._transport_jit(
+                key, sub, est, self.grid, self.dad, self.aux, self.rc,
+                self.rates, self.cells, ctx, _tail_opts(w),
+                max_iters=self.opts.tail_chunk_iters, **kwargs)
+        jax.block_until_ready(out[2])
         self.log(
             f"warm_transport: {1 + len(tail_widths)} programs compiled in "
             f"{_time.time() - t0:.1f}s (widths {[self.opts.npkts] + tail_widths})"
@@ -1512,6 +1539,7 @@ class Simulation:
         # active count shrinks (kernel wall time scales with buffer width)
         tail_widths, _tail_opts = self._tail_plan()
         use_tail = bool(tail_widths)
+        full_opts = self._full_opts(tail_widths)
 
         def _pick_width(n):
             fit = [w for w in tail_widths if w >= max(n, 1)]
@@ -1537,7 +1565,7 @@ class Simulation:
             if not mode_tail:
                 self.state, self.est, it_c, ns_c = self._transport_jit(
                     key, self.state, self.est, self.grid, self.dad, self.aux,
-                    self.rc, self.rates, self.cells, ctx, self.opts,
+                    self.rc, self.rates, self.cells, ctx, full_opts,
                     max_iters=chunk_iters, **transport_kwargs,
                 )
                 counts = np.asarray(_pack_counts(it_c, ns_c, self.state, t2dev))

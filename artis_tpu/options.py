@@ -242,6 +242,18 @@ class Options:
     # smallest buffer in the descending tail-width ladder (each 4x step down
     # is its own compiled program; kernel wall time scales with buffer width)
     tail_min_width: int = 256
+    # device-side chunk early-exit: a transport chunk's while_loop exits as
+    # soon as the active packet count drops to exit_below or fewer (after at
+    # least one iteration), so the driver re-gathers the stragglers into the
+    # next-narrower tail buffer instead of paying further wide iterations;
+    # 0 = run to max_iters / drain.  Set per compiled width by the driver.
+    exit_below: int = 0
+    # sort lanes so moving r-packets are contiguous before a fused-kernel
+    # dispatch: trailing blocks then see no moving lane and early-exit their
+    # crossing loop, so kernel wall time scales with the moving-lane count
+    # instead of the buffer width (partial-occupancy wavefronts, e.g. while
+    # pellets are still decaying mid-timestep)
+    pallas_compact_moving: bool = True
     # wall-clock cap per timestep's transport (seconds; <=0 = no cap). For
     # BENCHMARKING only: stragglers past the cap stay mid-timestep. The f32
     # fast path cannot advance packets whose scatter step falls below the

@@ -88,10 +88,17 @@ def build_tables(dad: DeviceAtomicData, tablesize: int, mintemp: float, maxtemp:
             h.update(np.asarray(arr).tobytes())
         h.update(np.asarray([tablesize, mintemp, maxtemp,
                              int(use_lut_photoion), int(use_lut_bfheating)]).tobytes())
-        cache_path = os.path.join(cache_dir, "ratecoeff.dat.npz")
-        if os.path.exists(cache_path):
+        # hash-named file: a shared cache dir (ARTIS_RATECOEFF_CACHE_DIR)
+        # holds one entry per distinct config instead of thrashing a single
+        # ratecoeff.dat between configs; legacy single-name entries still load
+        cache_path = os.path.join(
+            cache_dir, f"ratecoeff.{h.hexdigest()[:16]}.npz")
+        legacy_path = os.path.join(cache_dir, "ratecoeff.dat.npz")
+        load_path = (cache_path if os.path.exists(cache_path)
+                     else legacy_path)
+        if os.path.exists(load_path):
             try:
-                data = np.load(cache_path)
+                data = np.load(load_path)
                 if data["md5"].item() == h.hexdigest():
                     return RateCoeffTables(
                         t_grid=jnp.asarray(data["t_grid"]),

@@ -1128,6 +1128,18 @@ def rpkt_step_pallas(
         test_tau = test_sel = jnp.zeros((npad,), f32)
 
     inv_perm = block_tile = block_ne0 = None
+    if not tiled and opts.pallas_compact_moving and npad > block:
+        # moving lanes first (stable, so determinism is preserved): trailing
+        # blocks see no moving lane and early-exit their crossing loop, so
+        # kernel wall time tracks the moving count, not the buffer width —
+        # the in-kernel counterpart of the reference's sort-escaped-packets
+        # pass (update_packets.cc:281-332)
+        perm = jnp.argsort((lane_i32["moving"] == 0).astype(jnp.int32))
+        lane_f32 = {k: v[perm] for k, v in lane_f32.items()}
+        lane_i32 = {k: v[perm] for k, v in lane_i32.items()}
+        test_tau = test_tau[perm]
+        test_sel = test_sel[perm]
+        inv_perm = jnp.argsort(perm)
     if tiled:
         # sort lanes by cell-tile (inactive lanes key past every real tile,
         # so the per-block tile sequence is monotone and tile runs are
@@ -1211,7 +1223,10 @@ def rpkt_step_pallas(
             return jnp.zeros((ncells, o.shape[2]), o.dtype).at[_rows].add(
                 a.reshape(-1, o.shape[2]))
     else:
-        sl = lambda x: x.reshape(-1)[:n]  # lane outputs come back (nblocks, block)
+        if inv_perm is not None:  # undo the moving-compaction sort
+            sl = lambda x: x.reshape(-1)[inv_perm][:n]
+        else:
+            sl = lambda x: x.reshape(-1)[:n]  # outputs are (nblocks, block)
 
         def fold(o):  # (nblocks, ncells, k) -> (ncells, k)
             return jnp.sum(o, axis=0)
@@ -1841,7 +1856,14 @@ def transport_timestep(
 
     def cond(carry):
         st, est, it, nsteps = carry
-        return jnp.logical_and(jnp.any(is_active(st)), it < max_iters)
+        n_active = jnp.sum(is_active(st).astype(jnp.int32))
+        go = jnp.logical_and(n_active > 0, it < max_iters)
+        if opts.exit_below > 0:
+            # hand the stragglers back to the driver for a narrower buffer
+            # (device-side counterpart of the tail-width ladder switch)
+            go = jnp.logical_and(
+                go, jnp.logical_or(it < 1, n_active > opts.exit_below))
+        return go
 
     def body_inner(st, est, k, nsteps):
         active = st.prop_time < ctx.t2

@@ -19,6 +19,12 @@ import sys
 import tempfile
 
 os.environ.setdefault("ARTIS_X64", "0")  # TPU path: all-f32 device arrays
+# shared md5-gated ratecoeff LUT cache: the bench scene is regenerated in a
+# fresh tmpdir every run, and rebuilding the LUTs on a busy relay backend
+# costs minutes of the alarm budget
+os.environ.setdefault(
+    "ARTIS_RATECOEFF_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".rc_cache"))
 
 # measurement state shared with the signal handler: if the harness timeout
 # SIGTERMs this process mid-run, report whatever was measured so far (a
@@ -62,8 +68,8 @@ signal.signal(signal.SIGALRM, _on_term)
 signal.alarm(int(os.environ.get("GRAFT_BENCH_ALARM", "1500")))
 
 
-def _backend_alive(timeout_s: float = 60.0, retries: int = 5,
-                   retry_wait_s: float = 45.0) -> bool:
+def _backend_alive(timeout_s: float = 75.0, retries: int = 6,
+                   retry_wait_s: float = 40.0) -> bool:
     """Probe the accelerator backend in a throwaway subprocess.
 
     On a wedged remote-TPU tunnel the first JAX backend touch can block ~20
@@ -103,6 +109,9 @@ def _backend_alive(timeout_s: float = 60.0, retries: int = 5,
 
 def main() -> None:
     npkts = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    npkts = int(os.environ.get("GRAFT_BENCH_NPKTS", npkts))
+    logrho0 = float(os.environ.get("GRAFT_BENCH_LOGRHO0", "-9.0"))
+    logrho_slope = float(os.environ.get("GRAFT_BENCH_SLOPE", "-0.15"))
 
     if os.environ.get("GRAFT_BENCH_SKIP_PROBE") != "1" and not _backend_alive():
         # dead tunnel: run a small honest CPU measurement instead of blocking
@@ -129,7 +138,7 @@ def main() -> None:
     # measure the (now device-side-converged) drained-tail cost.  The
     # work-weighted headline is dominated by where the steps actually happen.
     make_run(d, ncells=16, ntimesteps=6, tmin_days=5.0, tmax_days=9.0, ngreyts=1,
-             logrho0=-9.0, logrho_slope=-0.15)
+             logrho0=logrho0, logrho_slope=logrho_slope)
     opts = kilonova_lte(
         npkts=npkts, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
         maxtemp=20000.0, tablesize=20, transport_dtype="float32",

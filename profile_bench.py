@@ -6,6 +6,9 @@ import time
 import tempfile
 
 os.environ.setdefault("ARTIS_X64", "0")
+os.environ.setdefault(
+    "ARTIS_RATECOEFF_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".rc_cache"))
 os.environ.setdefault("ARTIS_DEBUG_CHUNKS", "1")
 
 import jax

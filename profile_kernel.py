@@ -16,6 +16,9 @@ import tempfile
 import time
 
 os.environ.setdefault("ARTIS_X64", "0")
+os.environ.setdefault(
+    "ARTIS_RATECOEFF_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".rc_cache"))
 
 import jax
 import jax.numpy as jnp
