@@ -578,6 +578,42 @@ class Simulation:
 
     def __init__(self, rundir: str, opts: Options | None = None, datadir: str | None = None,
                  lockfile: bool = False):
+        mode = os.environ.get("ARTIS_HOST_SETUP", "auto")
+        host_setup = mode == "1" or (mode == "auto" and jax.default_backend() != "cpu")
+        if host_setup:
+            try:
+                cpu = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                host_setup = False
+        if not host_setup:
+            self._init_impl(rundir, opts, datadir, lockfile)
+            return
+        # Build every device structure on the local CPU backend: eager setup
+        # ops on a remote-relay accelerator each cost a network round trip
+        # (minutes of wall time for the ~10^2 small ops below, measured), then
+        # one bulk device_put ships the finished pytrees to the accelerator.
+        with jax.default_device(cpu):
+            self._init_impl(rundir, opts, datadir, lockfile)
+        target = jax.devices()[0]
+        t0 = _time.time()
+        moved = [0]
+
+        def _move(x):
+            if isinstance(x, jax.Array):
+                moved[0] += x.nbytes
+                return jax.device_put(x, target)
+            return x
+
+        for name, val in list(vars(self).items()):
+            setattr(self, name, jax.tree_util.tree_map(_move, val))
+        jax.block_until_ready(self.state.pos)
+        self.log(
+            f"host setup: moved {moved[0] / 1e6:.1f} MB to {target} in "
+            f"{_time.time() - t0:.1f}s"
+        )
+
+    def _init_impl(self, rundir: str, opts: Options | None, datadir: str | None,
+                   lockfile: bool):
         self.rundir = rundir
         self.datadir = datadir or os.path.join(rundir, "data")
         if not os.path.isdir(self.datadir):
