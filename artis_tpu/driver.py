@@ -577,16 +577,29 @@ class Simulation:
     """Owns all static data and the evolving state of one run."""
 
     def __init__(self, rundir: str, opts: Options | None = None, datadir: str | None = None,
-                 lockfile: bool = False):
+                 lockfile: bool = False, mesh=None):
+        self._mesh_request = mesh
         mode = os.environ.get("ARTIS_HOST_SETUP", "auto")
         host_setup = mode == "1" or (mode == "auto" and jax.default_backend() != "cpu")
         if host_setup:
             try:
                 cpu = jax.local_devices(backend="cpu")[0]
             except RuntimeError:
+                if mode == "1":
+                    # an explicit request is being downgraded to the slow
+                    # direct-on-accelerator init; on a remote-relay backend
+                    # that is exactly the minutes-long pathology host setup
+                    # exists to avoid — say so
+                    print(
+                        "WARNING: ARTIS_HOST_SETUP=1 requested but no CPU "
+                        "backend is available; falling back to direct "
+                        "on-accelerator setup (slow on relay backends)",
+                        flush=True,
+                    )
                 host_setup = False
         if not host_setup:
             self._init_impl(rundir, opts, datadir, lockfile)
+            self._setup_mesh()
             return
         # Build every device structure on the local CPU backend: eager setup
         # ops on a remote-relay accelerator each cost a network round trip
@@ -594,23 +607,40 @@ class Simulation:
         # one bulk device_put ships the finished pytrees to the accelerator.
         with jax.default_device(cpu):
             self._init_impl(rundir, opts, datadir, lockfile)
-        target = jax.devices()[0]
+        devices = jax.devices()
+        if len(devices) > 1:
+            # replicate over ALL devices (an uncommitted-compatible layout):
+            # committing to devices[0] makes shard_map reject the arrays on a
+            # multi-device mesh ("incompatible devices"), while a replicated
+            # NamedSharding over the same device set reshards freely
+            from jax.sharding import Mesh as _Mesh, NamedSharding, PartitionSpec as _P
+            import numpy as _np
+            target = NamedSharding(_Mesh(_np.array(devices), ("d",)), _P())
+        else:
+            target = devices[0]
         t0 = _time.time()
         moved = [0]
+        moved_arrays = []
 
         def _move(x):
             if isinstance(x, jax.Array):
                 moved[0] += x.nbytes
-                return jax.device_put(x, target)
+                y = jax.device_put(x, target)
+                moved_arrays.append(y)
+                return y
             return x
 
         for name, val in list(vars(self).items()):
             setattr(self, name, jax.tree_util.tree_map(_move, val))
-        jax.block_until_ready(self.state.pos)
+        jax.block_until_ready(moved_arrays)
+        # the plasma jit closed over pre-move (CPU-committed) array copies;
+        # rebuild it so the moved device copies are the ones captured
+        self._build_plasma_jit()
         self.log(
             f"host setup: moved {moved[0] / 1e6:.1f} MB to {target} in "
             f"{_time.time() - t0:.1f}s"
         )
+        self._setup_mesh()
 
     def _init_impl(self, rundir: str, opts: Options | None, datadir: str | None,
                    lockfile: bool):
@@ -1048,18 +1078,76 @@ class Simulation:
         if not hasattr(self, "_vgrid_total"):
             self._vgrid_total = np.zeros(self._vgrid_shape, dtype=np.float64)
 
+        self._build_plasma_jit()
+
+    def _build_plasma_jit(self):
+        """(Re)build the jitted plasma update from the CURRENT attribute
+        arrays — called again after the host-setup bulk move so the closure
+        captures the accelerator copies, not the CPU-committed originals."""
         import functools as _ft
+        self._plasma_fn = _ft.partial(
+            _plasma_update_device, nlte_indices=self.nlte_indices,
+            ntd=self.ntd, nt_wf=self.nt_wf,
+            vpkt_exclude=(self.vpkt_cfg.exclude
+                          if self.vpkt_cfg is not None else ()),
+            num_lte_timesteps=int(self.params.num_lte_timesteps),
+        )
         self._plasma_jit = jax.jit(
-            _ft.partial(
-                _plasma_update_device, nlte_indices=self.nlte_indices,
-                ntd=self.ntd, nt_wf=self.nt_wf,
-                vpkt_exclude=(self.vpkt_cfg.exclude
-                              if self.vpkt_cfg is not None else ()),
-                num_lte_timesteps=int(self.params.num_lte_timesteps),
-            ),
+            self._plasma_fn,
             static_argnames=("opts", "mode", "radfield_use_bins",
                              "nt_sf_skip"),
         )
+
+    def _setup_mesh(self):
+        """Build the device mesh for the production driver (round-5: the
+        TPU-native equivalent of the reference's MPI-inside-every-timestep,
+        sn3d.cc:197-348 — packet transport sharded over the mesh with psum'd
+        estimators, the plasma solve cell-domain-decomposed over the same
+        devices).
+
+        ``mesh`` request semantics: None = single device (off); "auto" = all
+        available devices if more than one; int n = first n devices; a
+        jax.sharding.Mesh = used as-is (must be 1-axis).
+        """
+        from .parallel import mesh as mesh_mod
+
+        req = self._mesh_request
+        self.mesh = None
+        if req is None:
+            return
+        if isinstance(req, jax.sharding.Mesh):
+            self.mesh = req
+        else:
+            devices = jax.devices()
+            if req == "auto":
+                if len(devices) <= 1:
+                    return
+                use = devices
+            else:
+                n = int(req)
+                if n <= 1:
+                    return
+                if n > len(devices):
+                    raise ValueError(
+                        f"mesh={n} devices requested but only "
+                        f"{len(devices)} available")
+                use = devices[:n]
+            self.mesh = mesh_mod.make_mesh(use)
+        ndev = self.mesh.devices.size
+        if self.opts.npkts % ndev != 0:
+            raise ValueError(
+                f"npkts={self.opts.npkts} must divide the mesh size {ndev}")
+        self.log(f"mesh: {ndev} devices, packet axis "
+                 f"{self.opts.npkts // ndev} packets/device")
+        # sharded dispatchers with the same call signatures as the
+        # single-device jits they replace
+        self._transport_jit = mesh_mod.make_transport_dispatch(self.mesh)
+        self._plasma_jit = mesh_mod.make_plasma_dispatch(
+            self.mesh, self._plasma_fn)
+        # lay the packet state out over the packet axis up front (one
+        # resharding transfer; all later transport dispatches are in-place)
+        self.state = jax.device_put(
+            self.state, mesh_mod.packet_sharding(self.mesh, self.state))
 
     # ------------------------------------------------------------------
     def _calculate_kappagrey_initial(self):

@@ -79,6 +79,9 @@ class Options:
     # (reference: RECOMBCALIBRATION_T_ELEC, artisoptions_nltenebular.h:50)
     recombcalibration_t_elec: float = 6000.0
     nlte_maxlevel_fe2: int = 197  # Fe II exception
+    # Z-band cap used by the christinenonthermal preset: when >= 0, elements
+    # with Z < 22 use this cap instead (artisoptions_christinenonthermal.h:19-24)
+    nlte_maxlevel_lowz: int = -1
     # LU iterative-refinement passes, keeping the best residual
     # (reference: nltepop.cc:623-746)
     nlte_refine_iters: int = 4
@@ -322,6 +325,89 @@ def classic(**overrides) -> Options:
         use_relativistic_doppler_shift=False,
         particle_thermalisation_scheme=ThermalisationScheme.INSTANT,
         gamma_thermalisation_scheme=ThermalisationScheme.DETAILED,
+    ).replace(**overrides)
+
+
+def nltewithoutnonthermal(**overrides) -> Options:
+    """Preset mirroring artisoptions_nltewithoutnonthermal.h (reference lines
+    9-153): early-phase NLTE mode — hot temperature range, fine radfield
+    binning, polarised packets, NT solver on but without NT excitation."""
+    return Options(
+        npkts=10000,
+        grid_type=GridType.CARTESIAN3D,
+        nlte_enabled=True,
+        nlte_all_levels=False,
+        nlte_maxlevel=80,
+        nlte_maxlevel_fe2=197,
+        ltepop_excitation_use_tj=False,
+        force_saha_ion_balance=False,
+        single_level_top_ion=True,   # artisoptions_nltewithoutnonthermal.h:30
+        single_ground_level=True,    # :32
+        initial_packets_on=True,     # :39
+        record_linestat=True,        # :40
+        tablesize=200,               # :44
+        mintemp=4000.0,              # :45
+        maxtemp=140000.0,            # :46
+        recombcalibration_t_elec=15000.0,  # :48
+        dipole=True,                 # :50
+        pol_on=True,                 # :51
+        nu_min_r=1e14,               # :60
+        nu_max_r=5e16,               # :61
+        multibin_radfield=True,
+        radfieldbincount=512,        # :67
+        nu_upper_last_initial=CLIGHT / 100e-8,  # :72
+        use_lut_photoion=False,      # :86
+        use_lut_bfheating=False,     # :88
+        detailed_bf_estimators_on=True,
+        detailed_line_estimators_on=True,
+        nt_on=True,                  # :92
+        nt_solve_spencerfano=True,   # :94
+        nt_excitation_on=False,      # :111
+        temperature_solver_accuracy=1e-2,  # :123
+        iongamma_popfrac_levels_included=1.0,  # :129
+        fixed_timestep_width=0.1,    # :139
+        timestep_transition_time=5.0,  # :141
+        bfcooling_uselevelpop=True,  # :145
+        use_relativistic_doppler_shift=False,
+    ).replace(**overrides)
+
+
+def christinenonthermal(**overrides) -> Options:
+    """Preset mirroring artisoptions_christinenonthermal.h: non-thermal
+    study mode — deep Z-banded NLTE level coverage (Z<22: 200 levels, else
+    300), coarse 64-bin radfield, polarised packets."""
+    return Options(
+        npkts=10000,
+        grid_type=GridType.CARTESIAN3D,
+        nlte_enabled=True,
+        nlte_all_levels=False,
+        nlte_maxlevel=300,           # artisoptions_christinenonthermal.h:23
+        nlte_maxlevel_fe2=300,       # no Fe II exception in this preset
+        nlte_maxlevel_lowz=200,      # :20-22 (Z < 22)
+        ltepop_excitation_use_tj=False,
+        force_saha_ion_balance=False,
+        initial_packets_on=True,     # :41
+        tablesize=100,
+        mintemp=3000.0,              # :47
+        maxtemp=140000.0,            # :48
+        recombcalibration_t_elec=15000.0,  # :50
+        dipole=True,
+        pol_on=True,
+        nu_max_r=5e16,               # :63
+        multibin_radfield=True,
+        radfieldbincount=64,         # :69
+        nu_upper_last_initial=CLIGHT / 500e-8,  # :74
+        nu_upper_superbin=CLIGHT / 50e-8,  # :75
+        use_lut_photoion=False,      # :88
+        use_lut_bfheating=False,     # :90
+        detailed_bf_estimators_on=True,
+        detailed_line_estimators_on=True,
+        nt_on=True,                  # :94
+        nt_solve_spencerfano=True,   # :96
+        nt_excitation_on=False,      # :113
+        sf_points=256,  # SFPTS=4096 (:98); 256 keeps the vmapped SF solve
+        # in-memory at CI scale — raise per-run for production fidelity
+        use_relativistic_doppler_shift=False,
     ).replace(**overrides)
 
 

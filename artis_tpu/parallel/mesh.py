@@ -91,6 +91,73 @@ def transport_timestep_sharded(
     return _run(key, st, est, grid, rc, rates, cells, ctx)
 
 
+def packet_sharding(mesh: Mesh, st):
+    """NamedSharding pytree laying the packet SoA over the packet axis."""
+    from jax.sharding import NamedSharding
+
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(PACKET_AXIS)), st
+    )
+
+
+def make_transport_dispatch(mesh: Mesh):
+    """Build a jitted sharded transport dispatcher with the SAME call
+    signature as ``jax.jit(engine_mod.transport_timestep)`` so the production
+    driver's chunked wavefront loop (driver.do_timestep) runs unchanged on a
+    multi-device mesh.
+
+    This is the TPU-native form of the reference's MPI-per-timestep transport
+    (sn3d.cc:554-682 do_timestep; sn3d.cc:263-348 mpi_reduce_estimators):
+    the packet batch is sharded over the mesh axis, each device advances its
+    shard with a decorrelated RNG stream, and the estimator DELTA accumulated
+    this call is psum'd — the incoming accumulator is already replicated, so
+    summing the full output would multiply it by the device count.
+    """
+
+    @partial(
+        jax.jit,
+        static_argnames=("opts", "gamma_kappagrey", "opacity_case",
+                         "kpktdiffusion_timescale", "apply_kpkt_diffusion",
+                         "max_iters"),
+    )
+    def dispatch(key, st, est, grid, dad, aux, rc, rates, cells, ctx, opts,
+                 gamma_kappagrey, opacity_case, kpktdiffusion_timescale,
+                 apply_kpkt_diffusion, max_iters=4096):
+        pkt_spec = jax.tree_util.tree_map(lambda _: P(PACKET_AXIS), st)
+        repl = lambda tree: jax.tree_util.tree_map(lambda _: P(), tree)
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(P(), pkt_spec, repl(est), repl(grid), repl(dad),
+                      repl(aux), repl(rc), repl(rates), repl(cells),
+                      repl(ctx)),
+            out_specs=(pkt_spec, repl(est), P(), P()),
+            check_vma=False,
+        )
+        def _run(key_, st_shard, est0, grid_, dad_, aux_, rc_, rates_,
+                 cells_, ctx_):
+            shard_key = jax.random.fold_in(
+                key_, jax.lax.axis_index(PACKET_AXIS))
+            st_out, est_out, iters, nsteps = engine_mod.transport_timestep(
+                shard_key, st_shard, est0, grid_, dad_, aux_, rc_, rates_,
+                cells_, ctx_, opts, gamma_kappagrey, opacity_case,
+                kpktdiffusion_timescale, apply_kpkt_diffusion, max_iters,
+            )
+            # psum of this call's DELTA only (est0 is replicated)
+            est_out = jax.tree_util.tree_map(
+                lambda o, i: i + jax.lax.psum(o - i, PACKET_AXIS),
+                est_out, est0,
+            )
+            iters = jax.lax.pmax(iters, PACKET_AXIS)
+            nsteps = jax.lax.psum(nsteps, PACKET_AXIS)
+            return st_out, est_out, iters, nsteps
+
+        return _run(key, st, est, grid, dad, aux, rc, rates, cells, ctx)
+
+    return dispatch
+
+
 CELL_AXIS = "cells"
 
 
@@ -187,6 +254,56 @@ def plasma_update_sharded(mesh: Mesh, plasma_fn, dad, rc, cells, opts,
 
     return _run(cells, j_norm, nuj_norm, ffheating_norm, dep_heating,
                 tuple(akw_vals))
+
+
+def make_plasma_dispatch(mesh: Mesh, plasma_fn):
+    """Build a jitted cell-domain-decomposed plasma dispatcher with the SAME
+    call signature as the driver's ``_plasma_jit`` (reference cell ownership:
+    grid.cc:977-1046, update_grid.cc:1116-1124; results rebroadcast
+    sn3d.cc:197-261 — here XLA reshards the solved tables on demand).
+
+    The nonempty-cell count need not divide the device count: per-cell arrays
+    are edge-padded (replicating the last cell, whose solve is benign) up to
+    a multiple, solved sharded, and sliced back.
+    """
+    cell_mesh = Mesh(mesh.devices.reshape(-1), (CELL_AXIS,))
+    ndev = cell_mesh.devices.size
+
+    @partial(
+        jax.jit,
+        static_argnames=("opts", "mode", "radfield_use_bins", "nt_sf_skip"),
+    )
+    def dispatch(dad, rc, cells, opts, j_norm, nuj_norm, t_mid,
+                 ffheating_norm, dep_heating, **kwargs):
+        ncells = int(cells.Te.shape[0])
+        pad = (-ncells) % ndev
+        npadded = ncells + pad
+
+        def padc(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == ncells and pad:
+                return jnp.concatenate(
+                    [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0)
+            return x
+
+        def pad_tree(t):
+            return jax.tree_util.tree_map(padc, t)
+
+        out = plasma_update_sharded(
+            cell_mesh, plasma_fn, dad, rc, pad_tree(cells), opts,
+            pad_tree(j_norm), pad_tree(nuj_norm), t_mid,
+            pad_tree(ffheating_norm), pad_tree(dep_heating),
+            **{k: pad_tree(v) for k, v in kwargs.items()},
+        )
+        if pad:
+            out = jax.tree_util.tree_map(
+                lambda x: x[:ncells]
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == npadded
+                else x,
+                out,
+            )
+        return out
+
+    return dispatch
 
 
 def _slice_tree(tree, ncells, nlocal):

@@ -76,9 +76,12 @@ class ElementNlteIndex:
 
 def _nlte_level_cap(z: int, ionstage: int, opts) -> int:
     """Highest level index treated in full NLTE (reference:
-    artisoptions_nltenebular.h:19-24 LEVEL_IS_NLTE)."""
+    artisoptions_nltenebular.h:19-24 LEVEL_IS_NLTE; the christinenonthermal
+    preset instead caps by Z band, artisoptions_christinenonthermal.h:19-24)."""
     if opts is None or opts.nlte_all_levels:
         return 1 << 30
+    if getattr(opts, "nlte_maxlevel_lowz", -1) >= 0 and z < 22:
+        return opts.nlte_maxlevel_lowz
     if z == 26 and ionstage == 2:
         return opts.nlte_maxlevel_fe2
     return opts.nlte_maxlevel

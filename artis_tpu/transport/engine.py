@@ -1841,11 +1841,14 @@ def transport_timestep(
     from .macroatom import do_macroatom_batch
 
     # trace-time selection of the fused Pallas propagation kernel
+    # (ARTIS_FORCE_PALLAS=1 runs it in interpret mode off-TPU so tests can
+    # exercise the kernel composed with shard_map on a virtual mesh)
     use_pallas = False
     if opts.use_pallas_rpkt and st.pos.dtype == jnp.float32:
         from . import pallas_rpkt as _pk
         use_pallas = (
-            jax.default_backend() == "tpu"
+            (jax.default_backend() == "tpu"
+             or os.environ.get("ARTIS_FORCE_PALLAS") == "1")
             and _pk.supported(opts, dad, grid, cells.Te.shape[0])
             and opacity_case >= 4
         )

@@ -196,3 +196,205 @@ def test_cell_domain_plasma_solve_matches_single_device(tmp_path):
         np.testing.assert_allclose(b, a, rtol=1e-6, atol=1e-12)
         agree += 1
     assert agree > 10  # the update returns many per-cell tables
+
+
+def test_mesh_production_driver_full_run(tmp_path):
+    """The PRODUCTION driver on a mesh (round-5): Simulation(mesh="auto")
+    must execute the complete timestep loop — cell-sharded plasma update,
+    packet-sharded transport with psum'd estimators, normalisation,
+    checkpointing — across all 8 virtual devices, and agree with the
+    single-device run to MC noise (the RNG streams differ by the per-shard
+    fold_in, so agreement is statistical).
+
+    Reference: sn3d.cc:554-682 do_timestep with MPI inside,
+    sn3d.cc:197-348 grid-property Bcast + estimator Allreduce.
+    """
+    import os
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, kilonova_lte
+
+    def build(sub, mesh):
+        d = str(tmp_path / sub)
+        os.makedirs(d, exist_ok=True)
+        make_run(d, ncells=6, ntimesteps=4, tmax_days=2.0, ngreyts=2)
+        opts = kilonova_lte(
+            npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+            maxtemp=20000.0, tablesize=12, linewalk_chunk=64,
+        )
+        return Simulation(d, opts, datadir="/root/reference/data", mesh=mesh)
+
+    simM = build("mesh", "auto")
+    assert simM.mesh is not None and simM.mesh.devices.size == N_DEV
+    # the packet state is laid out over the packet axis
+    from artis_tpu.parallel.mesh import PACKET_AXIS
+    shardings = {d.device for d in simM.state.pos.addressable_shards}
+    assert len(shardings) == N_DEV, "packet state not sharded over the mesh"
+
+    for nts in range(3):
+        simM.do_timestep(nts)
+    simM.save_checkpoint(3)
+
+    sim1 = build("single", None)
+    assert sim1.mesh is None
+    for nts in range(3):
+        sim1.do_timestep(nts)
+
+    # packet bookkeeping is exact; physics agrees statistically
+    assert int(simM._escaped_counted.sum()) > 0
+    lumM, lum1 = simM.lc_lum.sum(), sim1.lc_lum.sum()
+    assert 0.5 < lumM / lum1 < 2.0, (lumM, lum1)
+    jM = float(jnp.sum(simM.prev_est.j))
+    j1 = float(jnp.sum(sim1.prev_est.j))
+    assert 0.5 < jM / j1 < 2.0, (jM, j1)
+    depM = simM.gamma_dep_ts[:3].sum()
+    dep1 = sim1.gamma_dep_ts[:3].sum()
+    assert 0.5 < (depM + 1e-300) / (dep1 + 1e-300) < 2.0
+
+    # a mesh run resumes from its own checkpoint bit-exactly: reload and
+    # re-run timestep 3, then compare against continuing in-process
+    import shutil
+    d2 = str(tmp_path / "mesh_resume")
+    shutil.copytree(str(tmp_path / "mesh"), d2)
+    simR = Simulation(d2, simM.opts, datadir="/root/reference/data",
+                      mesh="auto")
+    assert simR.params.simulation_continued_from_saved
+    simR.do_timestep(3)
+    simM.do_timestep(3)
+    np.testing.assert_allclose(
+        np.asarray(simM.prev_est.j), np.asarray(simR.prev_est.j),
+        rtol=1e-6, atol=0,
+    )
+
+
+def test_cell_domain_nlte_solve_nondegenerate(tmp_path):
+    """Cell-sharded NLTE plasma solve (round-5 verdict item 5): an
+    nltenebular-mode update whose solved Te/populations are NOT at the
+    clamp, sharded == single-device (reference: update_grid.cc:1116-1124
+    cell ownership exists precisely for the expensive NLTE solves;
+    nltepop.cc:750)."""
+    d = str(tmp_path)
+    make_run(d, ncells=8, ntimesteps=4, tmax_days=2.0, ngreyts=0,
+             num_lte_timesteps=1)
+    from artis_tpu.driver import Simulation, _plasma_update_device
+    from artis_tpu.options import GridType, nltenebular
+    from artis_tpu.parallel.mesh import make_cell_mesh, plasma_update_sharded
+
+    opts = nltenebular(
+        npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=30000.0, tablesize=12, linewalk_chunk=64,
+        radfieldbincount=16, first_nlte_radfield_timestep=0,
+        nlte_outer_iters=2, sf_points=64,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+
+    captured = {}
+    orig = sim._plasma_jit
+
+    def capture(*a, **kw):
+        captured["a"], captured["kw"] = a, kw
+        return orig(*a, **kw)
+
+    sim._plasma_jit = capture
+    sim.do_timestep(0)
+    sim.update_grid(1)  # nts=1 >= num_lte_timesteps=1 -> full NLTE path
+    assert captured["kw"].get("mode") == "nlte", captured["kw"].get("mode")
+
+    (dad, rc, cells, o, j_norm, nuj_norm, t_mid, ffheating_norm,
+     dep_heating) = captured["a"]
+    kw = captured["kw"]
+    ref = orig(*captured["a"], **kw)
+
+    # the single-device NLTE solve did real work: Te away from both clamps
+    te = np.asarray(ref[0].Te)
+    assert (te > opts.mintemp * 1.01).any(), f"Te all at mintemp: {te}"
+    assert (te < opts.maxtemp * 0.99).all(), f"Te at maxtemp: {te}"
+    # NLTE departure from LTE actually happened (levelpops finite, >0)
+    assert np.isfinite(np.asarray(ref[1])).all()
+
+    import functools as _ft
+    plasma_fn = _ft.partial(
+        _plasma_update_device, nlte_indices=sim.nlte_indices, ntd=sim.ntd,
+        nt_wf=sim.nt_wf, vpkt_exclude=(),
+        num_lte_timesteps=int(sim.params.num_lte_timesteps),
+    )
+    mesh = make_cell_mesh(jax.devices()[:N_DEV])
+    out = plasma_update_sharded(
+        mesh, plasma_fn, dad, rc, cells, o, j_norm, nuj_norm, t_mid,
+        ffheating_norm, dep_heating, **kw,
+    )
+    flat_ref = jax.tree_util.tree_leaves(ref)
+    flat_out = jax.tree_util.tree_leaves(out)
+    assert len(flat_ref) == len(flat_out)
+    for a, b in zip(flat_ref, flat_out):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, rtol=2e-5, atol=1e-12)
+
+
+def test_shardmap_composes_with_pallas_kernel(tmp_path, monkeypatch):
+    """The fused Pallas rpkt kernel inside the SHARDED transport path
+    (round-5 verdict item 6): shard_map x pallas_call (interpret mode on the
+    virtual mesh) must reproduce the same per-shard physics as running each
+    shard's packets sequentially through the identical kernel path."""
+    import functools as _ft
+    from artis_tpu.driver import Simulation
+    from artis_tpu.options import GridType, kilonova_lte
+    from artis_tpu.parallel import make_mesh, transport_timestep_sharded
+    from artis_tpu.transport import engine as engine_mod
+    from artis_tpu.estimators import zero_estimators
+
+    monkeypatch.setenv("ARTIS_FORCE_PALLAS", "1")
+    d = str(tmp_path)
+    make_run(d, ncells=6, ntimesteps=4, tmax_days=2.0, ngreyts=0)
+    n_dev = 4  # interpret-mode kernels are slow; a smaller mesh suffices
+    opts = kilonova_lte(
+        npkts=64 * n_dev, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
+        maxtemp=20000.0, tablesize=12, linewalk_chunk=128,
+        transport_dtype="float32", use_pallas_rpkt=True,
+        rpkt_crossings_per_dispatch=8,
+    )
+    sim = Simulation(d, opts, datadir="/root/reference/data")
+    ctx = sim.update_grid(0)
+    p = sim.params
+    kwargs = dict(
+        gamma_kappagrey=float(p.gamma_kappagrey),
+        opacity_case=int(p.opacity_case),
+        kpktdiffusion_timescale=float(p.kpktdiffusion_timescale),
+        apply_kpkt_diffusion=True,
+        max_iters=24,
+    )
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    st_s, est_s, iters_s, nsteps_s = transport_timestep_sharded(
+        mesh, jax.random.PRNGKey(3), sim.state, sim.est, sim.grid, sim.dad,
+        sim.aux, sim.rc, sim.rates, sim.cells, ctx, opts, **kwargs,
+    )
+    jax.block_until_ready(st_s.ptype)
+    assert int(nsteps_s) > 0
+
+    # sequential emulation: same shard keys, same kernel path, summed
+    shard = opts.npkts // n_dev
+    est_accum = None
+    total_steps = 0
+    key = jax.random.PRNGKey(3)
+    runner = jax.jit(
+        engine_mod.transport_timestep,
+        static_argnames=("opts", "gamma_kappagrey", "opacity_case",
+                         "kpktdiffusion_timescale", "apply_kpkt_diffusion",
+                         "max_iters"),
+    )
+    for i in range(n_dev):
+        sub = jax.tree_util.tree_map(
+            lambda x: x[i * shard:(i + 1) * shard], sim.state)
+        st_i, est_i, it_i, ns_i = runner(
+            jax.random.fold_in(key, i), sub, sim.est, sim.grid, sim.dad,
+            sim.aux, sim.rc, sim.rates, sim.cells, ctx, opts, **kwargs)
+        total_steps += int(ns_i)
+        est_accum = est_i if est_accum is None else jax.tree_util.tree_map(
+            lambda a, b: a + b, est_accum, est_i)
+
+    assert total_steps == int(nsteps_s)
+    np.testing.assert_allclose(
+        np.asarray(est_s.j), np.asarray(est_accum.j), rtol=2e-5)
+    np.testing.assert_array_equal(
+        np.asarray(est_s.counters), np.asarray(est_accum.counters))

@@ -165,7 +165,12 @@ def test_vgrid_maps_accumulate(tmp_path):
             "1\n0.0\n0.0\n1\n2\n0 26\n"
             "0 0 0\n"            # override_tminmax tmin tmax (use defaults)
             "1\n1\n500 20000\n"  # custom freq: 1 range, 500-20000 A
-            "0 100\n30.0\n1\n0.001 2.0\n1\n500 20000\n"
+            # override the vpkt thick-cell threshold: the synthetic input.txt
+            # carries cell_is_optically_thick=0.0, and inheriting it (flag 0,
+            # vpkt.cc:746) marks EVERY cell thick=2 so all vpkts die — the
+            # reference behaves identically (update_grid.cc:1031); its
+            # classic configs use nonzero thresholds (8.0 / 3.0)
+            "1 100\n30.0\n1\n0.001 2.0\n1\n500 20000\n"
         )
     opts = kilonova_lte(
         npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
@@ -180,6 +185,13 @@ def test_vgrid_maps_accumulate(tmp_path):
     assert vg.shape[0] == 1 and vg.shape[4] == 3
     assert np.all(np.isfinite(vg))
     assert vg[..., 0].sum() > 0, "no vgrid contributions accumulated"
+    # scattered vpkts carry nonzero Q/U (Rayleigh phase matrix); the map's
+    # polarisation channels must record them (vpkt.cc:404-413)
+    assert np.abs(vg[..., 1]).sum() > 0, "Q channel empty"
+    assert np.abs(vg[..., 2]).sum() > 0, "U channel empty"
+    # the Stokes observer spectra accumulate through the same ray trace
+    vs = sim._vspec_total
+    assert vs[..., 0].sum() > 0, "no vspec contributions accumulated"
     sim.finish()
     assert os.path.exists(os.path.join(d, "vpkt_grid.out"))
 

@@ -1,0 +1,115 @@
+"""TPU liveness sentinel: probe the accelerator backend periodically across
+the whole round; when it comes alive, immediately run the real-chip benchmark
+once and persist the result to TPU_LIVE_BENCH.json.
+
+Rationale (round-4 verdict): the backend probe failing 6x in a 4-minute
+window at bench time forced a CPU fallback even though the chip may have
+been reachable hours earlier or later.  This process spreads the attempts
+over the round and persists the first live measurement; bench.py prefers
+the persisted real-chip number over a CPU fallback.
+
+Run: `python tpu_sentinel.py &` (writes tpu_sentinel.log next to itself).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "TPU_LIVE_BENCH.json")
+LOG = os.path.join(HERE, "tpu_sentinel.log")
+PROBE_INTERVAL_S = float(os.environ.get("SENTINEL_INTERVAL", "900"))
+# generous: a cold relay tunnel can take >1 min for the first compile+execute
+PROBE_TIMEOUT_S = 180.0
+
+PROBE_CODE = (
+    "import jax, jax.numpy as jnp\n"
+    "x = jnp.ones((128, 128))\n"
+    "print(float((x @ x).sum()))\n"
+)
+
+
+def log(msg: str) -> None:
+    line = f"{time.strftime('%Y-%m-%d %H:%M:%S')} {msg}"
+    with open(LOG, "a") as f:
+        f.write(line + "\n")
+
+
+def probe_alive() -> bool:
+    try:
+        res = subprocess.run(
+            [sys.executable, "-c", PROBE_CODE], timeout=PROBE_TIMEOUT_S,
+            capture_output=True, env=dict(os.environ),
+        )
+        return res.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def run_bench(scene: str) -> dict | None:
+    """Run bench.py on the live chip; return the parsed JSON line."""
+    env = dict(os.environ)
+    env["GRAFT_BENCH_SKIP_PROBE"] = "1"
+    env["GRAFT_BENCH_ALARM"] = "2700"
+    if scene == "big":
+        env["GRAFT_BENCH_SCENE"] = "big"
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.join(HERE, "bench.py")],
+            timeout=3000, capture_output=True, text=True, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        log(f"bench ({scene}) timed out")
+        return None
+    for line in reversed(res.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            parsed["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+            parsed["scene"] = scene
+            return parsed
+    log(f"bench ({scene}) rc={res.returncode} no JSON line; "
+        f"stderr tail: {res.stderr[-500:]}")
+    return None
+
+
+def main() -> None:
+    log(f"sentinel started, interval {PROBE_INTERVAL_S:.0f}s")
+    have = {}
+    if os.path.exists(OUT):
+        try:
+            have = json.load(open(OUT))
+        except json.JSONDecodeError:
+            have = {}
+    while True:
+        missing = [s for s in ("default", "big") if s not in have]
+        if not missing:
+            log("both scenes measured on the live chip; sentinel done")
+            return
+        if probe_alive():
+            log("backend ALIVE; running bench for scenes " + ",".join(missing))
+            for scene in missing:
+                result = run_bench(scene)
+                if result is not None and result.get("backend", "tpu") == "tpu" \
+                        and not result.get("partial"):
+                    have[scene] = result
+                    with open(OUT, "w") as f:
+                        json.dump(have, f, indent=1)
+                    log(f"persisted live {scene} measurement: "
+                        f"{result.get('value'):.4g} {result.get('unit')}")
+                else:
+                    log(f"bench ({scene}) did not produce a clean tpu number: "
+                        f"{result}")
+                    break  # chip flaked mid-run; go back to probing
+        else:
+            log("backend dead")
+        time.sleep(PROBE_INTERVAL_S)
+
+
+if __name__ == "__main__":
+    main()
