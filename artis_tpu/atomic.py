@@ -176,6 +176,36 @@ def to_device(ad: AtomicData) -> DeviceAtomicData:
         trans_owner[s0 : s0 + nd + nu_] = gl
         trans_is_down[s0 : s0 + nd] = True
 
+    # A dataset with no photoionisation tables (bound-bound-only physics,
+    # e.g. a two-level test atom) leaves every (ncont,) table zero-length;
+    # clipped gathers (jnp.clip(idx, 0, max(ncont-1, 0))) still read index 0,
+    # so pad each to one benign row: nu_edge above any rpkt window makes the
+    # padded continuum contribute zero opacity, and nbfcontinua stays 0 so
+    # all logical loops/windows skip it.
+    def _pad1(x, fill):
+        x = np.asarray(x)
+        if x.shape[0]:
+            return x
+        return np.full((1,) + x.shape[1:], fill, dtype=x.dtype)
+
+    if ad.nbfcontinua == 0:
+        ad.cont_nu_edge = _pad1(ad.cont_nu_edge, 1e30)
+        ad.cont_element = _pad1(ad.cont_element, 0)
+        cont_uii = _pad1(cont_uii, 0)
+        cont_uniquelower = _pad1(cont_uniquelower, 0)
+        cont_uniqueupper = _pad1(cont_uniqueupper, 0)
+        ad.cont_probability = _pad1(ad.cont_probability, 1.0)
+        ad.cont_phixsrow = _pad1(ad.cont_phixsrow, 0)
+        ad.cont_index_in_groundphixslist = _pad1(
+            ad.cont_index_in_groundphixslist, 0)
+        ad.cont_level = _pad1(ad.cont_level, 0)
+        ad.cont_upperlevel = _pad1(ad.cont_upperlevel, 0)
+    if ad.nbfcontinua_ground == 0:
+        ad.groundcont_nu_edge = _pad1(ad.groundcont_nu_edge, 1e30)
+        groundcont_uii = _pad1(groundcont_uii, 0)
+    if np.asarray(ad.allphixs).shape[0] == 0:
+        ad.allphixs = np.zeros((1, ad.nphixspoints), dtype=np.float64)
+
     return DeviceAtomicData(
         elem_z=jnp.asarray(ad.elem_z),
         elem_nions=jnp.asarray(ad.elem_nions),

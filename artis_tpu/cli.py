@@ -55,6 +55,11 @@ def main_sn3d(argv=None) -> int:
     args = ap.parse_args(argv)
 
     from .driver import Simulation
+    from .parallel.distributed import maybe_init_distributed
+
+    # multi-host (DCN) world, when the launcher configured one — must run
+    # before the first backend query (the MPI_Init analogue, sn3d.cc:693)
+    maybe_init_distributed()
 
     opts = _build_opts(args)
     mesh = None if args.mesh == "off" else (

@@ -935,6 +935,10 @@ class Simulation:
         self._nlinestat = (
             max(self.ad.nlines, 1) if self.opts.record_linestat else 1
         )
+        self._nmalog = (
+            max(self.opts.log_macroatom_capacity, 1)
+            if self.opts.log_macroatom else 1
+        )
         self.est = zero_estimators(
             ncells, max(self.ad.nbfcontinua_ground, 1), dtype=fdtype,
             nradfieldbins=self._nradbins, vspec_shape=self._vspec_shape,
@@ -945,6 +949,7 @@ class Simulation:
             nion_stats=self._nion_stats,
             vgrid_shape=self._vgrid_shape,
             nlinestat=self._nlinestat,
+            nmalog=self._nmalog,
         )
         self.prev_bfrate_normed = None
         self._last_levelpops = None
@@ -1137,6 +1142,13 @@ class Simulation:
         if self.opts.npkts % ndev != 0:
             raise ValueError(
                 f"npkts={self.opts.npkts} must divide the mesh size {ndev}")
+        if self.opts.log_macroatom:
+            # the event-row buffer is positional: a psum over shards would
+            # sum unrelated rows (the reference's log is per-rank too,
+            # macroatom_%.4d.out); disable rather than corrupt
+            self.opts = self.opts.replace(log_macroatom=False)
+            self.log("WARNING: log_macroatom is single-device only; "
+                     "disabled for the mesh run")
         self.log(f"mesh: {ndev} devices, packet axis "
                  f"{self.opts.npkts // ndev} packets/device")
         # sharded dispatchers with the same call signatures as the
@@ -1548,6 +1560,7 @@ class Simulation:
             nion_stats=self._nion_stats,
             vgrid_shape=self._vgrid_shape,
             nlinestat=self._nlinestat,
+            nmalog=self._nmalog,
         )
 
     def _tail_plan(self):
@@ -1840,6 +1853,8 @@ class Simulation:
             self.write_nltepops(nts)
         if self.opts.multibin_radfield and self.opts.write_estimator_files:
             self.write_radfield(nts)
+        if self.opts.log_macroatom:
+            self.write_macroatom_log(nts)
         counter_txt = stats_mod.format_counters(self.est.counters)
         if counter_txt:
             self.log(f"timestep {nts} event counters:\n{counter_txt}")
@@ -1847,6 +1862,53 @@ class Simulation:
             f"timestep {nts}: escaped rpkts so far {int(self._escaped_counted.sum())} "
             f"(cmf_lum {self.cmf_lum_ts[nts] / LSUN / max(float(self.ts.width[nts]), 1e-30):.3e} Lsun)"
         )
+
+    # ------------------------------------------------------------------
+    def write_macroatom_log(self, nts: int):
+        """Drain the bounded device-side macro-atom event buffer into
+        macroatom_0-0.out with the reference's column layout (reference:
+        LOG_MACROATOM, macroatom.cc:413-421, 630-641)."""
+        n_seen = int(self.est.malog_n)
+        cap = int(self.est.malog.shape[0])
+        n = min(n_seen, cap)
+        path = os.path.join(self.rundir, "macroatom_0-0.out")
+        if nts == 0 or not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(
+                    f"{'timestep':>8} {'modelgridindex':>14} {'Z':>2} "
+                    f"{'ionstage_in':>12} {'ionstage_out':>12} {'level_in':>9} "
+                    f"{'level_out':>9} {'activline':>9} {'nu_cmf_in':>11} "
+                    f"{'nu_cmf_out':>11} {'nu_rf_in':>11} {'nu_rf_out':>11}\n"
+                )
+        if n == 0:
+            return
+        rows = np.asarray(self.est.malog[:n], dtype=np.float64)
+        lvl_ion = np.asarray(self.dad.level_ion)
+        ion_elem = np.asarray(self.dad.ion_element)
+        ion_stage = np.asarray(self.dad.ion_stage)
+        ion_lvl0 = np.asarray(self.dad.ion_level_start)
+        elem_z = np.asarray(self.dad.elem_z)
+        li = np.clip(rows[:, 1].astype(np.int64), 0, lvl_ion.shape[0] - 1)
+        lo = np.clip(rows[:, 2].astype(np.int64), 0, lvl_ion.shape[0] - 1)
+        ion_in, ion_out = lvl_ion[li], lvl_ion[lo]
+        with open(path, "a") as f:
+            for k in range(n):
+                f.write(
+                    f"{nts:>8d} {int(rows[k, 0]):>14d} "
+                    f"{int(elem_z[ion_elem[ion_in[k]]]):>2d} "
+                    f"{int(ion_stage[ion_in[k]]):>12d} "
+                    f"{int(ion_stage[ion_out[k]]):>12d} "
+                    f"{int(li[k] - ion_lvl0[ion_in[k]]):>9d} "
+                    f"{int(lo[k] - ion_lvl0[ion_out[k]]):>9d} "
+                    f"{int(rows[k, 3]):>9d} {rows[k, 4]:>11.5e} "
+                    f"{rows[k, 5]:>11.5e} {rows[k, 6]:>11.5e} "
+                    f"{rows[k, 7]:>11.5e}\n"
+                )
+        if n_seen > cap:
+            self.log(
+                f"timestep {nts}: macroatom log overflow — {n_seen - cap} of "
+                f"{n_seen} events dropped (log_macroatom_capacity={cap})"
+            )
 
     # ------------------------------------------------------------------
     def _acquire_lockfile(self):
@@ -1989,6 +2051,7 @@ class Simulation:
             nion_stats=self._nion_stats,
             vgrid_shape=self._vgrid_shape,
             nlinestat=self._nlinestat,
+            nmalog=self._nmalog,
         )
         if "est_j" in g:
             est = est.replace(**{

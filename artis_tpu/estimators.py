@@ -31,6 +31,7 @@ import jax.numpy as jnp
         "gamma_dep_discrete", "positron_dep_discrete", "electron_dep_discrete",
         "alpha_dep_discrete", "bfrate", "jblue_raw", "jblue_count",
         "ion_stats", "vgrid", "line_emisscount", "line_absorbcount",
+        "malog", "malog_n",
     ],
     meta_fields=[],
 )
@@ -83,6 +84,11 @@ class Estimators:
     # sn3d.cc:64-98, 640-660 linestat.out; (1,) when off)
     line_emisscount: jax.Array  # (nlines,)
     line_absorbcount: jax.Array  # (nlines,)
+    # bounded per-interaction macro-atom event rows (reference: LOG_MACROATOM
+    # macroatom.cc:413-421): [mgi, level_in, level_out, activline, nu_cmf_in,
+    # nu_cmf_out, nu_rf_in, nu_rf_out]; ((1, 8) placeholder when off)
+    malog: jax.Array  # (capacity, 8)
+    malog_n: jax.Array  # int32 total events seen (may exceed capacity)
 
     def replace(self, **kw) -> "Estimators":
         return dataclasses.replace(self, **kw)
@@ -96,7 +102,8 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
                     nion_stats_cells: int = 1, nion_stats_ions: int = 1,
                     nion_stats: int = 1,
                     vgrid_shape=(1, 1, 1, 1, 3),
-                    nlinestat: int = 1) -> Estimators:
+                    nlinestat: int = 1,
+                    nmalog: int = 1) -> Estimators:
     z = jnp.zeros((), dtype)
     return Estimators(
         j=jnp.zeros(ncells, dtype),
@@ -131,6 +138,8 @@ def zero_estimators(ncells: int, nbfcontinua_ground: int, dtype=jnp.float64,
         vgrid=jnp.zeros(vgrid_shape, dtype),
         line_emisscount=jnp.zeros((nlinestat,), jnp.int32),
         line_absorbcount=jnp.zeros((nlinestat,), jnp.int32),
+        malog=jnp.zeros((nmalog, 8), dtype),
+        malog_n=jnp.zeros((), jnp.int32),
     )
 
 

@@ -135,6 +135,13 @@ class Options:
     # per-ion-per-cell event statistics (reference: TRACK_ION_STATS,
     # stats.h:12-44); feeds the MC-vs-analytic rate columns in estimator files
     track_ion_stats: bool = False
+    # per-interaction macro-atom log -> macroatom_0-0.out (reference:
+    # LOG_MACROATOM macroatom.cc:35, 413-421, 630-641). Events are captured
+    # in a bounded device-side row buffer scattered at bb radiative
+    # deactivation and drained by the driver once per timestep; rows past
+    # the capacity within one timestep are counted but dropped.
+    log_macroatom: bool = False
+    log_macroatom_capacity: int = 65536
 
     # non-thermal solver
     # detailed per-continuum MC photoionisation-rate estimators

@@ -9,5 +9,7 @@ mirroring the reference's broadcast-solved-state-to-all design (sn3d.cc:197).
 """
 
 from .mesh import make_mesh, transport_timestep_sharded
+from .distributed import maybe_init_distributed
 
-__all__ = ["make_mesh", "transport_timestep_sharded"]
+__all__ = ["make_mesh", "transport_timestep_sharded",
+           "maybe_init_distributed"]

@@ -2183,6 +2183,33 @@ def transport_timestep(
             cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_FB, kindf == 2)
             cnt = stats.bump(cnt, stats.MA_STAT_DEACTIVATION_COLLDEEXC, kindf == 3)
             est = est.replace(counters=cnt)
+            if opts.log_macroatom:
+                # bounded per-interaction log rows at bb radiative
+                # deactivation (reference: LOG_MACROATOM macroatom.cc:413-421)
+                logm = sel_valid & (ma_res_c["kind"] == 1)
+                cap = est.malog.shape[0]
+                pos = est.malog_n + jnp.cumsum(logm.astype(jnp.int32)) - 1
+                pos = jnp.where(logm & (pos < cap), pos, cap)  # drop overflow
+                fdt = est.malog.dtype
+                rows = jnp.stack(
+                    [
+                        safe_mgi[idxc].astype(fdt),
+                        ma_level[idxc].astype(fdt),
+                        ma_res_c["level"].astype(fdt),
+                        ma_res_c["emissiontype"].astype(fdt),
+                        st.nu_cmf[idxc].astype(fdt),
+                        ma_res_c["nu_cmf"].astype(fdt),
+                        st.nu_rf[idxc].astype(fdt),
+                        st2.nu_rf[idxc].astype(fdt),
+                    ],
+                    axis=1,
+                )
+                est = est.replace(
+                    malog=est.malog.at[pos].set(rows, mode="drop"),
+                    malog_n=(est.malog_n
+                             + jnp.sum(logm.astype(jnp.int32))
+                             ).astype(jnp.int32),
+                )
             if opts.track_ion_stats:
                 # reference: macroatom.cc:341 energy-in at activation,
                 # 405-433 energy-out by deactivation channel

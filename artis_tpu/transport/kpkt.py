@@ -77,7 +77,12 @@ def do_kpkt_batch(
     c_fb = rates.cool_fb_ion[cellidx, ion]
     ctot = jnp.maximum(c_ff + c_exc + c_ionz + c_fb, 1e-300)
     u_t = jax.random.uniform(jax.random.fold_in(key, 2), (npkts,), dtype) * ctot
-    is_ff = proceed & (u_t < c_ff)
+    # a cell with zero total cooling (possible only in degenerate test
+    # scenes, e.g. nne=0 with a bound-bound-only atom) must not fall
+    # through to the residual fb branch and sample a padded continuum:
+    # send it out as an ff photon at the local T_e instead
+    zero_cool = (c_ff + c_exc + c_ionz + c_fb) <= 0.0
+    is_ff = proceed & ((u_t < c_ff) | zero_cool)
     is_exc = proceed & ~is_ff & (u_t < c_ff + c_exc)
     is_ionz = proceed & ~is_ff & ~is_exc & (u_t < c_ff + c_exc + c_ionz)
     is_fb = proceed & ~is_ff & ~is_exc & ~is_ionz

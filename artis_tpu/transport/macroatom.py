@@ -66,8 +66,10 @@ def build_aux(dad: DeviceAtomicData) -> MacroAtomAux:
     upper = np.asarray(dad.cont_uniqueupper)
     lower = np.asarray(dad.cont_uniquelower)
 
-    order_u = np.argsort(upper, kind="stable") if ncont else np.zeros(0, np.int64)
-    order_l = np.argsort(lower, kind="stable") if ncont else np.zeros(0, np.int64)
+    # min length 1: clipped gathers read index 0 even when no continua exist
+    # (a bound-bound-only dataset; dad's continuum tables are padded likewise)
+    order_u = np.argsort(upper, kind="stable") if ncont else np.zeros(1, np.int64)
+    order_l = np.argsort(lower, kind="stable") if ncont else np.zeros(1, np.int64)
     count_u = np.bincount(upper, minlength=nlev) if ncont else np.zeros(nlev, np.int64)
     count_l = np.bincount(lower, minlength=nlev) if ncont else np.zeros(nlev, np.int64)
     start_u = np.concatenate([[0], np.cumsum(count_u)[:-1]])

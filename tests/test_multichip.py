@@ -281,7 +281,9 @@ def test_cell_domain_nlte_solve_nondegenerate(tmp_path):
 
     opts = nltenebular(
         npkts=512, grid_type=GridType.SPHERICAL1D, mintemp=1000.0,
-        maxtemp=30000.0, tablesize=12, linewalk_chunk=64,
+        # wide enough that the synthetic scene's hot T_e solution (a small
+        # Ni-rich model at 2 days) sits between the clamps, not on them
+        maxtemp=200000.0, tablesize=12, linewalk_chunk=64,
         radfieldbincount=16, first_nlte_radfield_timestep=0,
         nlte_outer_iters=2, sf_points=64,
     )
@@ -398,3 +400,30 @@ def test_shardmap_composes_with_pallas_kernel(tmp_path, monkeypatch):
         np.asarray(est_s.j), np.asarray(est_accum.j), rtol=2e-5)
     np.testing.assert_array_equal(
         np.asarray(est_s.counters), np.asarray(est_accum.counters))
+
+
+def test_maybe_init_distributed(monkeypatch):
+    """The DCN bring-up path (reference MPI_Init analogue, sn3d.cc:693):
+    no-op without launcher config; passes the env-configured world through
+    to jax.distributed.initialize when set."""
+    from artis_tpu.parallel.distributed import maybe_init_distributed
+
+    monkeypatch.delenv("ARTIS_COORDINATOR", raising=False)
+    assert maybe_init_distributed(log=lambda *_: None) is False
+
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw or {"auto": True})
+
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **kw: fake_init(**kw))
+    monkeypatch.setenv("ARTIS_COORDINATOR", "10.0.0.1:8476")
+    monkeypatch.setenv("ARTIS_NUM_PROCESSES", "4")
+    monkeypatch.setenv("ARTIS_PROCESS_ID", "2")
+    assert maybe_init_distributed(log=lambda *_: None) is True
+    assert calls == {
+        "coordinator_address": "10.0.0.1:8476",
+        "num_processes": 4,
+        "process_id": 2,
+    }
