@@ -1545,7 +1545,36 @@ class Simulation:
             t_mid=jnp.asarray(tmid, dtype=fdtype),
             is_first_timestep=jnp.asarray(nts == 0),
         )
-        return ctx
+        return self._prepad_tau_for_kernel(ctx)
+
+    def _prepad_tau_for_kernel(self, ctx):
+        """Pre-pad the (ncells, nlines) Sobolev table to the fused kernel's
+        geometry ONCE per timestep. The kernel prep's pads are idempotent,
+        so without this they re-create a padded multi-GB copy of the table
+        inside EVERY transport dispatch program (at 100k lines x thousands
+        of cells those HLO temps alone exhausted a 16 GB chip). Padded rows/
+        cols are zero-tau and are never indexed by the XLA walk."""
+        opts = self.opts
+        if not (opts.use_pallas_rpkt and self._f32
+                and not opts.expansionopacities_on):
+            return ctx
+        from .transport import pallas_rpkt as _pk
+        if not _pk.supported(opts, self.dad, self.grid,
+                             self.grid.nonempty_npts):
+            return ctx
+        import dataclasses as _dc
+
+        nlines = max(self.dad.nlines, 1)
+        lpad = _pk._round_up(nlines, _pk.pick_line_chunk(opts, nlines))
+        tau = ctx.tau_sob_factor.astype(jnp.float32)
+        padc = lpad - tau.shape[1]
+        padr = 0
+        if _pk.use_tiled(opts, self.dad, self.grid, self.grid.nonempty_npts):
+            padr = (self.grid.nonempty_npts + _pk.tiled_mpad(opts)
+                    - tau.shape[0])
+        if padc > 0 or padr > 0:
+            tau = jnp.pad(tau, ((0, max(padr, 0)), (0, max(padc, 0))))
+        return _dc.replace(ctx, tau_sob_factor=tau)
 
     # ------------------------------------------------------------------
     def _zero_est(self):

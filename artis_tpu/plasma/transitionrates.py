@@ -48,8 +48,8 @@ MA_ACTION_COUNT = 9
         "ma_rates", "cool_exc_level", "cool_ion_cont", "cool_fb_cont",
         "cool_ff_ion", "ion_cooling", "totalcooling", "cool_exc_ion",
         "cool_ion_ion", "cool_fb_ion",
-        "trans_rad", "trans_tot", "trans_coolexc",
         "cont_rad", "cont_tot_down", "cont_tot_up",
+        "jb_line", "jb_arr",
     ],
     meta_fields=[],
 )
@@ -65,15 +65,20 @@ class ProcessRates:
     cool_exc_ion: jax.Array  # (ncells, nions)
     cool_ion_ion: jax.Array  # (ncells, nions)
     cool_fb_ion: jax.Array  # (ncells, nions)
-    # per-transition / per-continuum selection value tables: the macro-atom
-    # and k-packet walks gather single values from these instead of
-    # recomputing rate formulas per packet (one gather vs ~10 on TPU)
-    trans_rad: jax.Array  # (ncells, ntrans) down: R*eps_trans
-    trans_tot: jax.Array  # (ncells, ntrans) down: (R+C)*eps_target; up: (R+C)*eps_owner
-    trans_coolexc: jax.Array  # (ncells, ntrans) up: n_l*C*eps_trans
+    # per-CONTINUUM selection value tables stay dense (ncont is small); the
+    # per-TRANSITION values are recomputed lazily by trans_values_at —
+    # dense (ncells, ntrans) tables cost GBs at production scale (100k-line
+    # atoms x thousands of cells exhausted a 16 GB chip) where the walks
+    # only ever touch a few 64-wide chunks per jump. This mirrors the
+    # reference, which fills per-transition rates lazily into a one-cell
+    # cache (macroatom.cc:39-152) rather than storing them for every cell.
     cont_rad: jax.Array  # (ncells, ncont) R_rec*eps_trans
     cont_tot_down: jax.Array  # (ncells, ncont) (R+C)_rec*eps_lower
     cont_tot_up: jax.Array  # (ncells, ncont) (R+C)_ion*eps_owner
+    # detailed J_b_lu inputs the lazy walk values need to reproduce the
+    # same up-rates the ma_rates sums used ((1,)/(ncells, 1) when off)
+    jb_line: jax.Array  # (nlines,) line -> jblue slot (-1 none)
+    jb_arr: jax.Array  # (ncells, njblue) normalised J_b_lu
 
 
 def beta_sobolev(tau):
@@ -137,6 +142,100 @@ def col_recombination_ratecoeff(t_e, nne, sigma_bf_edge, eps_trans, upper_ionsta
     return nne * nne * sahaconst_no_exp * 1.55e13 * t_e**-0.5 * g * sigma_bf_edge / jnp.maximum(fac1, 1e-100)
 
 
+def trans_values_at(
+    dad: DeviceAtomicData,
+    levelpops: jax.Array,  # (ncells, nlevels)
+    rows: jax.Array,  # (N,) cell index per row (nonemptymgi, safe)
+    kidx: jax.Array,  # (N, K) flat transition indices (clipped to range)
+    te: jax.Array,  # (N,) per-row electron temperature
+    ne: jax.Array,  # (N,) per-row electron density
+    tr: jax.Array,  # (N,) per-row radiation temperature (1.0 if unused)
+    w: jax.Array,  # (N,) per-row dilution factor (0.0 if unused)
+    t_mid: float,
+    jb_line: jax.Array,  # (nlines,) line -> jblue slot, -1 none
+    jb_arr: jax.Array,  # (ncells, njblue) normalised J_b_lu
+):
+    """Per-(row, transition) selection values, computed ON THE FLY.
+
+    The lazy twin of the chunked `_trans_vals` accumulation inside
+    compute_process_rates: identical formulas (reference:
+    macroatom.cc:649-947 rate coefficient functions), evaluated only for
+    the (N, K) windows a macro-atom/k-packet selection walk actually
+    touches — the TPU counterpart of the reference's fill-on-demand
+    cellcache (macroatom.cc:39-152), replacing dense (ncells, ntrans)
+    tables that cost GBs at production line counts.
+
+    Returns (v_rad, v_tot, v_coolexc):
+      v_rad     down slots: R*eps_trans (0 on up slots)
+      v_tot     down: (R+C)*eps_target; up: (R+C)*eps_owner
+      v_coolexc up slots: n_l*C*eps_trans (0 on down slots)
+    """
+    nlevels = dad.nlevels_total
+    kidx = jnp.clip(kidx, 0, max(dad.ntrans_total - 1, 0))
+    owner = jnp.clip(dad.trans_owner[kidx], 0, nlevels - 1)
+    is_down = dad.trans_is_down[kidx]
+    a_ul = dad.trans_A[kidx]
+    coll_str = dad.trans_coll_str[kidx]
+    forb = dad.trans_forbidden[kidx]
+    osc = dad.trans_osc_strength[kidx]
+    owner_ion = dad.level_ion[owner]
+    target = dad.ion_level_start[owner_ion] + dad.trans_target[kidx]
+    e_owner = dad.level_energy[owner]
+    e_target = dad.level_energy[target]
+    g_owner = dad.level_g[owner]
+    g_target = dad.level_g[target]
+
+    upper = jnp.where(is_down, owner, target)
+    lower = jnp.where(is_down, target, owner)
+    eps_trans = jnp.abs(e_owner - e_target)
+    nu_trans = jnp.maximum(eps_trans / H, 1e-30)
+    g_u = jnp.where(is_down, g_owner, g_target)
+    g_l = jnp.where(is_down, g_target, g_owner)
+
+    b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
+    b_lu = g_u / g_l * b_ul
+
+    rowsk = rows[:, None]
+    n_u = levelpops[rowsk, upper]  # (N, K)
+    n_l = levelpops[rowsk, lower]
+    tau = jnp.maximum(
+        (b_lu * n_l - b_ul * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0)
+    beta = beta_sobolev(tau)
+
+    tec = te[:, None]
+    nec = ne[:, None]
+
+    r_down = a_ul * beta
+    c_down = col_deexcitation_ratecoeff(
+        tec, nec, eps_trans, coll_str, forb, osc, g_u, g_l)
+    wdown = jnp.where(is_down, 1.0, 0.0)
+    v_rad = wdown * r_down * eps_trans
+    v_tot_down = wdown * (r_down + c_down) * e_target
+
+    r_over_j = jnp.where(
+        n_l > 0,
+        (b_lu - b_ul * n_u / jnp.maximum(n_l, 1e-300)) * beta,
+        b_lu * beta,
+    )
+    j_nu = dbb(nu_trans, jnp.maximum(tr, 1.0)[:, None], w[:, None])
+    li = dad.trans_lineindex[kidx]
+    jb_idx = jb_line[jnp.clip(li, 0, jb_line.shape[0] - 1)]
+    has_jb = (li >= 0) & (jb_idx >= 0)
+    j_detail = jb_arr[rowsk, jnp.maximum(jb_idx, 0)]
+    j_nu = jnp.where(has_jb, j_detail, j_nu)
+    r_up = jnp.maximum(r_over_j * j_nu, 0.0)
+    c_up = col_excitation_ratecoeff(
+        tec, nec, eps_trans, coll_str, forb, osc, g_u, g_l)
+    wup = jnp.where(is_down, 0.0, 1.0)
+    v_tot_up = wup * (r_up + c_up) * e_owner
+    v_coolexc = wup * n_l * c_up * eps_trans
+    # pin the caller's working precision: dad's f64 constants must not
+    # promote an f32 transport walk (selection carries f32 cumulative sums)
+    odt = te.dtype
+    return (v_rad.astype(odt), (v_tot_down + v_tot_up).astype(odt),
+            v_coolexc.astype(odt))
+
+
 def compute_process_rates(
     dad: DeviceAtomicData,
     rc: RateCoeffTables,
@@ -163,111 +262,118 @@ def compute_process_rates(
     ma = jnp.zeros((ncells, nlevels, MA_ACTION_COUNT), dtype)
     cool_exc_level = jnp.zeros((ncells, nlevels), dtype)
 
-    # ---- scan over the flat transition axis (bb processes) ----
+    # ---- bb processes over the flat transition axis ----
+    # Two consumers, two shapes of the same math:
+    #  - the (ncells, nlevels, 9) MA action sums and the per-level cooling
+    #    accumulate via scatter-add, so they run CHUNKED in a lax.scan (small
+    #    carries; full-width scatter updates would materialise (ncells,
+    #    ntrans) operands);
+    #  - the (ncells, ntrans) selection tables are pure elementwise+gather
+    #    maps, so they are built FULL-WIDTH in one fused pass. Carrying them
+    #    through the scan double-buffered multi-GB arrays at production
+    #    scale (the HLO temp arena alone was ~3.6 GB at 100k lines).
     ntrans = dad.ntrans_total
     ntrans_pad = max(-(-max(ntrans, 1) // trans_chunk) * trans_chunk, trans_chunk)
-    trans_rad = jnp.zeros((ncells, ntrans_pad), dtype)
-    trans_tot = jnp.zeros((ncells, ntrans_pad), dtype)
-    trans_coolexc = jnp.zeros((ncells, ntrans_pad), dtype)
+
+    def _trans_vals(kidx, valid):
+        """Per-transition rate values for the given flat indices.
+
+        Returns (owner, v_rad, v_cdeexc, v_tot_down, v_tot_up, v_coolexc),
+        each (ncells, len(kidx)), already masked by `valid`."""
+        sl = lambda x: x[kidx]
+        owner = jnp.clip(sl(dad.trans_owner), 0, nlevels - 1)
+        is_down = sl(dad.trans_is_down)
+        target_inion = sl(dad.trans_target)
+        a_ul = sl(dad.trans_A)
+        coll_str = sl(dad.trans_coll_str)
+        forb = sl(dad.trans_forbidden)
+        osc = sl(dad.trans_osc_strength)
+
+        owner_ion = dad.level_ion[owner]
+        target = dad.ion_level_start[owner_ion] + target_inion
+        e_owner = dad.level_energy[owner]
+        e_target = dad.level_energy[target]
+        g_owner = dad.level_g[owner]
+        g_target = dad.level_g[target]
+
+        upper = jnp.where(is_down, owner, target)
+        lower = jnp.where(is_down, target, owner)
+        eps_trans = jnp.abs(e_owner - e_target)
+        nu_trans = jnp.maximum(eps_trans / H, 1e-30)
+        g_u = jnp.where(is_down, g_owner, g_target)
+        g_l = jnp.where(is_down, g_target, g_owner)
+
+        b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
+        b_lu = g_u / g_l * b_ul
+
+        n_u = levelpops[:, upper]  # (ncells, K)
+        n_l = levelpops[:, lower]
+        tau = jnp.maximum(
+            (b_lu[None, :] * n_l - b_ul[None, :] * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0
+        )
+        beta = beta_sobolev(tau)
+
+        te = t_e[:, None]
+        ne = nne[:, None]
+
+        # --- down entries ---
+        r_down = a_ul[None, :] * beta  # rad deexc per n_upper
+        c_down = col_deexcitation_ratecoeff(
+            te, ne, eps_trans[None, :], coll_str[None, :], forb[None, :],
+            osc[None, :], g_u[None, :], g_l[None, :],
+        )
+        wdown = jnp.where(valid & is_down, 1.0, 0.0)[None, :]
+        v_rad = wdown * r_down * eps_trans[None, :]
+        v_cdeexc = wdown * c_down * eps_trans[None, :]
+        v_tot_down = wdown * (r_down + c_down) * e_target[None, :]
+
+        # --- up entries ---
+        r_over_j = jnp.where(
+            n_l > 0,
+            (b_lu[None, :] - b_ul[None, :] * n_u / jnp.maximum(n_l, 1e-300)) * beta,
+            b_lu[None, :] * beta,
+        )
+        j_nu = dbb(nu_trans[None, :], jnp.maximum(t_r, 1.0)[:, None], w[:, None])
+        if jblue_normed is not None:
+            # detailed line estimator replaces the radiation-field model
+            # for selected lines (reference: macroatom.cc:713-720)
+            jb_line, jb_arr = jblue_normed
+            li = sl(dad.trans_lineindex)
+            jb_idx = jb_line[jnp.clip(li, 0, jb_line.shape[0] - 1)]
+            has_jb = (li >= 0) & (jb_idx >= 0)
+            j_detail = jb_arr[:, jnp.maximum(jb_idx, 0)]
+            j_nu = jnp.where(has_jb[None, :], j_detail, j_nu)
+        r_up = jnp.maximum(r_over_j * j_nu, 0.0)
+        c_up = col_excitation_ratecoeff(
+            te, ne, eps_trans[None, :], coll_str[None, :], forb[None, :],
+            osc[None, :], g_u[None, :], g_l[None, :],
+        )
+        wup = jnp.where(valid & ~is_down, 1.0, 0.0)[None, :]
+        v_tot_up = wup * (r_up + c_up) * e_owner[None, :]
+        v_coolexc = wup * n_l * c_up * eps_trans[None, :]
+        return owner, v_rad, v_cdeexc, v_tot_down, v_tot_up, v_coolexc
+
     if ntrans > 0:
         nchunks = -(-ntrans // trans_chunk)
 
         def trans_body(carry, c):
-            ma, cool_exc_level, trans_rad, trans_tot, trans_coolexc = carry
-            kidx = jnp.clip(c * trans_chunk + jnp.arange(trans_chunk), 0, ntrans - 1)
-            sl = lambda x: x[kidx]
-            owner = jnp.clip(sl(dad.trans_owner), 0, nlevels - 1)
-            # out-of-range entries are repeats of the last one; weight 0
-            valid = (c * trans_chunk + jnp.arange(trans_chunk)) < ntrans
-            is_down = sl(dad.trans_is_down)
-            target_inion = sl(dad.trans_target)
-            a_ul = sl(dad.trans_A)
-            coll_str = sl(dad.trans_coll_str)
-            forb = sl(dad.trans_forbidden)
-            osc = sl(dad.trans_osc_strength)
-
-            owner_ion = dad.level_ion[owner]
-            target = dad.ion_level_start[owner_ion] + target_inion
-            e_owner = dad.level_energy[owner]
-            e_target = dad.level_energy[target]
-            g_owner = dad.level_g[owner]
-            g_target = dad.level_g[target]
-
-            upper = jnp.where(is_down, owner, target)
-            lower = jnp.where(is_down, target, owner)
-            eps_trans = jnp.abs(e_owner - e_target)
-            nu_trans = jnp.maximum(eps_trans / H, 1e-30)
-            g_u = jnp.where(is_down, g_owner, g_target)
-            g_l = jnp.where(is_down, g_target, g_owner)
-
-            b_ul = a_ul * (CLIGHTSQUARED / (nu_trans * nu_trans)) / (2.0 * H * nu_trans)
-            b_lu = g_u / g_l * b_ul
-
-            n_u = levelpops[:, upper]  # (ncells, chunk)
-            n_l = levelpops[:, lower]
-            tau = jnp.maximum(
-                (b_lu[None, :] * n_l - b_ul[None, :] * n_u) * HCLIGHTOVERFOURPI * t_mid, 0.0
-            )
-            beta = beta_sobolev(tau)
-
-            te = t_e[:, None]
-            ne = nne[:, None]
-
-            # --- down entries ---
-            r_down = a_ul[None, :] * beta  # rad deexc per n_upper
-            c_down = col_deexcitation_ratecoeff(
-                te, ne, eps_trans[None, :], coll_str[None, :], forb[None, :],
-                osc[None, :], g_u[None, :], g_l[None, :],
-            )
-            wdown = jnp.where(valid & is_down, 1.0, 0.0)[None, :]
-            v_rad = wdown * r_down * eps_trans[None, :]
-            v_tot_down = wdown * (r_down + c_down) * e_target[None, :]
+            ma, cool_exc_level = carry
+            kpos = c * trans_chunk + jnp.arange(trans_chunk)
+            kidx = jnp.clip(kpos, 0, ntrans - 1)
+            valid = kpos < ntrans  # out-of-range = repeats; weight 0
+            (owner, v_rad, v_cdeexc, v_tot_down, v_tot_up,
+             v_coolexc) = _trans_vals(kidx, valid)
             ma = ma.at[:, owner, MA_ACTION_RADDEEXC].add(v_rad)
-            ma = ma.at[:, owner, MA_ACTION_COLDEEXC].add(wdown * c_down * eps_trans[None, :])
+            ma = ma.at[:, owner, MA_ACTION_COLDEEXC].add(v_cdeexc)
             ma = ma.at[:, owner, MA_ACTION_INTERNALDOWNSAME].add(v_tot_down)
-
-            # --- up entries ---
-            r_over_j = jnp.where(
-                n_l > 0,
-                (b_lu[None, :] - b_ul[None, :] * n_u / jnp.maximum(n_l, 1e-300)) * beta,
-                b_lu[None, :] * beta,
-            )
-            j_nu = dbb(nu_trans[None, :], jnp.maximum(t_r, 1.0)[:, None], w[:, None])
-            if jblue_normed is not None:
-                # detailed line estimator replaces the radiation-field model
-                # for selected lines (reference: macroatom.cc:713-720)
-                jb_line, jb_arr = jblue_normed
-                li = sl(dad.trans_lineindex)
-                jb_idx = jb_line[jnp.clip(li, 0, jb_line.shape[0] - 1)]
-                has_jb = (li >= 0) & (jb_idx >= 0)
-                j_detail = jb_arr[:, jnp.maximum(jb_idx, 0)]
-                j_nu = jnp.where(has_jb[None, :], j_detail, j_nu)
-            r_up = jnp.maximum(r_over_j * j_nu, 0.0)
-            c_up = col_excitation_ratecoeff(
-                te, ne, eps_trans[None, :], coll_str[None, :], forb[None, :],
-                osc[None, :], g_u[None, :], g_l[None, :],
-            )
-            wup = jnp.where(valid & ~is_down, 1.0, 0.0)[None, :]
-            v_tot_up = wup * (r_up + c_up) * e_owner[None, :]
-            v_coolexc = wup * n_l * c_up * eps_trans[None, :]
             ma = ma.at[:, owner, MA_ACTION_INTERNALUPSAME].add(v_tot_up)
             # collisional-excitation cooling: n_l * C * eps_trans (kpkt.cc:95-105)
             cool_exc_level = cool_exc_level.at[:, owner].add(v_coolexc)
-            upd = lambda tbl, v: jax.lax.dynamic_update_slice_in_dim(
-                tbl, v, c * trans_chunk, axis=1
-            )
-            trans_rad = upd(trans_rad, v_rad)
-            trans_tot = upd(trans_tot, v_tot_down + v_tot_up)
-            trans_coolexc = upd(trans_coolexc, v_coolexc)
-            return (ma, cool_exc_level, trans_rad, trans_tot, trans_coolexc), None
+            return (ma, cool_exc_level), None
 
-        (ma, cool_exc_level, trans_rad, trans_tot, trans_coolexc), _ = jax.lax.scan(
-            trans_body, (ma, cool_exc_level, trans_rad, trans_tot, trans_coolexc),
-            jnp.arange(nchunks),
+        (ma, cool_exc_level), _ = jax.lax.scan(
+            trans_body, (ma, cool_exc_level), jnp.arange(nchunks),
         )
-    trans_rad = trans_rad[:, :max(ntrans, 1)]
-    trans_tot = trans_tot[:, :max(ntrans, 1)]
-    trans_coolexc = trans_coolexc[:, :max(ntrans, 1)]
 
     # ---- scan over the continuum axis (bf processes) ----
     ncont = dad.nbfcontinua
@@ -346,9 +452,9 @@ def compute_process_rates(
             upd = lambda tbl, v: jax.lax.dynamic_update_slice_in_dim(
                 tbl, v, c * cont_chunk, axis=1
             )
-            cont_rad = upd(cont_rad, v_rec_rad)
-            cont_tot_down = upd(cont_tot_down, v_rec_tot)
-            cont_tot_up = upd(cont_tot_up, v_ion_tot)
+            cont_rad = upd(cont_rad, v_rec_rad.astype(dtype))
+            cont_tot_down = upd(cont_tot_down, v_rec_tot.astype(dtype))
+            cont_tot_up = upd(cont_tot_up, v_ion_tot.astype(dtype))
             return (ma, cool_ion_cont, cool_fb_cont,
                     cont_rad, cont_tot_down, cont_tot_up), None
 
@@ -391,9 +497,10 @@ def compute_process_rates(
         cool_exc_ion=cool_exc_ion,
         cool_ion_ion=cool_ion_ion,
         cool_fb_ion=cool_fb_ion,
-        trans_rad=trans_rad,
-        trans_tot=trans_tot,
-        trans_coolexc=trans_coolexc,
+        jb_line=(jblue_normed[0].astype(jnp.int32) if jblue_normed is not None
+                 else jnp.full((1,), -1, jnp.int32)),
+        jb_arr=(jblue_normed[1].astype(dtype) if jblue_normed is not None
+                else jnp.zeros((ncells, 1), dtype)),
         cont_rad=cont_rad,
         cont_tot_down=cont_tot_down,
         cont_tot_up=cont_tot_up,

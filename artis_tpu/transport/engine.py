@@ -1158,7 +1158,10 @@ def rpkt_step_pallas(
             jnp.int32)
         lane_i32["moving"] = jnp.where(
             keys_s == jnp.repeat(block_tile, block), lane_i32["moving"], 0)
-        block_ne0 = tile_ne0[block_tile]
+        # tile_ne0 is 8-aligned (built as //8*8 above), but Mosaic cannot
+        # prove that through a scalar-prefetch read — ship ne0/8 and let the
+        # kernel multiply, which makes the DMA row offset provably aligned
+        block_ne0 = tile_ne0[block_tile] // 8
         inv_perm = jnp.argsort(perm)
     outs = pk.propagate_blocked(
         seed, lane_f32, lane_i32, tables, test_tau, test_sel,

@@ -18,7 +18,7 @@ from ..constants import H, KB
 from ..options import Options
 from ..packets import EMTYPE_FREEFREE, EMTYPE_NOTSET, PacketState, TYPE_KPKT, TYPE_MA, TYPE_RPKT
 from ..plasma.ratecoeff import RateCoeffTables, select_continuum_nu_batch
-from ..plasma.transitionrates import ProcessRates
+from ..plasma.transitionrates import ProcessRates, trans_values_at
 from .macroatom import MacroAtomAux, _select_chunked
 
 
@@ -131,10 +131,16 @@ def do_kpkt_batch(
     exc_level = jnp.clip(dad.ion_level_start[ion] + kex, 0, dad.nlevels_total - 1)
 
     def exc_upper_value_at(k):
-        # precomputed n_l * C * eps_trans per up transition (one gather)
+        # n_l * C * eps_trans per up transition, computed lazily for this
+        # (npkts, chunk) window (transitionrates.trans_values_at — the
+        # collisional rate needs no radiation field, so tr/w are dummies)
         base = dad.level_alltrans_start[exc_level] + dad.level_ndowntrans[exc_level]
         tidx = jnp.clip(base[:, None] + k[None, :], 0, dad.ntrans_total - 1)
-        return rates.trans_coolexc[cellidx[:, None], tidx]
+        _, _, v_coolexc = trans_values_at(
+            dad, levelpops, cellidx, tidx, t_e, nne,
+            jnp.ones_like(t_e), jnp.zeros_like(t_e), 1.0,  # t_mid only
+            rates.jb_line, rates.jb_arr)  # enters via beta: radiative-only
+        return v_coolexc
 
     u_ex2 = jax.random.uniform(jax.random.fold_in(key, 8), (npkts,), dtype)
     lvl_cool = rates.cool_exc_level[cellidx, exc_level]

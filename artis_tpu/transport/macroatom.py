@@ -26,7 +26,7 @@ from ..plasma.transitionrates import (
     MA_ACTION_INTERNALDOWNLOWER, MA_ACTION_INTERNALDOWNSAME,
     MA_ACTION_INTERNALUPHIGHER, MA_ACTION_INTERNALUPHIGHERNT,
     MA_ACTION_INTERNALUPSAME, MA_ACTION_RADDEEXC, MA_ACTION_RADRECOMB,
-    ProcessRates,
+    ProcessRates, trans_values_at,
 )
 
 
@@ -186,11 +186,14 @@ def do_macroatom_batch(
     cont_rad_u = rates.cont_rad[:, aux.recomb_cont_of_upper]  # by upper level
     cont_down_u = rates.cont_tot_down[:, aux.recomb_cont_of_upper]
     cont_up_l = rates.cont_tot_up[:, aux.ioncont_cont_of_lower]  # by lower level
-    vtab = jnp.concatenate(
-        [rates.trans_rad, rates.trans_tot, cont_rad_u, cont_down_u, cont_up_l], axis=1
-    )
+    # VIRTUAL concatenation: the unified walk addresses one logical
+    # (ncells, 2T+3C) value table, but materialising it doubles-to-triples
+    # HBM at production scale (a 100k-line atom makes each (ncells, ntrans)
+    # table ~1.6 GB; the concatenated copy + its remat pair OOMed a 16 GB
+    # chip). walk_values below routes each index to its source table with
+    # masked gathers on the small (npkts, chunk) windows instead.
     off_rad, off_tot, off_crad, off_cdown, off_cup = 0, T, 2 * T, 2 * T + C, 2 * T + 2 * C
-    vwidth = vtab.shape[1]
+    vwidth = 2 * T + 3 * C
     maxblock = max(aux.max_ndowntrans, aux.max_nuptrans, aux.max_recomb, aux.max_ioncont, 1)
 
     zi = jnp.zeros_like(level_in, dtype=jnp.int32)
@@ -255,7 +258,23 @@ def do_macroatom_batch(
 
         def walk_values(kk):
             idxv = jnp.clip(base[:, None] + kk[None, :], 0, vwidth - 1)
-            return vtab[cellidx[:, None], idxv]
+            rows = cellidx[:, None]
+            # bound-bound regions recompute their values lazily for exactly
+            # this (npkts, chunk) window (see trans_values_at): the dense
+            # (ncells, ntrans) tables they replaced cost GBs at production
+            # line counts
+            ltr = jnp.where(idxv >= off_tot, idxv - off_tot, idxv)
+            v_rad_k, v_tot_k, _ = trans_values_at(
+                dad, levelpops, cellidx, jnp.clip(ltr, 0, T - 1),
+                t_e, nne, t_r, w, t_mid, rates.jb_line, rates.jb_arr)
+            v = jnp.where(idxv >= off_tot, v_tot_k, v_rad_k)
+            v = jnp.where(idxv >= off_crad,
+                          cont_rad_u[rows, jnp.clip(idxv - off_crad, 0, C - 1)], v)
+            v = jnp.where(idxv >= off_cdown,
+                          cont_down_u[rows, jnp.clip(idxv - off_cdown, 0, C - 1)], v)
+            v = jnp.where(idxv >= off_cup,
+                          cont_up_l[rows, jnp.clip(idxv - off_cup, 0, C - 1)], v)
+            return v
 
         ksel = _select_chunked(tgt, count, maxblock, walk_values)
 

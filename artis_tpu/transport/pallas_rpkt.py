@@ -30,6 +30,7 @@ detailed bf-rate estimators.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -45,7 +46,18 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 # interpret mode lets the kernel run (slowly) off-TPU for tests
-INTERPRET = jax.default_backend() != "tpu"
+def _interpret_mode():
+    """Off-TPU interpret mode for the kernel. Default: the fast generic
+    interpreter. Under shard_map that path loses the pltpu primitive
+    registrations (prng_seed fails to lower), so shard_map-composition
+    tests set ARTIS_PALLAS_MOSAIC_INTERPRET=1 to select the (slower but
+    faithful) Mosaic interpreter instead."""
+    if jax.default_backend() == "tpu":
+        return False
+    if os.environ.get("ARTIS_PALLAS_MOSAIC_INTERPRET") == "1":
+        return pltpu.InterpretParams()
+    return True
+
 
 
 
@@ -384,7 +396,10 @@ def _kernel(
         # (16, tile) slice via its BlockSpec, the per-mgi tables are
         # DMA-row-sliced at ne0 below
         tile0 = bt_ref[pl.program_id(0)] * tile
-        ne0 = bn_ref[pl.program_id(0)]
+        # bn_ref carries ne0/8; multiplying back makes the row offset of the
+        # per-mgi slab DMAs provably 8-aligned (Mosaic rejects dynamic
+        # dim-0 slices it cannot prove divisible by the sublane tiling)
+        ne0 = bn_ref[pl.program_id(0)] * 8
         # blocks arrive sorted by tile, so all blocks of one tile are a
         # consecutive grid-step run revisiting the same (1, mpad, k)
         # accumulator slice; the run's FIRST block zeroes it, later blocks
@@ -396,7 +411,9 @@ def _kernel(
     # each block DMAs only its own B-lane slice in and out.  Full-array lane
     # specs cost ~0.6 ms/block in HBM<->VMEM traffic (measured round 3) —
     # the entire fixed overhead of a dispatch.
-    lane = lambda ref: ref[:]
+    lane = lambda ref: ref[0, :]  # lane refs are (1, B): 2-D keeps the
+    # XLA<->Mosaic layouts compatible at ANY block width (1-D f32 params get
+    # an XLA T(1024) layout that Mosaic rejects for narrower blocks)
     if not test_mode:
         pltpu.prng_seed(seed_ref[0] + blk * 7919)
 
@@ -691,9 +708,12 @@ def _kernel(
                 ) * tmin - tstart
                 db = CLIGHT_PROP * t_bound
                 ok = (db >= 0) & (db < sdist)
-                at_edge = jnp.where(
-                    up, ivals[ax] >= float(nsz[ax] - 1), ivals[ax] <= 0.0
-                )
+                # NOTE: select between two i1 vectors lowers to an i8
+                # materialisation + trunci that Mosaic rejects on hardware
+                # ("Unsupported target bitwidth for truncation") — use
+                # logical ops instead of jnp.where on bools
+                at_edge = (up & (ivals[ax] >= float(nsz[ax] - 1))) | (
+                    ~up & (ivals[ax] <= 0.0))
                 stp = jnp.where(up, jnp.int32(incs[ax]), jnp.int32(-incs[ax]))
                 sdist = jnp.where(ok, db, sdist)
                 snext = jnp.where(
@@ -805,7 +825,8 @@ def _kernel(
             ) * tmin - tstart
             db = CLIGHT_PROP * t_zb
             ok = (db >= 0) & (db < sdist)
-            at_edge = jnp.where(up, izf >= n1f - 1.0, izf <= 0.0)
+            # logical ops, not where-on-bools (Mosaic i1-select limitation)
+            at_edge = (up & (izf >= n1f - 1.0)) | (~up & (izf <= 0.0))
             stp = jnp.where(up, jnp.int32(nx), jnp.int32(-nx))
             sdist = jnp.where(ok, db, sdist)
             snext = jnp.where(
@@ -955,7 +976,10 @@ def _kernel(
                 edge_k * last_nuovernuedge >= nu[:, None]
             ) & _col(need_chi)
             ireal_k = (nu[:, None] / edge_k - 1.0) / phixs_dnu  # (B, K)
-            piota_k = jax.lax.broadcasted_iota(I32, (K, nphixs), 1)
+            # phixs_k may carry 128-aligned column padding; the iota matches
+            # its actual width and the fori bound (nphixs) never selects a
+            # padded column
+            piota_k = jax.lax.broadcasted_iota(I32, phixs_k.shape, 1)
 
             def phixs_term(p, sig):
                 w = jnp.maximum(1.0 - jnp.abs(ireal_k - p.astype(F32)), 0.0)
@@ -1003,7 +1027,7 @@ def _kernel(
                 jnp.min(jnp.where(lane_has, c_first, 1e9)),
                 jnp.max(jnp.where(lane_has, c_lastx, 0.0))).astype(I32)
             bf_ce = jnp.max(jnp.where(lane_has, c_lastx, 0.0)).astype(I32)
-            nch_iota_f = jax.lax.broadcasted_iota(F32, (1, nchp), 1)
+            nch_iota_f = jax.lax.broadcasted_iota(I32, (1, nchp), 1).astype(F32)
 
             def bf_chi_body(c, carry):
                 chi_acc, gam_acc, part = carry
@@ -1089,7 +1113,7 @@ def _kernel(
             # rpkt.cc:199-290) ---
             nb = expo_kappa.shape[-1]
             safe_chi = jnp.maximum(chi_cont, 1e-30)
-            bidx = jax.lax.broadcasted_iota(F32, (1, nb), 1)
+            bidx = jax.lax.broadcasted_iota(I32, (1, nb), 1).astype(F32)
             valid_bin = bidx < jnp.float32(nbins_expo)
             # bin b's lower-nu edge at lambda = LMIN + (b+1) dl
             from .expansionopacity import DELTA_LAMBDA, LAMBDA_MIN
@@ -1212,7 +1236,7 @@ def _kernel(
                     0.0,
                 )
                 njbp = o_jb.shape[2] // 2
-                jbcol = jax.lax.broadcasted_iota(F32, (line_chunk, njbp), 1)
+                jbcol = jax.lax.broadcasted_iota(I32, (line_chunk, njbp), 1).astype(F32)
 
             karange = jax.lax.broadcasted_iota(I32, (B, line_chunk), 1)
 
@@ -1396,6 +1420,14 @@ def _kernel(
         seg = mask & nonempty
         contrib = jnp.where(seg, dist * ecmf1, 0.0)
 
+        # ALL per-cell estimator scatters fuse into ONE one-hot MXU dot per
+        # crossing (round-5: J/nuJ/ffheat + gamma-LUT + bfheating-LUT +
+        # multibin-radfield + detailed-bf-rate previously each paid their own
+        # (ncells, B) dot; merging streams the one-hot through the MXU once).
+        # Masking lives in the row VALUES — every column is already zeroed on
+        # inactive lanes via `contrib`/`de`/`w_bfr`/`ohb` — so the former
+        # per-pass (ncells, B) one-hot maskings were redundant vector work
+        # and are dropped.
         est_rows = jnp.stack(
             [contrib, contrib * nucmf1,
              jnp.where(seg & ~thick, contrib * chi_ff, 0.0),
@@ -1403,40 +1435,97 @@ def _kernel(
              jnp.zeros_like(contrib), jnp.zeros_like(contrib),
              jnp.zeros_like(contrib), jnp.zeros_like(contrib)], axis=1,
         )  # (B, 8)
-        ohT_seg = jnp.where(_rowb(seg), ohT, 0.0)
-        if "noest" in ablate:  # profiling only
-            est_new = s["est"]
-        else:
-            est_new = s["est"] + jnp.dot(ohT_seg, est_rows,
-                                         preferred_element_type=F32)
-
         gam_new = s["gam"]
         bfh_new = s["bfh"]
-        if (want_gamma or want_bfheat) and "noest" not in ablate:
-            seg_ok = seg & ~thick
-            de = jnp.where(_col(seg_ok), contrib[:, None] * gamma_contr, 0.0)
-            ohT_s = jnp.where(_rowb(seg_ok), ohT, 0.0)
-            if want_gamma:
-                gadd = de / jnp.maximum(nucmf1, 1e-30)[:, None]
-                gpad = jnp.concatenate(
-                    [gadd, jnp.zeros((B, s["gam"].shape[1] - ngc), F32)],
-                    axis=1)
-                gam_new = s["gam"] + jnp.dot(ohT_s, gpad,
-                                             preferred_element_type=F32)
-            if want_bfheat:
-                badd = de * jnp.maximum(
-                    1.0 - gc_nu_edge[0, :ngc][None, :]
-                    / jnp.maximum(nucmf1, 1e-30)[:, None], 0.0)
-                bpad = jnp.concatenate(
-                    [badd, jnp.zeros((B, s["bfh"].shape[1] - ngc), F32)],
-                    axis=1)
-                bfh_new = s["bfh"] + jnp.dot(ohT_s, bpad,
-                                             preferred_element_type=F32)
+        rb_new = s["rb"]
+        bfr_new = s["bfr"]
+        if "noest" in ablate:  # profiling only: skip every estimator scatter
+            est_new = s["est"]
+        else:
+            parts = [est_rows]
+            widths = []  # (name, width) slices after the fused dot
+            if want_gamma or want_bfheat:
+                seg_ok = seg & ~thick
+                de = jnp.where(_col(seg_ok),
+                               contrib[:, None] * gamma_contr, 0.0)
+                if want_gamma:
+                    gadd = de / jnp.maximum(nucmf1, 1e-30)[:, None]
+                    parts.append(jnp.concatenate(
+                        [gadd, jnp.zeros((B, s["gam"].shape[1] - ngc), F32)],
+                        axis=1))
+                    widths.append(("gam", s["gam"].shape[1]))
+                if want_bfheat:
+                    badd = de * jnp.maximum(
+                        1.0 - gc_nu_edge[0, :ngc][None, :]
+                        / jnp.maximum(nucmf1, 1e-30)[:, None], 0.0)
+                    parts.append(jnp.concatenate(
+                        [badd, jnp.zeros((B, s["bfh"].shape[1] - ngc), F32)],
+                        axis=1))
+                    widths.append(("bfh", s["bfh"].shape[1]))
+            if multibin:
+                # per-bin J/nuJ/count at the segment midpoint (reference:
+                # radfield.cc:731-759; engine XLA _rpkt_accumulate multibin)
+                from ..plasma.radfield import (
+                    NU_LOWER_FIRST, NU_UPPER_LAST, NU_UPPER_SUPERBIN,
+                )
+                nbp = o_rb.shape[2] // 3
+                delta_nu = (NU_UPPER_LAST - NU_LOWER_FIRST) / (nradbins - 1)
+                bsel = jnp.floor((nucmf1 - jnp.float32(NU_LOWER_FIRST))
+                                 / jnp.float32(delta_nu))
+                bsel = jnp.where(nucmf1 >= jnp.float32(NU_UPPER_LAST),
+                                 jnp.float32(nradbins - 1), bsel)
+                bsel = jnp.clip(bsel, 0.0, float(nradbins - 1))
+                inside = seg & (nucmf1 >= jnp.float32(NU_LOWER_FIRST)) & (
+                    nucmf1 < jnp.float32(NU_UPPER_SUPERBIN))
+                biota = jax.lax.broadcasted_iota(I32, (B, nbp), 1).astype(F32)
+                ohb = jnp.where(
+                    _col(inside), (biota == bsel[:, None]).astype(F32), 0.0)
+                parts.append(jnp.concatenate([
+                    ohb * contrib[:, None],
+                    ohb * (contrib * nucmf1)[:, None],
+                    ohb,
+                ], axis=1))
+                widths.append(("rb", 3 * nbp))
+            if want_bfrate and not stream_bf:
+                # detailed per-continuum photoionisation-rate estimators
+                # (reference: radfield.cc:204-233; XLA counterpart
+                # opacity.accumulate_bf_estimators), reusing the sigma/corr
+                # window already computed for chi_bf
+                seg_nothick = seg & ~thick
+                w_bfr = jnp.where(
+                    seg_nothick,
+                    contrib / jnp.maximum(nucmf1, 1e-30) * doppler, 0.0)
+                bfr_rows = jnp.where(
+                    in_window, sigma * corr * cont_prob[0, :ncont][None, :],
+                    0.0) * w_bfr[:, None]
+                Cp = o_bfr.shape[2]
+                if Cp > ncont:
+                    bfr_rows = jnp.concatenate(
+                        [bfr_rows, jnp.zeros((B, Cp - ncont), F32)], axis=1)
+                parts.append(bfr_rows)
+                widths.append(("bfr", Cp))
+            fused = jnp.dot(
+                ohT, parts[0] if len(parts) == 1
+                else jnp.concatenate(parts, axis=1),
+                preferred_element_type=F32)
+            est_new = s["est"] + fused[:, :8]
+            off = 8
+            outs = {}
+            for name, w in widths:
+                outs[name] = fused[:, off:off + w]
+                off += w
+            if "gam" in outs:
+                gam_new = s["gam"] + outs["gam"]
+            if "bfh" in outs:
+                bfh_new = s["bfh"] + outs["bfh"]
+            if "rb" in outs:
+                rb_new = s["rb"] + outs["rb"]
+            if "bfr" in outs:
+                bfr_new = s["bfr"] + outs["bfr"]
 
         if not (want_jblue and not expansion_mode):
             jba_new = s["jba"]
 
-        bfr_new = s["bfr"]
         if stream_bf:
             # second windowed pass: continuum selection for the lanes that
             # took a continuum event this crossing, plus (optionally) the
@@ -1462,7 +1551,6 @@ def _kernel(
                     seg_nothick,
                     contrib / jnp.maximum(nucmf1, 1e-30) * doppler, 0.0)
                 any_bfr = jnp.any(seg_nothick)
-                ohT_nt = jnp.where(_rowb(seg_nothick), ohT, 0.0)
             else:
                 any_bfr = jnp.zeros((), bool)
 
@@ -1490,11 +1578,12 @@ def _kernel(
                     bfidx_c = jnp.where(
                         here & jnp.any(hit_k, axis=1), c0 + idx_k, bfidx_c)
                     if want_bfrate:
+                        # rows are self-masked through w_bfr; raw ohT is safe
                         bfr_rows = jnp.where(
                             in_w,
                             sigma_k * corr_k * bfprob_slab[0][None, :],
                             0.0) * w_bfr[:, None]
-                        add = jnp.dot(ohT_nt, bfr_rows,
+                        add = jnp.dot(ohT, bfr_rows,
                                       preferred_element_type=F32)
                         cur = o_bfr[0, :, pl.ds(c0, bf_chunk)]
                         o_bfr[0, :, pl.ds(c0, bf_chunk)] = cur + add
@@ -1503,54 +1592,8 @@ def _kernel(
                 return jax.lax.cond(pred, do, lambda b: b, bfidx_c)
 
             bf_idx = jax.lax.fori_loop(bf_cb, bf_ce, bf_sel_body, bf_idx)
-        elif want_bfrate:
-            # detailed per-continuum photoionisation-rate estimators
-            # (reference: radfield.cc:204-233; XLA counterpart
-            # opacity.accumulate_bf_estimators): contribution
-            # sigma*prob*corr x (dist*e_cmf/nu_cmf*doppler) per segment,
-            # reusing the sigma/corr window already computed for chi_bf
-            seg_nothick = seg & ~thick
-            w_bfr = jnp.where(
-                seg_nothick,
-                contrib / jnp.maximum(nucmf1, 1e-30) * doppler, 0.0)
-            bfr_rows = jnp.where(
-                in_window, sigma * corr * cont_prob[0, :ncont][None, :], 0.0
-            ) * w_bfr[:, None]
-            Cp = o_bfr.shape[2]
-            if Cp > ncont:
-                bfr_rows = jnp.concatenate(
-                    [bfr_rows, jnp.zeros((B, Cp - ncont), F32)], axis=1)
-            ohT_nt = jnp.where(_rowb(seg_nothick), ohT, 0.0)
-            bfr_new = s["bfr"] + jnp.dot(ohT_nt, bfr_rows,
-                                         preferred_element_type=F32)
-
-        rb_new = s["rb"]
-        if multibin:
-            # per-bin J/nuJ/count estimators at the segment midpoint
-            # (reference: radfield.cc:731-759; engine XLA path
-            # _rpkt_accumulate multibin block)
-            from ..plasma.radfield import (
-                NU_LOWER_FIRST, NU_UPPER_LAST, NU_UPPER_SUPERBIN,
-            )
-            nbp = o_rb.shape[2] // 3
-            delta_nu = (NU_UPPER_LAST - NU_LOWER_FIRST) / (nradbins - 1)
-            bsel = jnp.floor((nucmf1 - jnp.float32(NU_LOWER_FIRST))
-                             / jnp.float32(delta_nu))
-            bsel = jnp.where(nucmf1 >= jnp.float32(NU_UPPER_LAST),
-                             jnp.float32(nradbins - 1), bsel)
-            bsel = jnp.clip(bsel, 0.0, float(nradbins - 1))
-            inside = seg & (nucmf1 >= jnp.float32(NU_LOWER_FIRST)) & (
-                nucmf1 < jnp.float32(NU_UPPER_SUPERBIN))
-            biota = jax.lax.broadcasted_iota(F32, (B, nbp), 1)
-            ohb = jnp.where(_col(inside), (biota == bsel[:, None]).astype(F32),
-                            0.0)
-            rows_rb = jnp.concatenate([
-                ohb * contrib[:, None],
-                ohb * (contrib * nucmf1)[:, None],
-                ohb,
-            ], axis=1)
-            rb_new = s["rb"] + jnp.dot(ohT_seg, rows_rb,
-                                       preferred_element_type=F32)
+        # (non-stream bf-rate and multibin scatters now ride the fused
+        # estimator dot above)
 
         # second half-move
         fx = mx + s["dx"] * h
@@ -1709,26 +1752,26 @@ def _kernel(
         def acc(ref, val):
             ref[0] = val
 
-    o_posx[:] = state["px"]; o_posy[:] = state["py"]
-    o_posz[:] = state["pz"]
-    o_dirx[:] = state["dx"]; o_diry[:] = state["dy"]
-    o_dirz[:] = state["dz"]
-    o_nu_rf[:] = state["nurf"]; o_nu_cmf[:] = state["nucmf"]
-    o_e_rf[:] = state["erf"]; o_e_cmf[:] = state["ecmf"]
-    o_prop_time[:] = state["t"]
-    o_where[:] = state["cell"]; o_next_trans[:] = state["ntr"]
-    o_evented[:] = state["evented"]
-    o_escaped[:] = state["escaped"]
-    o_thick[:] = state["ev_thick"]
-    o_is_bb[:] = state["ev_isbb"]
-    o_act_line[:] = state["ev_act"]
-    o_bf_idx[:] = state["ev_bfidx"]
-    o_chi_escat[:] = state["ev_esc"]; o_chi_ff[:] = state["ev_ff"]
-    o_chi_bf[:] = state["ev_bf"]; o_chi_cont[:] = state["ev_cont"]
-    o_mgi[:] = state["ev_mgi"]
-    o_em_x[:] = state["em_x"]; o_em_y[:] = state["em_y"]
-    o_em_z[:] = state["em_z"]; o_em_t[:] = state["em_t"]
-    o_nsc[:] = state["nsc"]; o_inkscat[:] = state["inkscat"]
+    o_posx[0, :] = state["px"]; o_posy[0, :] = state["py"]
+    o_posz[0, :] = state["pz"]
+    o_dirx[0, :] = state["dx"]; o_diry[0, :] = state["dy"]
+    o_dirz[0, :] = state["dz"]
+    o_nu_rf[0, :] = state["nurf"]; o_nu_cmf[0, :] = state["nucmf"]
+    o_e_rf[0, :] = state["erf"]; o_e_cmf[0, :] = state["ecmf"]
+    o_prop_time[0, :] = state["t"]
+    o_where[0, :] = state["cell"]; o_next_trans[0, :] = state["ntr"]
+    o_evented[0, :] = state["evented"]
+    o_escaped[0, :] = state["escaped"]
+    o_thick[0, :] = state["ev_thick"]
+    o_is_bb[0, :] = state["ev_isbb"]
+    o_act_line[0, :] = state["ev_act"]
+    o_bf_idx[0, :] = state["ev_bfidx"]
+    o_chi_escat[0, :] = state["ev_esc"]; o_chi_ff[0, :] = state["ev_ff"]
+    o_chi_bf[0, :] = state["ev_bf"]; o_chi_cont[0, :] = state["ev_cont"]
+    o_mgi[0, :] = state["ev_mgi"]
+    o_em_x[0, :] = state["em_x"]; o_em_y[0, :] = state["em_y"]
+    o_em_z[0, :] = state["em_z"]; o_em_t[0, :] = state["em_t"]
+    o_nsc[0, :] = state["nsc"]; o_inkscat[0, :] = state["inkscat"]
     # total boundary-crossing count rides in est[0, 3] (see engine unpack)
     acc(o_est, state["est"] + (
         (jax.lax.broadcasted_iota(I32, (ncells, 8), 0) == 0)
@@ -1838,8 +1881,15 @@ def propagate_blocked(
         tables["bf_dep"] = _padlast(tables["bf_dep"], cpad_bf)
         tables["cont_prob"] = _padlast(
             jnp.reshape(tables["cont_prob"], (1, -1)), cpad_bf)
-        tables["cont_phixs"] = _padrows(tables["cont_phixs"], cpad_bf)
-        tables["cont_gmap"] = _padrows(tables["cont_gmap"], cpad_bf)
+        # DMA-sliced slabs need 128-aligned column widths too (Mosaic:
+        # "Slice shape along dimension 1 must be aligned to tiling (128)"),
+        # so pad the phixs/gmap column dims; in-kernel math masks by the
+        # logical widths (nphixs/ngc) so zero-padded columns are inert
+        tables["cont_phixs"] = _padlast(
+            _padrows(tables["cont_phixs"], cpad_bf), _round_up(nphixs, 128))
+        tables["cont_gmap"] = _padlast(
+            _padrows(tables["cont_gmap"], cpad_bf),
+            _round_up(max(ngc, 1), 128))
         nchp = _round_up(nch, 128)
         edges_flat = tables["cont_nu_edge"][0]
         starts = edges_flat[:: bf_chunk]  # (nch,)
@@ -1859,7 +1909,7 @@ def propagate_blocked(
     int_names = ["where", "next_trans", "moving"]
 
     # per-block lane slices: each grid step only moves its own B lanes
-    lane_spec = pl.BlockSpec((block,), lambda i, *_: (i,),
+    lane_spec = pl.BlockSpec((1, block), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -1908,9 +1958,15 @@ def propagate_blocked(
         for nm in ("mgi_of_cell", "cellmin0", "cellmax0", "nne", "Te",
                    "kappagrey", "rho", "thick", "chiffpart"):
             tables[nm] = z128
-        # slab DMAs read rows [ne0, ne0+mpad): row-pad the per-mgi tables
+        # slab DMAs read rows [ne0, ne0+mpad): row-pad the per-mgi tables.
+        # Idempotent (targets ncells+mpad rows): the driver pre-pads the big
+        # tau table once per timestep so no multi-GB pad copy lands in every
+        # dispatch program
         def _rowpad(x):
-            return jnp.pad(x, ((0, mpad), (0, 0)))
+            target = ncells + mpad
+            if x.shape[0] >= target:
+                return x
+            return jnp.pad(x, ((0, target - x.shape[0]), (0, 0)))
         tables["tau_factor"] = _rowpad(tables["tau_factor"])
         if stream_bf:
             tables["bf_a"] = _rowpad(tables["bf_a"])
@@ -1966,8 +2022,8 @@ def propagate_blocked(
                    jnp.asarray(rmax, F32), nu_lastline]).reshape(1, 5),
     ]
 
-    f32_out = jax.ShapeDtypeStruct((n,), F32)
-    i32_out = jax.ShapeDtypeStruct((n,), I32)
+    f32_out = jax.ShapeDtypeStruct((1, n), F32)
+    i32_out = jax.ShapeDtypeStruct((1, n), I32)
     # estimator accumulators: per-block rows untiled; per-TILE rows tiled
     # (blocks sorted by tile revisit one (1, mpad, k) slice per tile run,
     # zeroed on first visit — memory stays ~ the global estimator size
@@ -2041,8 +2097,10 @@ def propagate_blocked(
                 [
                     pltpu.VMEM((k_ncells, bf_chunk), F32),  # bf_a slab
                     pltpu.VMEM((k_ncells, bf_chunk), F32),  # bf_dep slab
-                    pltpu.VMEM((bf_chunk, nphixs), F32),  # phixs slab
-                    pltpu.VMEM((bf_chunk, max(ngc, 1)), F32),  # gmap slab
+                    pltpu.VMEM((bf_chunk, _round_up(nphixs, 128)),
+                               F32),  # phixs slab (cols 128-aligned for DMA)
+                    pltpu.VMEM((bf_chunk, _round_up(max(ngc, 1), 128)),
+                               F32),  # gmap slab
                     pltpu.VMEM((1, bf_chunk), F32),  # edge slab
                     pltpu.VMEM((1, bf_chunk), F32),  # prob slab
                     pltpu.SemaphoreType.DMA((6,)),
@@ -2052,9 +2110,9 @@ def propagate_blocked(
         ),
     )
     inputs = (
-        [lane_f32[k] for k in lane_names]
-        + [lane_i32[k] for k in int_names]
-        + [test_tau, test_sel]
+        [lane_f32[k].reshape(1, -1) for k in lane_names]
+        + [lane_i32[k].reshape(1, -1) for k in int_names]
+        + [test_tau.reshape(1, -1), test_sel.reshape(1, -1)]
         + table_list
     )
     outs = pl.pallas_call(
@@ -2065,7 +2123,10 @@ def propagate_blocked(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=INTERPRET,
+        interpret=_interpret_mode(),
     )(jnp.asarray([seed], I32), block_tile.astype(I32),
       block_ne0.astype(I32), *inputs)
-    return outs
+    outs = list(outs)
+    for i in range(30):  # (1, n) lane outputs back to the caller's (n,)
+        outs[i] = outs[i].reshape(-1)
+    return tuple(outs)

@@ -172,10 +172,14 @@ def main() -> None:
             maxtemp=20000.0, tablesize=20, transport_dtype="float32",
             linewalk_chunk=1024,
             detailed_bf_estimators_on=True,
-            dispatch_chunk_iters=24,
+            # short dispatches (relay execution deadline) and a SINGLE
+            # transport program: per-executable temp arenas persist on this
+            # runtime, so the tail-width ladder multiplies the resident
+            # footprint at production table sizes
+            dispatch_chunk_iters=8,
             use_pallas_rpkt=(_STATE["backend"] == "tpu"),
             rpkt_crossings_per_dispatch=64,
-            tail_crossings_per_dispatch=1024, tail_chunk_iters=48,
+            tail_width_divisor=1,
             transport_wall_budget=240.0,
         )
     else:
@@ -204,6 +208,24 @@ def main() -> None:
     # program, and every plasma-update mode (persistent-cache hits when warm)
     # so zero compiles land inside the measured timesteps
     sim.warm_transport(0)
+
+    # warm-up TIMESTEP: on the relay backend the first real execution of each
+    # freshly-compiled program runs seconds-per-dispatch slower (server-side
+    # cache writes; measured 137s vs 0.5s for the identical ts0 workload on
+    # 2026-08-21), and the warm_transport calls exit their while_loops
+    # immediately so they do not absorb it. Run the full ts0 workload once
+    # unmeasured, then restore the packet state and measure the identical
+    # re-run — standard warm-up exclusion, same physics both times (the RNG
+    # key depends only on nts).
+    if _STATE["backend"] == "tpu":
+        _st0 = sim.state
+        _esc0 = sim._escaped_counted.copy()
+        sim.do_timestep(0)
+        sim.state = _st0
+        sim._escaped_counted = _esc0
+        sim.total_rpkt_steps = 0
+        sim.total_transport_seconds = 0.0
+        sim.transport_log = []
 
     # CPU fallback measures timestep 0 only: at 4096 packets the later
     # timesteps are a drained wavefront whose throughput number would be
