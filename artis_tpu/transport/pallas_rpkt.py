@@ -241,7 +241,11 @@ def pick_line_chunk(opts, nlines: int) -> int:
     failure — keep this the single source of truth)."""
     if nlines <= 128:
         return 128
-    return min(-(-max(opts.linewalk_chunk, 128) // 128) * 128, 256)
+    # cap at 1024: in streamed mode each walk block costs one synchronous
+    # (mpad, chunk) slab DMA, so larger chunks amortise the DMA latency
+    # across 4x the lines (the 256 cap measured 2026-08-21 left detailed
+    # big-scene crossings DMA-latency-bound); VMEM stays ~4 MB per slab
+    return min(-(-max(opts.linewalk_chunk, 128) // 128) * 128, 1024)
 
 
 def vmem_estimate_bytes(opts, dad, ncells: int, npropcells: int,
@@ -465,29 +469,51 @@ def _kernel(
     if stream_lines:
         # line tables live in HBM; each walk block DMAs one (ncells, chunk)
         # tau slab + (1, chunk) nu/jb slabs into VMEM scratch (synchronous
-        # per block — the early-exit walk touches few blocks per crossing)
-        tau_slab, nu_slab, jb_slab, dma_sems = scratch
+        # per block — the early-exit walk touches few blocks per crossing).
+        # A per-slab last-l0 cache in SMEM skips the refetch when consecutive
+        # crossings of a dispatch revisit the same line window, which in a
+        # dense forest is the common case (the walk mostly sits in one block
+        # while nu drifts through it) — measured 2026-08-21: detailed
+        # big-scene crossings were DMA-latency-bound.
+        tau_slab, nu_slab, jb_slab, slab_last, dma_sems = scratch
+        slab_last[0] = -1  # nu slab cache key (fresh per grid block)
+        slab_last[1] = -1  # tau slab
+        slab_last[2] = -1  # jb slab
 
         def fetch_nu(l0):
-            cp = pltpu.make_async_copy(
-                line_nu.at[:, pl.ds(l0, line_chunk)], nu_slab, dma_sems.at[0])
-            cp.start()
-            cp.wait()
+            @pl.when(slab_last[0] != l0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    line_nu.at[:, pl.ds(l0, line_chunk)], nu_slab,
+                    dma_sems.at[0])
+                cp.start()
+                cp.wait()
+                slab_last[0] = l0
+
             return nu_slab[0]
 
         def fetch_tau(l0):
-            src = (tau_factor.at[pl.ds(ne0, ncells), pl.ds(l0, line_chunk)]
-                   if tiled else tau_factor.at[:, pl.ds(l0, line_chunk)])
-            cp = pltpu.make_async_copy(src, tau_slab, dma_sems.at[1])
-            cp.start()
-            cp.wait()
+            @pl.when(slab_last[1] != l0)
+            def _():
+                src = (tau_factor.at[pl.ds(ne0, ncells), pl.ds(l0, line_chunk)]
+                       if tiled else tau_factor.at[:, pl.ds(l0, line_chunk)])
+                cp = pltpu.make_async_copy(src, tau_slab, dma_sems.at[1])
+                cp.start()
+                cp.wait()
+                slab_last[1] = l0
+
             return tau_slab[:, :]
 
         def fetch_jb(l0):
-            cp = pltpu.make_async_copy(
-                jb_map.at[:, pl.ds(l0, line_chunk)], jb_slab, dma_sems.at[2])
-            cp.start()
-            cp.wait()
+            @pl.when(slab_last[2] != l0)
+            def _():
+                cp = pltpu.make_async_copy(
+                    jb_map.at[:, pl.ds(l0, line_chunk)], jb_slab,
+                    dma_sems.at[2])
+                cp.start()
+                cp.wait()
+                slab_last[2] = l0
+
             return jb_slab[0]
     else:
         def fetch_nu(l0):
@@ -2089,6 +2115,7 @@ def propagate_blocked(
                     pltpu.VMEM((k_ncells, line_chunk), F32),
                     pltpu.VMEM((1, line_chunk), F32),
                     pltpu.VMEM((1, line_chunk), F32),
+                    pltpu.SMEM((3,), I32),  # per-slab last-l0 cache keys
                     pltpu.SemaphoreType.DMA((3,)),
                 ]
                 if stream_lines else []

@@ -218,11 +218,23 @@ def main() -> None:
     # re-run — standard warm-up exclusion, same physics both times (the RNG
     # key depends only on nts).
     if _STATE["backend"] == "tpu":
+        import time as _t
+
         _st0 = sim.state
         _esc0 = sim._escaped_counted.copy()
-        sim.do_timestep(0)
-        sim.state = _st0
-        sim._escaped_counted = _esc0
+        # repeat until the relay reaches steady state (first executions of a
+        # freshly-compiled program measured 30-150 s vs 0.3 s steady on
+        # 2026-08-21; one warm pass is not always enough)
+        prev = float("inf")
+        for _ in range(4):
+            t0w = _t.time()
+            sim.do_timestep(0)
+            sim.state = _st0
+            sim._escaped_counted = _esc0.copy()
+            dt = _t.time() - t0w
+            if dt < 3.0 or dt > 0.7 * prev:
+                break
+            prev = dt
         sim.total_rpkt_steps = 0
         sim.total_transport_seconds = 0.0
         sim.transport_log = []
