@@ -181,6 +181,10 @@ def main() -> None:
             rpkt_crossings_per_dispatch=64,
             tail_width_divisor=1,
             transport_wall_budget=240.0,
+            # smaller tiles cut the walk's (B, mpad) tau-gather dot (the
+            # measured detailed-path bottleneck, PERF.md) at the price of
+            # more cross-tile pauses; sweepable for measurement
+            pallas_tile=int(os.environ.get("GRAFT_BENCH_TILE", "1024")),
         )
     else:
         # photospheric-phase scene at moderate optical depth: inner-cell
